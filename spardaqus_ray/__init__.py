@@ -1,0 +1,25 @@
+"""spardaqus_ray — a Ray-Data-native code-corpus quality-filter engine.
+
+A from-scratch reimagining of the capabilities of bretlowery/Spardaqus
+(data-quality assurance over an event stream) as a columnar, batch,
+Ray-Data-first pipeline over Parquet tables of source-code files.
+
+NOTE ON CITATIONS: the reference snapshot at /root/reference is empty in
+this sandbox (verified — SURVEY.md §0), so no file:line citations into it
+are possible. The authoritative functional spec is BASELINE.json
+(north_rule / input_hint); docstrings cite BASELINE.json and SURVEY.md.
+
+Layout:
+  rules.py       — THE spec: feature definitions, rule order, thresholds,
+                   scrub patterns. Shared by the Ray pipeline and the
+                   sequential reference labeler (tests/reference_impl.py).
+  config.py      — typed run configuration.
+  synth.py       — deterministic synthetic code-corpus generator (S5).
+  functions/     — stateless per-batch kernels (heuristics, scrub, hashing).
+  stages/        — stateful actor-pool stages (langid, perplexity) + models.
+  sources/       — parquet readers/writers, schema validation.
+  pipelines/     — flagship pipeline, dedup family, ANN, relational ops.
+  state/         — per-partition checkpoint manifests, resume.
+"""
+
+__version__ = "0.1.0"

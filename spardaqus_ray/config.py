@@ -1,0 +1,56 @@
+"""Typed run configuration (replaces the reference's YAML service config —
+SURVEY.md §1.2 mapping table: "YAML service config -> single typed config
+object driving pipeline construction")."""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+from spardaqus_ray import rules
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Everything that parameterizes a flagship run. Frozen → hashable-ish,
+    safely captured in Ray task/actor closures (serialized once)."""
+
+    # --- rule thresholds (spec defaults from rules.DEFAULT_THRESHOLDS) ---
+    thresholds: dict[str, float] = field(
+        default_factory=lambda: dict(rules.DEFAULT_THRESHOLDS)
+    )
+
+    # --- stage toggles ---
+    dedup_enabled: bool = True
+    langid_enabled: bool = True
+    ppl_enabled: bool = True
+    scrub_enabled: bool = True
+
+    # --- partitioning / skew (SURVEY.md §2.6 G1, §4.3) ---
+    num_partitions: int = 8          # P; bench uses 16x CPUs, tests use 8
+    skew_cap_fraction: float = 0.05  # repos holding > this fraction of rows get salted
+    skew_salt_k: int = 8             # a salted mega-repo spreads over k partitions
+
+    # --- actor-pool sizing (SURVEY.md §4.3) ---
+    model_batch_size: int = 512
+    model_concurrency: tuple[int, int] | int = (2, 8)
+
+    # --- model languages: the langid/ppl models are trained for these ---
+    langs: tuple[str, ...] = ("py", "js", "java", "go", "c", "md", "txt")
+
+    # --- checkpoint/resume ---
+    checkpoint_dir: str | None = None   # manifests + outputs; None = no resume
+
+    def with_(self, **kw) -> "EngineConfig":
+        return dataclasses.replace(self, **kw)
+
+    def thr(self, key: str) -> float:
+        return self.thresholds[key]
+
+
+# Config used by tests and the sf0.001 smoke entry: identical spec, smaller
+# partition count.
+def test_config(**kw) -> EngineConfig:
+    base = dict(num_partitions=8, model_concurrency=2, model_batch_size=256)
+    base.update(kw)
+    return EngineConfig(**base)

@@ -1,0 +1,99 @@
+"""sha256 stamps (M4), partition keys + skew salting (G1), dedup marking
+(G4). SURVEY.md §2.2/§2.6.
+
+BASELINE.json:6: "repo-hash repartition with salted keys to break skew from
+mega-repos"; BASELINE.json:15: "per-row invariant vs the reference: content
+sha256 equality".
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from spardaqus_ray.functions.heuristics import _flat_utf8
+
+
+def sha256_column(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """sha256 hex of each string — hashlib over zero-copy row slices of the
+    flat Arrow buffer (no per-row Python string materialization)."""
+    buf, offsets = _flat_utf8(col)
+    mv = memoryview(buf)
+    out = [hashlib.sha256(mv[offsets[i]: offsets[i + 1]]).hexdigest()
+           for i in range(len(offsets) - 1)]
+    return pa.array(out, pa.string())
+
+
+def stamp_raw_sha256(batch: pa.Table) -> pa.Table:
+    return batch.append_column("raw_sha256", sha256_column(batch["content"]))
+
+
+def repo_hash(repo: str) -> int:
+    """Stable cross-process repo hash (NOT builtin hash(): that is salted
+    per interpreter and would break determinism across workers)."""
+    return zlib.crc32(repo.encode("utf-8"))
+
+
+def add_partition_key(batch: pa.Table, num_partitions: int,
+                      salted_repos: frozenset[str], salt_k: int) -> pa.Table:
+    """part_id = crc32(repo) % P; repos in the skew-census salt set spread
+    over salt_k consecutive partitions via a path-derived salt
+    (deterministic: same row -> same part_id on any rerun)."""
+    repos = batch["repo"].to_pylist()
+    # hash each distinct repo once per batch (few distinct repos per block)
+    memo: dict[str, int] = {}
+    part = np.empty(batch.num_rows, np.int32)
+    need_salt = np.zeros(batch.num_rows, bool)
+    for i, r in enumerate(repos):
+        h = memo.get(r)
+        if h is None:
+            h = memo[r] = repo_hash(r)
+        part[i] = h % num_partitions
+        if r in salted_repos:
+            need_salt[i] = True
+    if need_salt.any():
+        paths = batch["path"].to_pylist()
+        for i in np.flatnonzero(need_salt):
+            salt = zlib.crc32(paths[i].encode("utf-8")) % salt_k
+            part[i] = (part[i] + salt) % num_partitions
+    return batch.append_column("part_id", pa.array(part, pa.int32()))
+
+
+def mark_dups(batch: pa.Table) -> pa.Table:
+    """G4 exact-dedup marking. PRECONDITION: the dataset was
+    repartition(keys=["raw_sha256"])-ed, so every duplicate group is fully
+    contained in this block. The deterministic winner is the
+    min-(repo,path,commit) row (SURVEY.md §2.6 G4 — stable under rerun /
+    retries / partition-count changes); losers get keep=False,
+    drop_reason="dedup.exact" (highest-precedence rule, rules.py order).
+
+    Vectorized: numpy lexsort over the block, no per-group Python.
+    """
+    n = batch.num_rows
+    if n == 0:
+        return batch
+    sha = np.asarray(batch["raw_sha256"].to_pylist())
+    repo = np.asarray(batch["repo"].to_pylist())
+    path = np.asarray(batch["path"].to_pylist())
+    commit = np.asarray(batch["commit"].to_pylist())
+    order = np.lexsort((commit, path, repo, sha))
+    sha_sorted = sha[order]
+    is_first = np.empty(n, bool)
+    is_first[0] = True
+    is_first[1:] = sha_sorted[1:] != sha_sorted[:-1]
+    winner = np.empty(n, bool)
+    winner[order] = is_first
+    loser = ~winner
+    if not loser.any():
+        return batch
+    keep = batch["keep"].combine_chunks().to_numpy(zero_copy_only=False)
+    reason = np.asarray(batch["drop_reason"].to_pylist(), object)
+    keep = keep & winner
+    reason[loser] = "dedup.exact"
+    batch = batch.set_column(batch.schema.get_field_index("keep"), "keep",
+                             pa.array(keep))
+    return batch.set_column(batch.schema.get_field_index("drop_reason"),
+                            "drop_reason", pa.array(reason, pa.string()))

@@ -1,0 +1,248 @@
+"""Fused stateless quality-feature kernel + rule application
+(SURVEY.md §2.3 H1-H9, "compute_quality_features" + "apply_rules").
+
+BASELINE.json:6: "Stateless heuristic rules (line-length stats,
+alphanumeric ratio, repetition/boilerplate detection) run via map_batches
+over zero-copy Arrow batches."
+
+The heavy O(n_bytes) work — character-class ratios, line-length stats,
+longest-word runs, word counts — is fully vectorized with numpy directly
+over the FLAT UTF-8 buffer of the Arrow string column (one pass over the
+bytes of the whole batch, no per-row Python in those paths). Per-row
+Python touches only line-hash dup fractions, the 8-gram repetition stat
+(numpy uint64 window trick per row), the autogen head regex (first 5
+lines only) and the toxicity count (regex, same cost class as the scrub).
+
+Feature DEFINITIONS live in spardaqus_ray/rules.py and are implemented
+independently (plain per-row Python) by the oracle labeler
+(tests/reference_impl.py) — agreement between the two is what pytest
+asserts (BASELINE.json:14 F1 criterion).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from spardaqus_ray import rules
+from spardaqus_ray.functions.scrub import TOX_RE
+
+# --- byte-class lookup tables (module-level: built once per process) ---
+_ALNUM = np.zeros(256, np.uint8)
+_ALPHA = np.zeros(256, np.uint8)
+_DIGIT = np.zeros(256, np.uint8)
+_WS = np.zeros(256, bool)
+for _c in range(256):
+    ch = chr(_c)
+    if ch.isascii():
+        _ALPHA[_c] = ch.isalpha()
+        _DIGIT[_c] = ch.isdigit()
+_ALNUM = (_ALPHA | _DIGIT).astype(np.uint8)
+for _c in rules.ASCII_WHITESPACE:
+    _WS[_c] = True
+
+
+def normalize_batch(batch: pa.Table) -> pa.Table:
+    """M1: BOM/NUL strip + newline normalization on the `content` column,
+    entirely with pyarrow.compute kernels (vectorized C++, no Python rows).
+    Must agree with rules.normalize_text (asserted in tests)."""
+    col = batch["content"]
+    col = pc.replace_substring(col, pattern="\r\n", replacement="\n")
+    col = pc.replace_substring(col, pattern="\r", replacement="\n")
+    col = pc.replace_substring(col, pattern="\x00", replacement="")
+    bom = pc.starts_with(col, pattern="﻿")
+    if pc.any(bom).as_py():
+        col = pc.if_else(bom, pc.utf8_slice_codeunits(col, start=1), col)
+    return batch.set_column(batch.schema.get_field_index("content"), "content", col)
+
+
+def _flat_utf8(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(flat uint8 buffer, int64 offsets len n+1) for a string column —
+    zero-copy views into the Arrow buffers."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_large_string(col.type):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    buffers = col.buffers()
+    offsets = np.frombuffer(buffers[1], off_dtype, len(col) + 1, col.offset * np.dtype(off_dtype).itemsize)
+    data = np.frombuffer(buffers[2], np.uint8, count=len(buffers[2]))
+    start, end = offsets[0], offsets[-1]
+    return data[start:end], (offsets.astype(np.int64) - int(start))
+
+
+def _gap_stats(is_sep: np.ndarray, offsets: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row (max_gap_len, n_nonzero_gaps) where gaps are maximal runs of
+    non-separator bytes, never crossing row boundaries. Used for both
+    longest-word (sep = ASCII whitespace) and max-line (sep = newline)."""
+    n = len(offsets) - 1
+    total = len(is_sep)
+    # insert a virtual separator at each interior row boundary
+    interior = offsets[1:-1]
+    aug = np.insert(is_sep, interior, True)
+    offsets2 = offsets + np.arange(n + 1)  # row starts in augmented coords
+    sep_pos = np.flatnonzero(aug)
+    bounds = np.empty(len(sep_pos) + 2, np.int64)
+    bounds[0] = -1
+    bounds[1:-1] = sep_pos
+    bounds[-1] = len(aug)
+    gap_len = np.diff(bounds) - 1           # len == n_seps + 1
+    gap_start = bounds[:-1] + 1
+    row_of_gap = np.searchsorted(offsets2[1:], gap_start, side="right")
+    # clip: the final sentinel gap may start at len(aug) (maps past last row)
+    keep = row_of_gap < n
+    gap_len, gap_start, row_of_gap = gap_len[keep], gap_start[keep], row_of_gap[keep]
+    max_gap = np.zeros(n, np.int64)
+    nz = gap_len > 0
+    if nz.any():
+        np.maximum.at(max_gap, row_of_gap[nz], gap_len[nz])
+    n_words = np.bincount(row_of_gap[nz], minlength=n)
+    return max_gap, n_words
+
+
+def compute_features(batch: pa.Table) -> pa.Table:
+    """Append all rules.QUALITY_FIELDS as flat columns (struct-packed later
+    at write time). Expects normalized `content`."""
+    n = batch.num_rows
+    col = batch["content"]
+    buf, offsets = _flat_utf8(col)
+
+    n_bytes = np.diff(offsets)
+    n_chars = pc.utf8_length(col).combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+
+    # --- byte-class counting over the flat buffer. int32 cumsum is ~13x
+    # faster than int64 (SIMD); Ray Data's 128 MiB target_max_block_size
+    # keeps len(buf) far below 2^31 (asserted). ---
+    assert len(buf) < 2**31 - 1, "block too large for int32 prefix sums"
+
+    def _rowsum(cls: np.ndarray) -> np.ndarray:
+        cs = np.empty(len(buf) + 1, np.int32)
+        cs[0] = 0
+        # int32-in/int32-out hits numpy's SIMD cumsum path (~10x faster
+        # than mixed-dtype accumulate — measured)
+        np.cumsum(cls.astype(np.int32), dtype=np.int32, out=cs[1:])
+        return (cs[offsets[1:]] - cs[offsets[:-1]]).astype(np.int64)
+
+    alpha_c = _rowsum(_ALPHA[buf])
+    digit_c = _rowsum(_DIGIT[buf])
+    denom = np.maximum(n_bytes, 1).astype(np.float64)
+    alnum_ratio = (alpha_c + digit_c) / denom
+    alpha_ratio = alpha_c / denom
+    digit_ratio = digit_c / denom
+
+    is_nl = buf == 0x0A
+    n_newlines = _rowsum(is_nl)
+    n_lines = n_newlines + 1
+    mean_line_len = (n_bytes - n_newlines) / n_lines.astype(np.float64)
+
+    max_line_len, _ = _gap_stats(is_nl, offsets)
+    is_ws = _WS[buf]
+    ws_c = _rowsum(is_ws)
+    is_blank = ws_c == n_bytes  # empty or all-ASCII-whitespace
+    longest_word_len, n_words = _gap_stats(is_ws, offsets)
+
+    # --- toxicity: vectorized substring PREFILTER (ASCII-lowercased buffer,
+    # memchr-speed bytes.find per word) selects candidate rows; the exact
+    # word-boundary regex (shared with the scrub/oracle) runs only on those.
+    tox_hits = np.zeros(n, np.int64)
+    low = buf | (_ALPHA[buf] * 0x20)  # lowercase ASCII letters only
+    low_b = low.tobytes()
+    tox_rows: set[int] = set()
+    for w in rules.TOXICITY_WORDS:
+        wb = w.encode()
+        p = low_b.find(wb)
+        while p != -1:
+            tox_rows.add(int(np.searchsorted(offsets, p, side="right")) - 1)
+            p = low_b.find(wb, p + 1)
+
+    # --- per-row section (bounded work: dup fracs, 8-gram stat, autogen).
+    # The 8-gram ids are built VECTORIZED over chunk-level buffer spans
+    # (8 shifted adds per chunk, exact uint64 8-grams, no hashing); only
+    # np.unique remains per row. ---
+    dup_line_frac = np.zeros(n, np.float64)
+    dup_para_frac = np.zeros(n, np.float64)
+    top_ngram_frac = np.zeros(n, np.float64)
+    autogen = np.zeros(n, bool)
+    N = rules.NGRAM_N
+    shifts = (np.arange(N) * 8).astype(np.uint64)
+    CHUNK_BYTES = 4 << 20
+    i0 = 0
+    while i0 < n:
+        i1 = i0 + 1
+        while i1 < n and offsets[i1 + 1] - offsets[i0] <= CHUNK_BYTES:
+            i1 += 1
+        s0, s1 = offsets[i0], offsets[i1]
+        w = buf[s0:s1].astype(np.uint64)
+        m = len(w) - N + 1
+        if m > 0:
+            h = w[:m] << shifts[0]
+            for k in range(1, N):
+                h += w[k: m + k] << shifts[k]
+        else:
+            h = np.empty(0, np.uint64)
+        for i in range(i0, i1):
+            lo, hi = offsets[i] - s0, offsets[i + 1] - s0
+            nb = hi - lo
+            if nb == 0:
+                continue
+            if nb >= N:
+                _, cnt = np.unique(h[lo: hi - N + 1], return_counts=True)
+                top_ngram_frac[i] = N * int(cnt.max()) / nb
+            bb = buf[offsets[i]:offsets[i + 1]].tobytes()
+            lines = [ln for ln in (r.strip(b" \t") for r in bb.split(b"\n")) if ln]
+            if lines:
+                dup_line_frac[i] = (len(lines) - len(set(lines))) / len(lines)
+            paras = [p for p in (q.strip(b" \t\n") for q in bb.split(b"\n\n")) if p]
+            if paras:
+                dup_para_frac[i] = (len(paras) - len(set(paras))) / len(paras)
+            head = bb.split(b"\n", rules.AUTOGEN_HEAD_LINES)
+            head_s = b"\n".join(head[: rules.AUTOGEN_HEAD_LINES]).decode("utf-8", "replace")
+            autogen[i] = rules.AUTOGEN_RE.search(head_s) is not None
+            if i in tox_rows:
+                tox_hits[i] = len(TOX_RE.findall(bb.decode("utf-8", "replace")))
+        i0 = i1
+
+    tox_frac = tox_hits / np.maximum(n_words, 1)
+
+    cols = {
+        "n_bytes": n_bytes.astype(np.int64), "n_chars": n_chars,
+        "n_lines": n_lines.astype(np.int64),
+        "max_line_len": max_line_len, "mean_line_len": mean_line_len,
+        "alnum_ratio": alnum_ratio, "alpha_ratio": alpha_ratio,
+        "digit_ratio": digit_ratio, "longest_word_len": longest_word_len,
+        "dup_line_frac": dup_line_frac, "dup_para_frac": dup_para_frac,
+        "top_ngram_frac": top_ngram_frac, "autogen": autogen,
+        "n_words": n_words.astype(np.int64), "tox_hits": tox_hits,
+        "tox_frac": tox_frac, "is_blank": is_blank,
+    }
+    for name in rules.QUALITY_FIELDS:
+        batch = batch.append_column(name, pa.array(cols[name]))
+    return batch
+
+
+def apply_heuristic_rules(batch: pa.Table, thresholds: dict[str, float]) -> pa.Table:
+    """Vectorized first-failing-rule evaluation over the feature columns.
+    Appends keep:bool and drop_reason:string ("" = kept so far)."""
+    n = batch.num_rows
+    reason = np.full(n, "", dtype=object)
+    undecided = np.ones(n, bool)
+    feats = {f: batch[f].combine_chunks().to_numpy(zero_copy_only=False)
+             for f in rules.QUALITY_FIELDS}
+    for rule_id, feat, op, thr_key in rules.HEURISTIC_RULES:
+        v = feats[feat]
+        if op == "true":
+            fail = v.astype(bool)
+        elif op == "gt":
+            fail = v > thresholds[thr_key]
+        else:
+            fail = v < thresholds[thr_key]
+        hit = undecided & fail
+        reason[hit] = rule_id
+        undecided &= ~hit
+    batch = batch.append_column("keep", pa.array(undecided))
+    batch = batch.append_column("drop_reason", pa.array(reason, pa.string()))
+    return batch

@@ -1,0 +1,116 @@
+"""Single-pass compiled-regex PII + toxicity scrub (R1/R2 in SURVEY.md §2.5).
+
+BASELINE.json:6: "compiled-regex PII scrub (emails, keys, IPs) rewrites
+content in place" + toxicity masking. ONE combined alternation, ONE
+left-to-right `re.sub` pass with a function replacer — this fixes the
+overlapping-match / replacement-order semantics once (Python re:
+leftmost match, first alternative wins), and the SAME implementation is
+used by the Ray pipeline and the sequential reference labeler
+(SURVEY.md §7 hard-parts: "one implementation, two harnesses").
+
+Pattern priority (order of alternatives — earlier wins at a tie position):
+  1. PEM private-key block            -> <KEY>
+  2. AWS access key id (AKIA…)        -> <KEY>
+  3. GitHub token (ghp_…)             -> <KEY>
+  4. api_key/secret/token = "value"   -> value part -> <KEY>
+  5. email                            -> <EMAIL>
+  6. IPv4 (valid octets only)         -> <IP>
+  7. IPv6-ish (guarded against times) -> <IP>
+  8. toxicity word (word-boundary)    -> <TOX>
+
+Scrub is idempotent: the replacement tokens <EMAIL>/<IP>/<KEY>/<TOX>
+do not themselves match any pattern.
+
+Regexes are compiled at module import — once per worker PROCESS, so a
+stateless `map_batches` task stage pays zero per-batch compile cost
+(module import is cached by the Ray worker).
+"""
+
+from __future__ import annotations
+
+import re
+
+from spardaqus_ray import rules
+
+_PEM = r"-----BEGIN [A-Z ]*PRIVATE KEY-----[\s\S]*?-----END [A-Z ]*PRIVATE KEY-----"
+_AWS = r"AKIA[0-9A-Z]{16}"
+_GHP = r"ghp_[A-Za-z0-9]{36}"
+_ASSIGN = r"(?P<kpre>(?i:api[_-]?key|apikey|secret|token|passwd|password)\s*[=:]\s*[\"']?)(?P<kval>[A-Za-z0-9+/_\-]{20,})"
+_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+_IPV4 = r"(?<![\w.])(?:\d{1,3}\.){3}\d{1,3}(?![\w.])"
+_IPV6 = r"(?<![\w:])(?:[0-9A-Fa-f]{1,4}:){2,7}[0-9A-Fa-f]{1,4}(?![\w:])"
+_TOX = r"\b(?i:" + "|".join(rules.TOXICITY_WORDS) + r")\b"
+
+SCRUB_RE = re.compile(
+    "|".join(
+        f"(?P<{name}>{pat})"
+        for name, pat in [
+            ("pem", _PEM),
+            ("aws", _AWS),
+            ("ghp", _GHP),
+            ("assign", _ASSIGN),
+            ("email", _EMAIL),
+            ("ipv4", _IPV4),
+            ("ipv6", _IPV6),
+            ("tox", _TOX),
+        ]
+    )
+)
+
+# Standalone toxicity matcher for the tox_hits FEATURE (counted during
+# scoring on all rows, before the scrub which runs only on kept rows).
+TOX_RE = re.compile(_TOX)
+
+_COUNT_KEYS = ("email", "ip", "key", "tox")
+
+
+def _ipv4_valid(s: str) -> bool:
+    return all(int(o) <= 255 for o in s.split("."))
+
+
+def _ipv6_valid(s: str) -> bool:
+    # Guard against clock-like strings ("12:30:45"): require >=4 groups or a
+    # hex letter somewhere.
+    return s.count(":") >= 3 or any(c in "abcdefABCDEF" for c in s)
+
+
+def scrub_text(s: str) -> tuple[str, dict[str, int]]:
+    """Scrub one string; returns (scrubbed, {"email","ip","key","tox"} counts).
+
+    Pure function of its input — deterministic under any batching or
+    partitioning, which is what makes per-row content_sha256 equality
+    between the Ray pipeline and the oracle achievable (BASELINE.json:15).
+    """
+    counts = dict.fromkeys(_COUNT_KEYS, 0)
+
+    def repl(m: re.Match) -> str:
+        # Explicit group checks (m.lastgroup is unreliable with the nested
+        # named groups inside 'assign').
+        if m.group("pem") or m.group("aws") or m.group("ghp"):
+            counts["key"] += 1
+            return "<KEY>"
+        if m.group("assign"):
+            counts["key"] += 1
+            return m.group("kpre") + "<KEY>"
+        if m.group("email"):
+            counts["email"] += 1
+            return "<EMAIL>"
+        if m.group("ipv4"):
+            if _ipv4_valid(m.group()):
+                counts["ip"] += 1
+                return "<IP>"
+            return m.group()
+        if m.group("ipv6"):
+            if _ipv6_valid(m.group()):
+                counts["ip"] += 1
+                return "<IP>"
+            return m.group()
+        counts["tox"] += 1
+        return "<TOX>"
+
+    return SCRUB_RE.sub(repl, s), counts
+
+
+def count_tox(s: str) -> int:
+    """tox_hits feature: number of toxicity-wordlist matches (scoring pass)."""
+    return len(TOX_RE.findall(s))

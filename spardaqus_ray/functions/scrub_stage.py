@@ -1,0 +1,52 @@
+"""Batch wrapper for the scrub (R1-R3) + final content_sha256 stamp (M4b).
+
+Ordering contract (rules.py / SURVEY.md §2.5 R3): runs only on kept rows,
+after ALL scoring; content_sha256 = sha256 of the final content.
+Stateless map_batches task stage — the combined regex is compiled at
+module import, once per worker process.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from spardaqus_ray.functions.hashing import sha256_column
+from spardaqus_ray.functions.heuristics import _flat_utf8
+from spardaqus_ray.functions.scrub import SCRUB_RE, scrub_text
+
+_COUNT_COLS = ("scrub_email", "scrub_ip", "scrub_key", "scrub_tox")
+
+
+def scrub_and_stamp(batch: pa.Table, scrub_enabled: bool = True) -> pa.Table:
+    n = batch.num_rows
+    counts = {c: np.zeros(n, np.int64) for c in _COUNT_COLS}
+    if scrub_enabled and n:
+        keep = batch["keep"].combine_chunks().to_numpy(zero_copy_only=False)
+        if keep.any():
+            # cheap vectorized prefilter: regex-search only rows whose bytes
+            # can possibly match (presence of '@', ':', '.', digit or tox
+            # letters is too broad — instead do one fast SCRUB_RE.search per
+            # kept row and rewrite only on hit; search exits at first match)
+            contents = batch["content"].to_pylist()
+            changed = False
+            for i in np.flatnonzero(keep):
+                s = contents[i]
+                if SCRUB_RE.search(s) is None:
+                    continue
+                s2, c = scrub_text(s)
+                contents[i] = s2
+                changed = True
+                counts["scrub_email"][i] = c["email"]
+                counts["scrub_ip"][i] = c["ip"]
+                counts["scrub_key"][i] = c["key"]
+                counts["scrub_tox"][i] = c["tox"]
+            if changed:
+                batch = batch.set_column(
+                    batch.schema.get_field_index("content"), "content",
+                    pa.array(contents, batch.schema.field("content").type),
+                )
+    batch = batch.append_column("content_sha256", sha256_column(batch["content"]))
+    for c in _COUNT_COLS:
+        batch = batch.append_column(c, pa.array(counts[c]))
+    return batch

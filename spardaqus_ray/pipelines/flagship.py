@@ -1,0 +1,157 @@
+"""The flagship pipeline (SURVEY.md §3.2): language-ID + quality-filter +
+PII/toxicity-scrub over the code-corpus table.
+
+Composition (every stage a Dataset transform; the streaming executor owns
+scheduling/pipelining/backpressure — SURVEY.md §4.2):
+
+    read_parquet                          [read tasks]
+    score_batch (fused M1 normalize + M4a raw_sha256 + H1-H9 features +
+                 rule application)        [stateless map_batches, Arrow]
+    repartition(keys=[raw_sha256])        [SHUFFLE #1 — uniform digest keys]
+    mark_dups                             [stateless map_batches]
+    LangIdScorer                          [ACTOR POOL, model loaded once]
+    PerplexityScorer                      [ACTOR POOL]
+    scrub_and_stamp (R1-R3 + M4b)         [stateless map_batches]
+    -- annotate() returns here --
+    add_partition_key (G1, salted)        [stateless map_batches]
+    repartition(keys=[part_id])           [SHUFFLE #2]
+    finalize (C4: sort, write part file, manifest)  [map_batches -> metrics]
+
+Exactly two shuffles (SURVEY.md §4.3); the skew census (tiny
+groupby(repo).count() pre-pass) feeds the salt set as a broadcast closure.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import pyarrow as pa
+import ray.data
+
+from spardaqus_ray.config import EngineConfig
+from spardaqus_ray.functions.hashing import (add_partition_key, mark_dups,
+                                             stamp_raw_sha256)
+from spardaqus_ray.functions.heuristics import (apply_heuristic_rules,
+                                                compute_features,
+                                                normalize_batch)
+from spardaqus_ray.functions.scrub_stage import scrub_and_stamp
+from spardaqus_ray.stages.models import Models, build_default_models
+from spardaqus_ray.stages.scorers import LangIdScorer, PerplexityScorer
+from spardaqus_ray.util import ensure_hash_shuffle
+
+
+def score_batch(batch: pa.Table, thresholds: dict[str, float]) -> pa.Table:
+    """Fused stateless scoring pass: one batch materialization for
+    normalize + raw sha + all heuristic features + rule evaluation."""
+    batch = normalize_batch(batch)
+    batch = stamp_raw_sha256(batch)
+    batch = compute_features(batch)
+    return apply_heuristic_rules(batch, thresholds)
+
+
+def annotate(ds: ray.data.Dataset, cfg: EngineConfig,
+             models: Models | None = None) -> ray.data.Dataset:
+    """Input-schema Dataset -> fully annotated Dataset (output schema of
+    SURVEY.md §1.2, flat feature columns). Streaming end to end; the only
+    shuffle is the optional exact-dedup repartition."""
+    if models is None and (cfg.langid_enabled or cfg.ppl_enabled):
+        models = build_default_models(cfg.langs)
+    if cfg.dedup_enabled:
+        ensure_hash_shuffle(ds)
+
+    ds = ds.map_batches(
+        functools.partial(score_batch, thresholds=cfg.thresholds),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    if cfg.dedup_enabled:
+        ds = ds.repartition(cfg.num_partitions, keys=["raw_sha256"])
+        ds = ds.map_batches(mark_dups, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None)
+    if cfg.langid_enabled:
+        ds = ds.map_batches(
+            LangIdScorer, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=cfg.model_batch_size, concurrency=cfg.model_concurrency,
+            fn_constructor_kwargs=dict(models=models, thresholds=cfg.thresholds),
+        )
+    if cfg.ppl_enabled:
+        if not cfg.langid_enabled:
+            ds = ds.map_batches(_add_empty_langid, batch_format="pyarrow",
+                                zero_copy_batch=True)
+        ds = ds.map_batches(
+            PerplexityScorer, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=cfg.model_batch_size, concurrency=cfg.model_concurrency,
+            fn_constructor_kwargs=dict(models=models, thresholds=cfg.thresholds),
+        )
+    return ds.map_batches(
+        functools.partial(scrub_and_stamp, scrub_enabled=cfg.scrub_enabled),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def _add_empty_langid(batch: pa.Table) -> pa.Table:
+    import numpy as np
+    batch = batch.append_column(
+        "detected_lang", pa.array([""] * batch.num_rows, pa.string()))
+    return batch.append_column(
+        "lang_conf", pa.array(np.full(batch.num_rows, np.nan), pa.float64()))
+
+
+def skew_census(ds: ray.data.Dataset, cfg: EngineConfig) -> frozenset[str]:
+    """Tiny pre-pass (projected to the repo column only) finding repos whose
+    row share exceeds skew_cap_fraction — those get salted partition keys
+    (BASELINE.json:6 'salted keys to break skew from mega-repos'). The
+    result is small by construction (at most 1/cap repos) and is broadcast
+    to workers inside the add_partition_key closure."""
+    total = ds.count()
+    if total == 0:
+        return frozenset()
+    counts = ds.select_columns(["repo"]).groupby("repo").count().take_all()
+    cap = cfg.skew_cap_fraction * total
+    return frozenset(r["repo"] for r in counts if r["count()"] > cap)
+
+
+def run_flagship(input_paths, checkpoint_dir: str, cfg: EngineConfig,
+                 models: Models | None = None) -> list[dict]:
+    """Entry point 1 (SURVEY.md §3.2): the resumable batch job. Returns the
+    per-partition metrics rows (tiny; the data lives in checkpoint_dir)."""
+    import os
+
+    from spardaqus_ray.sources.code_parquet import read_code_parquet
+    from spardaqus_ray.state.checkpoint import (completed_partitions,
+                                                finalize_partition)
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    ensure_hash_shuffle()
+    done = completed_partitions(checkpoint_dir)
+
+    ds = read_code_parquet(input_paths)
+    salted = skew_census(ds, cfg)
+    ds = annotate(ds, cfg, models)
+    ds = ds.map_batches(
+        functools.partial(add_partition_key, num_partitions=cfg.num_partitions,
+                          salted_repos=salted, salt_k=cfg.skew_salt_k),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    if done:  # C3 resume filter: anti-join on completed part_ids
+        done_arr = pa.array(sorted(done), pa.int32())
+        ds = ds.map_batches(
+            lambda t: t.filter(
+                pa.compute.invert(pa.compute.is_in(t["part_id"], value_set=done_arr))),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    ds = ds.repartition(cfg.num_partitions, keys=["part_id"])
+
+    def _finalize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"part_id": pa.array([], pa.int32())})
+        rows = []
+        # a block holds exactly the rows of >=1 whole partitions
+        for pid in pa.compute.unique(batch["part_id"]).to_pylist():
+            part = batch.filter(pa.compute.equal(batch["part_id"], pid))
+            rows.append(finalize_partition(part, int(pid), checkpoint_dir))
+        return pa.Table.from_pylist(rows)
+
+    metrics = ds.map_batches(_finalize, batch_format="pyarrow",
+                             batch_size=None).take_all()
+    return sorted((m for m in metrics if "input_rows" in m),
+                  key=lambda m: m["part_id"])

@@ -1,0 +1,171 @@
+"""THE quality-filter spec: normalization, feature definitions, rule order,
+default thresholds, and scrub patterns.
+
+This module is the single source of truth shared by BOTH implementations:
+
+  * the distributed Ray Data pipeline (spardaqus_ray/functions/,
+    spardaqus_ray/stages/, spardaqus_ray/pipelines/flagship.py), and
+  * the sequential, Ray-free reference labeler (tests/reference_impl.py)
+    that serves as the correctness oracle (BASELINE.json:14 — "matching the
+    reference's keep/drop decision and scrubbed text per file, F1>=0.99").
+
+Only *constants and pure-python scalar helpers* live here — no Ray, no
+Arrow. The two harnesses implement feature EXTRACTION independently
+(vectorized numpy-over-Arrow-buffers vs plain per-row Python), which is
+what makes the oracle a real cross-check; they share the spec constants and
+the single-pass scrub (SURVEY.md §7 "hard parts": one scrub implementation,
+two harnesses).
+
+Feature definitions (all computed on NORMALIZED text, see normalize_text):
+  byte-based over the UTF-8 encoding; character classes are ASCII classes
+  (natural for source code, and exactly vectorizable with numpy over the
+  flat Arrow string buffer):
+
+  n_bytes          len(utf8)
+  n_chars          unicode code points
+  n_lines          utf8.count(b"\n") + 1   (0 for empty text)
+  max_line_len     max bytes over b"\n"-split lines
+  mean_line_len    (n_bytes - (n_lines-1)) / n_lines   i.e. mean of line byte lengths
+  alnum_ratio      ASCII [0-9A-Za-z] bytes / n_bytes
+  alpha_ratio      ASCII [A-Za-z] bytes / n_bytes
+  digit_ratio      ASCII [0-9] bytes / n_bytes
+  longest_word_len longest run of non-ASCII-whitespace bytes
+  dup_line_frac    over lines stripped of b" \t" that are non-empty:
+                   (occurrences beyond the first of each distinct line) / count
+  dup_para_frac    same over b"\n\n"-split, stripped, non-empty paragraphs
+  top_ngram_frac   NGRAM_N * (count of most frequent byte NGRAM_N-gram) / n_bytes
+  autogen          any of AUTOGEN_PATTERNS matches the first AUTOGEN_HEAD_LINES
+                   lines, case-insensitive
+  n_words          number of ASCII-whitespace-separated tokens
+  tox_hits         number of toxicity-wordlist matches (see scrub)
+  tox_frac         tox_hits / max(1, n_words)
+
+Rule order (first failing rule wins — the order IS part of the spec;
+determinism of drop_reason depends on it):
+
+  dedup.exact            not the deterministic min-(repo,path,commit) winner
+                         of its raw_sha256 group (only when dedup enabled)
+  heur.empty             text stripped of ASCII whitespace is empty
+  heur.max_file_bytes    n_bytes > max_file_bytes
+  heur.max_line_len      max_line_len > max_line_len
+  heur.mean_line_len     mean_line_len > mean_line_len
+  heur.longest_word      longest_word_len > longest_word_len
+  heur.alnum_ratio       alnum_ratio < min_alnum_ratio
+  heur.digit_ratio       digit_ratio > max_digit_ratio
+  heur.dup_line_frac     dup_line_frac > max_dup_line_frac
+  heur.dup_para_frac     dup_para_frac > max_dup_para_frac
+  heur.top_ngram_frac    top_ngram_frac > max_top_ngram_frac
+  heur.autogen           autogen marker present
+  heur.tox_frac          tox_frac > max_tox_frac
+  langid.lowconf         lang_conf < min_lang_conf           (langid enabled)
+  langid.mismatch        detected_lang != claimed lang       (langid enabled,
+                         claimed lang known to the model)
+  ppl.high               ppl > ppl threshold for the language (ppl enabled)
+
+Stage-gating contract (shared by pipeline and oracle): langid / ppl are
+computed ONLY for rows that survive every earlier rule (detected_lang="",
+lang_conf=NaN, ppl=NaN otherwise); the scrub runs ONLY on kept rows, AFTER
+all scoring (features and ppl are computed on pre-scrub text);
+content_sha256 = sha256 of the FINAL content (scrubbed for kept rows,
+normalized-unscrubbed for dropped rows); raw_sha256 = sha256 of the
+normalized pre-scrub content (also the exact-dedup key).
+"""
+
+from __future__ import annotations
+
+import re
+
+# ---------------------------------------------------------------------------
+# Normalization (M1 in SURVEY.md §2.2)
+# ---------------------------------------------------------------------------
+
+def normalize_text(s: str) -> str:
+    """BOM-strip, NUL-strip, newline normalization. Runs before everything."""
+    if s.startswith("﻿"):
+        s = s[1:]
+    if "\x00" in s:
+        s = s.replace("\x00", "")
+    if "\r" in s:
+        s = s.replace("\r\n", "\n").replace("\r", "\n")
+    return s
+
+
+# ---------------------------------------------------------------------------
+# Feature constants
+# ---------------------------------------------------------------------------
+
+NGRAM_N = 8                  # byte n-gram width for top_ngram_frac
+AUTOGEN_HEAD_LINES = 5       # autogen markers are only searched in the head
+LANGID_HEAD_BYTES = 4096     # langid / perplexity score the first 4 KiB only
+
+ASCII_WHITESPACE = b" \t\n\r\x0b\x0c"
+
+AUTOGEN_PATTERNS = [
+    r"auto[- ]?generated",
+    r"automatically generated",
+    r"do not edit",
+    r"generated by",
+    r"@generated",
+    r"lockfile",
+]
+AUTOGEN_RE = re.compile("|".join(AUTOGEN_PATTERNS), re.IGNORECASE)
+
+# Word-boundary toxicity list (small, deliberately mild; pattern-list style
+# per BASELINE.json:6 "PII/toxicity-scrub"). Extensible via config.
+TOXICITY_WORDS = [
+    "fuck", "fucking", "shit", "bitch", "bastard", "asshole",
+    "dumbass", "goddamn", "motherfucker", "cunt", "dickhead", "wanker",
+]
+
+# ---------------------------------------------------------------------------
+# Default thresholds (overridable via config.EngineConfig)
+# ---------------------------------------------------------------------------
+
+DEFAULT_THRESHOLDS: dict[str, float] = {
+    "max_file_bytes": 1_048_576,
+    "max_line_len": 1000,
+    "mean_line_len": 100.0,
+    "longest_word_len": 1000,
+    "min_alnum_ratio": 0.25,
+    "max_digit_ratio": 0.5,
+    "max_dup_line_frac": 0.30,
+    "max_dup_para_frac": 0.30,
+    "max_top_ngram_frac": 0.30,
+    "max_tox_frac": 0.05,
+    "min_lang_conf": 0.30,
+    "ppl_multiplier": 1.0,   # scales the model's self-calibrated per-lang threshold
+}
+
+# Ordered heuristic rule registry: (rule_id, feature, op, threshold_key).
+# op "gt": drop when feature >  thresholds[key]
+# op "lt": drop when feature <  thresholds[key]
+# op "true": drop when boolean feature is truthy (threshold_key unused)
+# This is the user-extension surface (SURVEY.md §2.9): adding a heuristic
+# rule = appending one tuple here (plus its feature in both harnesses).
+HEURISTIC_RULES: list[tuple[str, str, str, str | None]] = [
+    ("heur.empty",          "is_blank",         "true", None),
+    ("heur.max_file_bytes", "n_bytes",          "gt",   "max_file_bytes"),
+    ("heur.max_line_len",   "max_line_len",     "gt",   "max_line_len"),
+    ("heur.mean_line_len",  "mean_line_len",    "gt",   "mean_line_len"),
+    ("heur.longest_word",   "longest_word_len", "gt",   "longest_word_len"),
+    ("heur.alnum_ratio",    "alnum_ratio",      "lt",   "min_alnum_ratio"),
+    ("heur.digit_ratio",    "digit_ratio",      "gt",   "max_digit_ratio"),
+    ("heur.dup_line_frac",  "dup_line_frac",    "gt",   "max_dup_line_frac"),
+    ("heur.dup_para_frac",  "dup_para_frac",    "gt",   "max_dup_para_frac"),
+    ("heur.top_ngram_frac", "top_ngram_frac",   "gt",   "max_top_ngram_frac"),
+    ("heur.autogen",        "autogen",          "true", None),
+    ("heur.tox_frac",       "tox_frac",         "gt",   "max_tox_frac"),
+]
+
+# Quality-feature struct field order (the `quality` struct column, §1.2).
+QUALITY_FIELDS = [
+    "n_bytes", "n_chars", "n_lines", "max_line_len", "mean_line_len",
+    "alnum_ratio", "alpha_ratio", "digit_ratio", "longest_word_len",
+    "dup_line_frac", "dup_para_frac", "top_ngram_frac", "autogen",
+    "n_words", "tox_hits", "tox_frac", "is_blank",
+]
+
+DROP_DEDUP = "dedup.exact"
+DROP_LANGID_LOWCONF = "langid.lowconf"
+DROP_LANGID_MISMATCH = "langid.mismatch"
+DROP_PPL_HIGH = "ppl.high"

@@ -1,0 +1,62 @@
+"""Sources / sinks (SURVEY.md §2.1 S1-S4).
+
+The graft replaces the reference's Splunk/Kafka connectors with Parquet
+in/out by design (BASELINE.json:6 "instead of Splunk-bound validation");
+schema is fixed + declared (input_hint, BASELINE.json:15) and validated at
+read time, failing fast on mismatch.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data
+
+CODE_COLUMNS = ("repo", "path", "commit", "lang", "content")
+
+
+def read_code_parquet(paths, columns: list[str] | None = None,
+                      filter=None) -> ray.data.Dataset:
+    """S1: read the (repo,path,commit,lang,content) table with column
+    pruning + optional pyarrow predicate pushdown; validate schema."""
+    ds = ray.data.read_parquet(paths, columns=columns, filter=filter)
+    schema = ds.schema()  # ray.data Schema: .names + .types (Arrow types)
+    need = columns or CODE_COLUMNS
+    types = dict(zip(schema.names, schema.types))
+    missing = [c for c in need if c not in types]
+    if missing:
+        raise ValueError(
+            f"input does not match the code-corpus schema (input_hint): "
+            f"missing columns {missing}; got {schema.names}")
+    for c in need:
+        t = types[c]
+        if not (pa.types.is_string(t) or pa.types.is_large_string(t)):
+            raise ValueError(f"column {c!r} must be string, got {t}")
+    return ds
+
+
+def read_table(sf_dir: str, name: str, columns: list[str] | None = None,
+               **kw) -> ray.data.Dataset:
+    """S2: any driver fixture table (TESTDATA.md)."""
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns, **kw)
+
+
+def _docs_to_code(batch: pa.Table) -> pa.Table:
+    n = batch.num_rows
+    return pa.table({
+        "repo": batch["source"].cast(pa.string()),
+        "path": pa.array([f"doc/{d}.txt" for d in batch["doc_id"].to_pylist()],
+                         pa.string()),
+        "commit": pa.array([f"{d:040x}" for d in batch["doc_id"].to_pylist()],
+                           pa.string()),
+        "lang": batch["lang"].cast(pa.string()),
+        "content": batch["text"].cast(pa.string()),
+    })
+
+
+def documents_as_code(sf_dir: str) -> ray.data.Dataset:
+    """Map the driver's `documents` fixture onto the code-table schema
+    (FIXTURES.md §B: source->repo, doc_id->path, text->content) — the
+    stand-in corpus for driver smoke/correctness runs (SURVEY.md §3.3)."""
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "text", "lang", "source"])
+    return ds.map_batches(_docs_to_code, batch_format="pyarrow")

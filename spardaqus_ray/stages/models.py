@@ -1,0 +1,216 @@
+"""Self-trained tiny langid + char-n-gram-LM models (SURVEY.md §2.4 A1-A3).
+
+No fasttext/kenlm wheels exist in the sandbox (verified — SURVEY.md §2.4
+A3), so the engine ships deterministic pure-numpy stand-ins with the same
+*shape* as the north_star's stages (BASELINE.json:6: "fastText langid and a
+KenLM-style character n-gram perplexity scorer with batched n-gram
+hashing"):
+
+  * LangIdModel — multinomial Naive-Bayes over HASHED byte trigrams of the
+    first LANGID_HEAD_BYTES of content; emits (detected_lang, lang_conf =
+    softmax over per-gram mean log-likelihood).
+  * CharLM — per-language conditional char 4-gram LM with hashed counts and
+    add-k smoothing; ppl = exp(-mean log P(c | prev3)) over the head.
+    The per-language drop threshold is SELF-CALIBRATED at train time
+    (p99 of training-text ppl × margin) so the spec has no magic constants.
+
+Both models are built deterministically from the synthetic per-language
+grammars (spardaqus_ray/synth.py training_texts — no external data) or
+from any labeled (lang, text) table via train_models_from_pairs (used for
+the driver's `documents` fixture runs).
+
+Scoring has TWO code paths sharing ONE set of parameters:
+  * score_text / ppl_text  — per-row scalar path (used by the sequential
+    reference labeler, tests/reference_impl.py);
+  * score_block / ppl_block — batched path over a single concatenated byte
+    buffer with row offsets ("batched n-gram hashing", BASELINE.json:6),
+    used by the Ray actor stages.
+The oracle therefore genuinely cross-checks the batched implementation.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+
+from spardaqus_ray import rules
+
+NB3 = 1 << 16   # langid trigram hash buckets
+NB4 = 1 << 20   # LM 4-gram hash buckets
+NB3C = 1 << 16  # LM 3-gram (context) hash buckets
+_K = 0.5        # add-k smoothing
+PPL_MARGIN = 1.6  # threshold = train p99 ppl * margin
+
+
+def _head_bytes(s: str) -> bytes:
+    return s[: rules.LANGID_HEAD_BYTES].encode("utf-8")[: rules.LANGID_HEAD_BYTES]
+
+
+def tri_hash(b: np.ndarray) -> np.ndarray:
+    """Hashed trigram ids for a uint8 array; length = len(b) - 2."""
+    if len(b) < 3:
+        return np.empty(0, np.int64)
+    x = b.astype(np.int64)
+    return (x[:-2] * 65599 + x[1:-1] * 257 + x[2:]) % NB3
+
+
+def four_hash(b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(4-gram ids, 3-gram-context ids) for a uint8 array; len = len(b)-3."""
+    if len(b) < 4:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    x = b.astype(np.int64)
+    ctx = (x[:-3] * 65599 + x[1:-2] * 257 + x[2:-1]) % NB3C
+    full = (x[:-3] * 16777619 + x[1:-2] * 65599 + x[2:-1] * 257 + x[3:]) % NB4
+    return full, ctx
+
+
+@dataclass
+class LangIdModel:
+    langs: tuple[str, ...]
+    logp: np.ndarray  # (n_langs, NB3) float32 log P(trigram | lang)
+
+    def score_text(self, s: str) -> tuple[str, float]:
+        """Scalar path (oracle). Returns (detected_lang, conf)."""
+        idx = tri_hash(np.frombuffer(_head_bytes(s), np.uint8))
+        if len(idx) == 0:
+            return "", 0.0
+        means = self.logp[:, idx].mean(axis=1, dtype=np.float64)
+        langs, confs = self._conf(means[None, :])
+        return langs[0], float(confs[0])
+
+    def score_block(self, buf: np.ndarray, offsets: np.ndarray) -> tuple[list[str], np.ndarray]:
+        """Batched path: buf = concatenated uint8 heads, offsets (n+1).
+        Rows must already be clipped to LANGID_HEAD_BYTES each."""
+        n = len(offsets) - 1
+        means = np.zeros((n, len(self.langs)), np.float64)
+        counts = np.diff(offsets)
+        # trigram ids for the whole buffer in one shot, then mask ids that
+        # span a row boundary and reduce per row.
+        if len(buf) >= 3:
+            x = buf.astype(np.int64)
+            ids = (x[:-2] * 65599 + x[1:-1] * 257 + x[2:]) % NB3
+            pos = np.arange(len(ids))
+            row = np.searchsorted(offsets, pos, side="right") - 1
+            valid = pos + 2 < offsets[row + 1]
+            ids, row = ids[valid], row[valid]
+            per_row = np.bincount(row, minlength=n).astype(np.float64)
+            for li in range(len(self.langs)):
+                s = np.bincount(row, weights=self.logp[li, ids].astype(np.float64),
+                                minlength=n)
+                np.divide(s, per_row, out=means[:, li], where=per_row > 0)
+            counts = per_row
+        out_lang, out_conf = self._conf(means)
+        # rows with no trigrams: ("", 0.0)
+        empty = counts < 1
+        if empty.any():
+            out_conf[empty] = 0.0
+            out_lang = [("" if e else l) for l, e in zip(out_lang, empty)]
+        return out_lang, out_conf
+
+    def _conf(self, means: np.ndarray) -> tuple[list[str], np.ndarray]:
+        # softmax over per-gram mean log-likelihood -> posterior-ish conf
+        m = means - means.max(axis=1, keepdims=True)
+        e = np.exp(m * 40.0)  # temperature: mean-loglik gaps are small
+        p = e / e.sum(axis=1, keepdims=True)
+        best = p.argmax(axis=1)
+        return [self.langs[i] for i in best], p[np.arange(len(best)), best]
+
+
+@dataclass
+class CharLM:
+    lp4: np.ndarray  # float32 log(C4 + k), (NB4,)
+    lp3: np.ndarray  # float32 log(C3 + 256k), (NB3C,)
+
+    def ppl_text(self, s: str) -> float:
+        """Scalar path (oracle)."""
+        b = np.frombuffer(_head_bytes(s), np.uint8)
+        full, ctx = four_hash(b)
+        if len(full) == 0:
+            return 0.0
+        lp = self.lp4[full].astype(np.float64) - self.lp3[ctx].astype(np.float64)
+        return float(np.exp(-lp.mean()))
+
+    def ppl_block(self, buf: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+        """Batched path ("batched n-gram hashing", BASELINE.json:6): one
+        concatenated uint8 buffer + row offsets -> per-row ppl. Rows with
+        < 4 bytes get 0.0 (matches ppl_text)."""
+        n = len(offsets) - 1
+        out = np.zeros(n, np.float64)
+        if len(buf) < 4:
+            return out
+        x = buf.astype(np.int64)
+        ctx = (x[:-3] * 65599 + x[1:-2] * 257 + x[2:-1]) % NB3C
+        full = (x[:-3] * 16777619 + x[1:-2] * 65599 + x[2:-1] * 257 + x[3:]) % NB4
+        pos = np.arange(len(full))
+        row = np.searchsorted(offsets, pos, side="right") - 1
+        valid = pos + 3 < offsets[row + 1]
+        full, ctx, row = full[valid], ctx[valid], row[valid]
+        lp = self.lp4[full].astype(np.float64) - self.lp3[ctx].astype(np.float64)
+        per_row = np.bincount(row, minlength=n).astype(np.float64)
+        sums = np.bincount(row, weights=lp, minlength=n)
+        np.divide(sums, per_row, out=sums, where=per_row > 0)
+        np.exp(-sums, out=out, where=per_row > 0)
+        return out
+
+
+@dataclass
+class Models:
+    langid: LangIdModel
+    lms: dict[str, CharLM]
+    ppl_threshold: dict[str, float]
+
+    @property
+    def langs(self) -> tuple[str, ...]:
+        return self.langid.langs
+
+
+def train_models_from_pairs(pairs: list[tuple[str, str]]) -> Models:
+    """Train langid + per-lang LM + self-calibrated ppl thresholds from
+    (lang, text) pairs. Deterministic function of its input."""
+    by_lang: dict[str, list[str]] = {}
+    for lang, text in pairs:
+        by_lang.setdefault(lang, []).append(text)
+    langs = tuple(sorted(by_lang))
+
+    logp = np.empty((len(langs), NB3), np.float32)
+    lms: dict[str, CharLM] = {}
+    thresholds: dict[str, float] = {}
+    for li, lang in enumerate(langs):
+        c3 = np.zeros(NB3, np.float64)
+        c4 = np.zeros(NB4, np.float64)
+        c3c = np.zeros(NB3C, np.float64)
+        for t in by_lang[lang]:
+            b = np.frombuffer(_head_bytes(t), np.uint8)
+            ids = tri_hash(b)
+            if len(ids):
+                np.add.at(c3, ids, 1.0)
+            full, ctx = four_hash(b)
+            if len(full):
+                np.add.at(c4, full, 1.0)
+                np.add.at(c3c, ctx, 1.0)
+        logp[li] = np.log((c3 + _K) / (c3.sum() + _K * NB3)).astype(np.float32)
+        lm = CharLM(
+            lp4=np.log(c4 + _K).astype(np.float32),
+            lp3=np.log(c3c + _K * 256).astype(np.float32),
+        )
+        lms[lang] = lm
+        train_ppl = np.array([lm.ppl_text(t) for t in by_lang[lang]])
+        thresholds[lang] = float(np.percentile(train_ppl, 99) * PPL_MARGIN)
+
+    return Models(LangIdModel(langs, logp), lms, thresholds)
+
+
+@functools.lru_cache(maxsize=4)
+def build_default_models(langs: tuple[str, ...] | None = None,
+                         n_samples: int = 200, seed: int = 1337) -> Models:
+    """The spec models: trained on the synthetic per-language grammars.
+    lru_cache → built once per process (driver builds once and ships the
+    arrays through the object store to actors)."""
+    from spardaqus_ray import synth
+
+    langs = langs or synth.LANGS
+    pairs = [(lang, t) for lang in langs
+             for t in synth.training_texts(lang, n_samples, seed)]
+    return train_models_from_pairs(pairs)

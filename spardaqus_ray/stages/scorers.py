@@ -1,0 +1,115 @@
+"""Stateful actor-pool stages: LangIdScorer (A1) and PerplexityScorer (A2).
+
+BASELINE.json:6: "stateful stages — fastText langid and a KenLM-style
+character n-gram perplexity scorer with batched n-gram hashing — run on
+actor pools with models loaded once per actor".
+
+Each is a callable CLASS for `ds.map_batches(Cls, concurrency=...,
+batch_format="pyarrow", fn_constructor_kwargs=...)`: the model arrays are
+deserialized from the object store ONCE per actor in __init__ (Ray ships
+the numpy arrays zero-copy through plasma), and __call__ does the batched
+n-gram scoring (stages/models.py score_block / ppl_block).
+
+Stage-gating contract (rules.py): scoring runs only for rows still
+keep==True at stage entry; other rows get detected_lang="" / NaN scores —
+identical to the sequential oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from spardaqus_ray import rules
+from spardaqus_ray.functions.heuristics import _flat_utf8
+from spardaqus_ray.stages.models import Models
+
+
+def _heads_buffer(col, mask: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(buf, offsets, row_idx) for the first LANGID_HEAD_BYTES of each
+    selected row — built by slicing the flat Arrow buffer, no Python
+    string round-trip. NOTE the head is the first 4096 BYTES here; the
+    scalar oracle path takes s[:4096] CHARS then encodes and clips to 4096
+    bytes — identical for ASCII, and for multi-byte text both paths clip
+    to <= 4096 bytes of the same prefix (models._head_bytes applies the
+    same double clip)."""
+    buf, offsets = _flat_utf8(col)
+    idx = np.flatnonzero(mask)
+    lens = np.minimum(np.diff(offsets)[idx], rules.LANGID_HEAD_BYTES)
+    out_off = np.zeros(len(idx) + 1, np.int64)
+    np.cumsum(lens, out=out_off[1:])
+    out = np.empty(out_off[-1], np.uint8)
+    for j, i in enumerate(idx):
+        out[out_off[j]: out_off[j + 1]] = buf[offsets[i]: offsets[i] + lens[j]]
+    return out, out_off, idx
+
+
+class LangIdScorer:
+    """Appends detected_lang / lang_conf; applies langid.lowconf and
+    langid.mismatch rules (rules.py order)."""
+
+    def __init__(self, models: Models, thresholds: dict[str, float]):
+        self.m = models
+        self.min_conf = thresholds["min_lang_conf"]
+        self.model_langs = set(models.langs)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        detected = np.full(n, "", object)
+        conf = np.full(n, np.nan)
+        keep = batch["keep"].combine_chunks().to_numpy(zero_copy_only=False).copy()
+        reason = np.asarray(batch["drop_reason"].to_pylist(), object)
+        if keep.any():
+            buf, off, idx = _heads_buffer(batch["content"], keep)
+            langs, confs = self.m.langid.score_block(buf, off)
+            claimed = np.asarray(batch["lang"].to_pylist(), object)[idx]
+            for j, i in enumerate(idx):
+                detected[i] = langs[j]
+                conf[i] = confs[j]
+                if confs[j] < self.min_conf:
+                    keep[i] = False
+                    reason[i] = rules.DROP_LANGID_LOWCONF
+                elif claimed[j] in self.model_langs and langs[j] != claimed[j]:
+                    keep[i] = False
+                    reason[i] = rules.DROP_LANGID_MISMATCH
+        batch = batch.append_column("detected_lang", pa.array(detected, pa.string()))
+        batch = batch.append_column("lang_conf", pa.array(conf, pa.float64()))
+        batch = batch.set_column(batch.schema.get_field_index("keep"), "keep", pa.array(keep))
+        return batch.set_column(batch.schema.get_field_index("drop_reason"),
+                                "drop_reason", pa.array(reason, pa.string()))
+
+
+class PerplexityScorer:
+    """Appends ppl; applies the ppl.high rule with the model's
+    self-calibrated per-language threshold x config ppl_multiplier."""
+
+    def __init__(self, models: Models, thresholds: dict[str, float]):
+        self.m = models
+        self.mult = thresholds["ppl_multiplier"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ppl = np.full(n, np.nan)
+        keep = batch["keep"].combine_chunks().to_numpy(zero_copy_only=False).copy()
+        reason = np.asarray(batch["drop_reason"].to_pylist(), object)
+        if keep.any():
+            claimed = np.asarray(batch["lang"].to_pylist(), object)
+            detected = np.asarray(batch["detected_lang"].to_pylist(), object)
+            lang_for = np.where(np.isin(claimed, list(self.m.lms)), claimed, detected)
+            # one batched pass per language present in the batch
+            for lang in set(lang_for[keep]):
+                if lang not in self.m.lms:
+                    continue
+                mask = keep & (lang_for == lang)
+                buf, off, idx = _heads_buffer(batch["content"], mask)
+                vals = self.m.lms[lang].ppl_block(buf, off)
+                thr = self.m.ppl_threshold[lang] * self.mult
+                for j, i in enumerate(idx):
+                    ppl[i] = vals[j]
+                    if vals[j] > thr:
+                        keep[i] = False
+                        reason[i] = rules.DROP_PPL_HIGH
+        batch = batch.append_column("ppl", pa.array(ppl, pa.float64()))
+        batch = batch.set_column(batch.schema.get_field_index("keep"), "keep", pa.array(keep))
+        return batch.set_column(batch.schema.get_field_index("drop_reason"),
+                                "drop_reason", pa.array(reason, pa.string()))

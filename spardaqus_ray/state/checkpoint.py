@@ -1,0 +1,110 @@
+"""Per-partition checkpoint manifests + idempotent resume (SURVEY.md §2.7
+C1-C4).
+
+BASELINE.json:6/:14: "streaming execution with per-partition checkpoints
+recording lineage plus keep/drop/scrub counters so any partition resumes
+idempotently".
+
+Layout under <checkpoint_dir>:
+    part-{part_id:05d}.parquet          annotated rows of the partition,
+                                        sorted by (repo,path,commit)
+    _manifest/part-{part_id:05d}.done.json
+        {part_id, input_rows, kept, dropped, scrubbed,
+         input_fingerprint, output_file, completed_at}
+
+Write protocol: data file first (tmp + atomic os.replace), manifest last —
+a crash between the two leaves no manifest, so the rerun redoes the
+partition and overwrites the data file with IDENTICAL bytes (rows are
+sorted deterministically and every stage is a pure function of the row).
+The manifest dir is the ONLY source of truth for resume; no driver-memory
+state survives a crash (SURVEY.md §3.2).
+
+input_fingerprint (C1) = xor of the per-row raw_sha256 (order-insensitive)
++ row count — detects silently changed input on resume.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def partition_fingerprint(raw_shas: list[str], n_rows: int) -> str:
+    acc = np.zeros(32, np.uint8)
+    for h in raw_shas:
+        acc ^= np.frombuffer(bytes.fromhex(h), np.uint8)
+    return f"{bytes(acc).hex()}:{n_rows}"
+
+
+def manifest_dir(checkpoint_dir: str) -> str:
+    return os.path.join(checkpoint_dir, "_manifest")
+
+
+def completed_partitions(checkpoint_dir: str) -> set[int]:
+    """C3: resume source of truth. Only partitions with BOTH a manifest and
+    the data file it names are considered done."""
+    mdir = manifest_dir(checkpoint_dir)
+    done: set[int] = set()
+    if not os.path.isdir(mdir):
+        return done
+    for name in os.listdir(mdir):
+        if not name.endswith(".done.json"):
+            continue
+        try:
+            with open(os.path.join(mdir, name)) as f:
+                m = json.load(f)
+            if os.path.exists(os.path.join(checkpoint_dir, m["output_file"])):
+                done.add(int(m["part_id"]))
+        except (json.JSONDecodeError, KeyError, ValueError):
+            continue  # torn manifest -> treat as not done
+    return done
+
+
+def finalize_partition(part: pa.Table, part_id: int, checkpoint_dir: str) -> dict:
+    """C4: deterministic per-partition output + manifest. `part` must hold
+    every row of the partition, already fully annotated. Returns the
+    metrics/checkpoint row (tiny — the only thing sent back downstream)."""
+    idx = pa.compute.sort_indices(
+        part, sort_keys=[("repo", "ascending"), ("path", "ascending"),
+                         ("commit", "ascending")]
+    )
+    part = part.take(idx)
+    fname = f"part-{part_id:05d}.parquet"
+    fpath = os.path.join(checkpoint_dir, fname)
+    tmp = fpath + ".tmp"
+    pq.write_table(part, tmp, row_group_size=64 * 1024)
+    os.replace(tmp, fpath)
+
+    keep = part["keep"].combine_chunks().to_numpy(zero_copy_only=False)
+    scrub_total = 0
+    for c in ("scrub_email", "scrub_ip", "scrub_key", "scrub_tox"):
+        scrub_total += int(pa.compute.sum(part[c]).as_py() or 0)
+    row = {
+        "part_id": part_id,
+        "input_rows": part.num_rows,
+        "kept": int(keep.sum()),
+        "dropped": int((~keep).sum()),
+        "scrubbed": int((np.asarray(
+            [a + b + c + d for a, b, c, d in zip(
+                part["scrub_email"].to_pylist(), part["scrub_ip"].to_pylist(),
+                part["scrub_key"].to_pylist(), part["scrub_tox"].to_pylist())]
+        ) > 0).sum()),
+        "scrub_matches": scrub_total,
+        "input_fingerprint": partition_fingerprint(
+            part["raw_sha256"].to_pylist(), part.num_rows),
+        "output_file": fname,
+        "completed_at": time.time(),
+    }
+    mdir = manifest_dir(checkpoint_dir)
+    os.makedirs(mdir, exist_ok=True)
+    mpath = os.path.join(mdir, f"part-{part_id:05d}.done.json")
+    tmpm = mpath + ".tmp"
+    with open(tmpm, "w") as f:
+        json.dump(row, f)
+    os.replace(tmpm, mpath)
+    return row

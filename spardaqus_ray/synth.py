@@ -1,0 +1,309 @@
+"""Deterministic synthetic code-corpus generator (SURVEY.md §2.1 S5,
+FIXTURES.md §A).
+
+Generates the canonical input table with EXACTLY the input_hint schema
+(BASELINE.json:15): (repo:string, path:string, commit:string, lang:string,
+content:string), plus a parallel `strata` tag array (NOT written to the
+table — tests use it only to assert that every rule has coverage; reference
+labels always come from tests/reference_impl.py, FIXTURES.md §A note).
+
+Pure NumPy default_rng(seed) → bit-deterministic for a given
+(n_rows, seed). Planted strata (FIXTURES.md §A list):
+   1 empty        empty / whitespace-only            -> heur.empty
+   2 minified     one 5000-char spaceless line       -> heur.max_line_len / longest_word
+   3 asciiart     punctuation-heavy                  -> heur.alnum_ratio
+   4 digits       number dumps                       -> heur.digit_ratio
+   5 boiler       3 lines repeated 50x               -> heur.dup_line_frac
+   6 autogen      "DO NOT EDIT" header               -> heur.autogen
+   7 pii          emails/IPs/keys embedded           -> kept but scrubbed
+   8 tox          toxicity words embedded            -> masked (+ tox_frac if dense)
+   9 dup          exact duplicate of an earlier clean row -> dedup.exact (loser)
+  10 clean        in-distribution per-language       -> kept, sha unchanged
+  11 wronglang    body lang != claimed lang          -> langid.mismatch
+  12 gibberish    uniform random printable chars     -> ppl.high
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+LANGS = ("py", "js", "java", "go", "c", "md", "txt")
+
+_EXT = {"py": "py", "js": "js", "java": "java", "go": "go", "c": "c",
+        "md": "md", "txt": "txt"}
+
+# Per-language identifier vocabularies + line templates. Deliberately
+# distinct char-ngram profiles so the self-trained langid model (SURVEY.md
+# §2.4 A3) is learnable.
+_IDENTS = {
+    "py":   ["config", "handler", "payload", "result", "queue", "worker",
+             "batch", "record", "stream", "parser", "client", "session"],
+    "js":   ["elem", "props", "state", "callback", "promise", "widget",
+             "router", "store", "dispatch", "render", "fetchData", "node"],
+    "java": ["Manager", "Factory", "Service", "Builder", "Handler",
+             "Repository", "Controller", "Adapter", "Visitor", "Context"],
+    "go":   ["ctx", "err", "conn", "buf", "srv", "req", "resp", "cfg",
+             "pool", "mux", "wg", "ch"],
+    "c":    ["ptr", "buf", "len", "idx", "tmp", "head", "node", "size",
+             "count", "flags", "offset", "state"],
+    "md":   ["installation", "usage", "configuration", "examples",
+             "overview", "contributing", "license", "architecture"],
+    "txt":  ["the quick brown fox jumps over the lazy dog",
+             "a journey of a thousand miles begins with a single step",
+             "all that glitters is not gold", "actions speak louder than words",
+             "practice makes perfect", "better late than never"],
+}
+
+_TEMPLATES = {
+    "py": ["def {a}_{b}(self, {b}=None):", "    return self.{a} + {n}",
+           "import {a}", "from {a} import {b}", "class {A}({B}):",
+           "    {a} = {b}.get('{a}', {n})", "# compute the {a} for each {b}",
+           "    for {b} in self.{a}s:", "        yield {b}.{a}({n})",
+           "    if {a} is not None:", "        raise ValueError('{a}')",
+           "{a} = [{n}, {n2}, {n3}]", "    with open('{a}.json') as f:",
+           "        {b} = json.load(f)", "    async def {a}(self):",
+           "    await self.{b}.put({a})"],
+    "js": ["function {a}({b}) {{", "  return {b}.map(x => x + {n});", "}}",
+           "const {a} = require('{b}');", "let {a} = {{ {b}: {n} }};",
+           "export default function {a}() {{", "  const [{a}, set{A}] = useState({n});",
+           "  document.getElementById('{a}').value = {b};",
+           "// update the {a} when {b} changes",
+           "{a}.addEventListener('click', () => {b}());",
+           "  if (typeof {a} === 'undefined') {{", "    throw new Error('{a}');",
+           "  console.log(`{a}: ${{{b}}}`);", "async function {a}() {{",
+           "  await fetch('/api/{a}');"],
+    "java": ["public class {A}{B} implements Runnable {{",
+             "    private final {A} {a};",
+             "    public {A} get{B}() {{ return this.{a}; }}",
+             "    public static void main(String[] args) {{",
+             "        System.out.println(\"{a}\");", "    }}",
+             "    @Override", "    public void run() {{",
+             "        List<{A}> {a}s = new ArrayList<>();",
+             "        for ({A} {a} : {a}s) {{", "            {a}.process({n});",
+             "    private static final int {C} = {n};",
+             "    // delegate to the underlying {a}",
+             "    throw new IllegalStateException(\"{a}\");"],
+    "go": ["func {a}{A}(ctx context.Context, {b} string) error {{",
+           "\tif {a} != nil {{", "\t\treturn fmt.Errorf(\"{a}: %w\", {b})",
+           "\t}}", "package {a}", "import (\n\t\"fmt\"\n\t\"context\"\n)",
+           "type {A} struct {{", "\t{A} string `json:\"{a}\"`",
+           "var {a} = make(chan {A}, {n})", "\tdefer {a}.Close()",
+           "\tgo func() {{ {a} <- {b} }}()", "// {a} handles the {b} lifecycle",
+           "\tfor _, {b} := range {a}s {{", "\t\t{b}.Done()"],
+    "c": ["static int {a}_{b}(struct {a} *{b}, size_t {a}) {{",
+          "    if ({a} == NULL)", "        return -EINVAL;",
+          "#include <{a}.h>", "#define {C}_{B} {n}",
+          "    {a} = malloc(sizeof(*{a}) * {n});",
+          "    memset({a}, 0, sizeof(*{a}));",
+          "    for (int i = 0; i < {n}; i++) {{", "        {a}[i] = {b}[i] + {n2};",
+          "    }}", "    free({a});", "    return 0;", "}}",
+          "/* {a}: owned by the {b} subsystem */",
+          "    unsigned long {a} = {n}UL;"],
+    "md": ["# {A}", "## {A} and {B}", "This section describes the {a} of the {b}.",
+           "- `{a}`: controls the {b} behaviour", "- see [{a}](#{b}) for details",
+           "```", "pip install {a}", "Run the {a} with the `--{b}` flag.",
+           "> Note: the {a} requires a configured {b}.",
+           "The {a} step reads the {b} table and writes parquet.",
+           "1. open the {a}", "2. configure the {b}", "![{a}]({b}.png)"],
+    "txt": ["{S}.", "{S}, and {s}.", "It is said that {s}.",
+            "Remember: {s}.", "{S}; {s}.", "Long ago, {s}.",
+            "In practice, {s}, which means {s}."],
+}
+
+_TOX_SNIPPETS = ["this is fucking broken", "what a dumbass bug",
+                 "shit happens here", "goddamn edge case"]
+
+_PII_SNIPPETS = [
+    "contact = '{u}.{v}@example{n}.com'",
+    "host = \"10.{n8}.{n8}.{n8}\"  # internal",
+    "AWS_KEY = 'AKIA{AK}'",
+    "GITHUB_TOKEN = 'ghp_{GH}'",
+    "# reach me at {u}{n}@corpmail.org or 192.168.{n8}.{n8}",
+]
+
+
+def _mk_clean(rng: np.random.Generator, lang: str, n_lines: int) -> str:
+    tpls = _TEMPLATES[lang]
+    idents = _IDENTS[lang]
+    lines = []
+    for _ in range(n_lines):
+        t = tpls[rng.integers(0, len(tpls))]
+        a = idents[rng.integers(0, len(idents))]
+        b = idents[rng.integers(0, len(idents))]
+        s = idents[rng.integers(0, len(idents))]
+        lines.append(
+            t.format(
+                a=a.split()[0] if lang != "txt" else a, b=b.split()[0],
+                A=a.split()[0].capitalize(), B=b.split()[0].capitalize(),
+                C=a.split()[0].upper(),
+                n=int(rng.integers(0, 100)), n2=int(rng.integers(0, 100)),
+                n3=int(rng.integers(0, 100)),
+                s=s, S=s.capitalize(),
+            )
+        )
+        if lang in ("py", "md", "txt") and rng.random() < 0.15:
+            lines.append("")
+    return "\n".join(lines) + "\n"
+
+
+_HEXD = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+_B62 = np.frombuffer(
+    b"0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ", dtype=np.uint8
+)
+_PRINTABLE = np.frombuffer(
+    bytes(range(33, 127)) + b"     \n", dtype=np.uint8
+)
+
+
+def _rand_str(rng: np.random.Generator, alphabet: np.ndarray, n: int) -> str:
+    return alphabet[rng.integers(0, len(alphabet), size=n)].tobytes().decode()
+
+
+STRATA = ("clean", "empty", "minified", "asciiart", "digits", "boiler",
+          "autogen", "pii", "tox", "dup", "wronglang", "gibberish", "corrupt")
+# clean gets the remaining mass. "corrupt" = in-language text with ~10% of
+# characters replaced — langid still matches (conf 1.0) but the 4-gram LM
+# ppl blows past its self-calibrated threshold => exercises ppl.high
+# (validated empirically at model-build time; see stages/models.py).
+_STRATA_P = {"empty": 0.02, "minified": 0.03, "asciiart": 0.02, "digits": 0.03,
+             "boiler": 0.03, "autogen": 0.03, "pii": 0.06, "tox": 0.03,
+             "dup": 0.04, "wronglang": 0.05, "gibberish": 0.04, "corrupt": 0.04}
+
+MEGA_REPO = "megacorp/monorepo"
+
+
+def generate_corpus(n_rows: int, seed: int = 42) -> tuple[pa.Table, np.ndarray]:
+    """Returns (table with input_hint schema, strata tags array)."""
+    rng = np.random.default_rng(seed)
+    n_repos = max(10, n_rows // 50)
+    repo_names = [f"org{i % 97}/repo{i}" for i in range(n_repos)]
+    # Zipf-ish repo popularity for the non-mega 70%
+    zipf_w = 1.0 / np.arange(1, n_repos + 1) ** 1.2
+    zipf_w /= zipf_w.sum()
+
+    names = list(STRATA[1:])
+    probs = np.array([_STRATA_P[s] for s in names])
+    strat_draw = rng.random(n_rows)
+    cum = np.cumsum(probs)
+
+    repos, paths, commits, langs, contents, strata = [], [], [], [], [], []
+    clean_pool: list[int] = []  # indices of clean rows, dup targets copy these
+
+    lang_arr = [LANGS[i] for i in rng.integers(0, len(LANGS), size=n_rows)]
+    mega_mask = rng.random(n_rows) < 0.30
+    repo_idx = rng.choice(n_repos, size=n_rows, p=zipf_w)
+
+    for i in range(n_rows):
+        d = strat_draw[i]
+        stratum = "clean"
+        for j, c in enumerate(cum):
+            if d < c:
+                stratum = names[j]
+                break
+        lang = lang_arr[i]
+        n_lines = int(np.clip(rng.lognormal(3.0, 0.9), 3, 1500))
+
+        if stratum == "empty":
+            content = ["", "   \n\n  \t\n", "\n\n\n"][int(rng.integers(0, 3))]
+        elif stratum == "minified":
+            content = _rand_str(rng, _B62, 5000)
+        elif stratum == "asciiart":
+            content = "\n".join(
+                _rand_str(rng, np.frombuffer(b"*#-=|/\\+.<>~^ ", dtype=np.uint8), 60)
+                for _ in range(max(5, n_lines // 4))
+            )
+        elif stratum == "digits":
+            content = "\n".join(
+                " ".join(str(int(x)) for x in rng.integers(0, 10**6, size=8))
+                for _ in range(max(5, n_lines // 2))
+            )
+        elif stratum == "boiler":
+            block = _mk_clean(rng, lang, 3)
+            content = block * 50
+        elif stratum == "autogen":
+            hdr = ["# DO NOT EDIT - auto-generated file",
+                   "// Code generated by protoc-gen. DO NOT EDIT.",
+                   "/* @generated */"][int(rng.integers(0, 3))]
+            content = hdr + "\n" + _mk_clean(rng, lang, n_lines)
+        elif stratum == "pii":
+            body = _mk_clean(rng, lang, max(6, n_lines)).split("\n")
+            n_pii = int(rng.integers(1, 4))
+            for _ in range(n_pii):
+                snip = _PII_SNIPPETS[rng.integers(0, len(_PII_SNIPPETS))]
+                line = snip.format(
+                    u=_rand_str(rng, _B62[10:36], 6), v=_rand_str(rng, _B62[10:36], 4),
+                    n=int(rng.integers(1, 99)), n8=int(rng.integers(1, 255)),
+                    AK=_rand_str(rng, _B62[:36], 16).upper(),
+                    GH=_rand_str(rng, _B62, 36),
+                )
+                pos = int(rng.integers(0, len(body)))
+                body.insert(pos, line)
+            content = "\n".join(body)
+        elif stratum == "tox":
+            body = _mk_clean(rng, lang, max(6, n_lines)).split("\n")
+            snip = _TOX_SNIPPETS[rng.integers(0, len(_TOX_SNIPPETS))]
+            pos = int(rng.integers(0, len(body)))
+            body.insert(pos, ("# " if lang != "txt" else "") + snip)
+            content = "\n".join(body)
+        elif stratum == "dup" and clean_pool:
+            src = clean_pool[int(rng.integers(0, len(clean_pool)))]
+            content = contents[src]
+            lang = langs[src]
+        elif stratum == "wronglang":
+            body_lang = LANGS[int(rng.integers(0, len(LANGS)))]
+            while body_lang == lang:
+                body_lang = LANGS[int(rng.integers(0, len(LANGS)))]
+            content = _mk_clean(rng, body_lang, n_lines)
+        elif stratum == "gibberish":
+            content = _rand_str(rng, _PRINTABLE, int(rng.integers(400, 4000)))
+        elif stratum == "corrupt":
+            b = bytearray(_mk_clean(rng, lang, max(10, n_lines)).encode())
+            hits = rng.choice(len(b), max(1, len(b) // 10), replace=False)
+            repl = _PRINTABLE[rng.integers(0, len(_PRINTABLE), size=len(hits))]
+            for pos, ch in zip(hits, repl):
+                b[pos] = int(ch)
+            content = bytes(b).decode("utf-8", "replace")
+        else:
+            stratum = "clean"
+            content = _mk_clean(rng, lang, n_lines)
+            clean_pool.append(i)
+
+        repo = MEGA_REPO if mega_mask[i] else repo_names[repo_idx[i]]
+        repos.append(repo)
+        paths.append(f"src/{_rand_str(rng, _B62[10:36], 5)}/f{i}.{_EXT[lang]}")
+        commits.append(_rand_str(rng, _HEXD, 40))
+        langs.append(lang)
+        contents.append(content)
+        strata.append(stratum)
+
+    table = pa.table(
+        {
+            "repo": pa.array(repos, pa.string()),
+            "path": pa.array(paths, pa.string()),
+            "commit": pa.array(commits, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "content": pa.array(contents, pa.string()),
+        }
+    )
+    return table, np.array(strata)
+
+
+def training_texts(lang: str, n_samples: int = 200, seed: int = 1337) -> list[str]:
+    """Deterministic per-language training corpus for the self-trained
+    langid / perplexity models (SURVEY.md §2.4 A3). Derived from the same
+    per-language grammars the clean stratum uses — no external data."""
+    rng = np.random.default_rng(seed + hash(lang) % 10000)
+    # hash() is salted per process for str — use a stable lang index instead
+    rng = np.random.default_rng(seed * 1000 + LANGS.index(lang))
+    return [_mk_clean(rng, lang, int(np.clip(rng.lognormal(3.0, 0.7), 5, 200)))
+            for _ in range(n_samples)]
+
+
+def write_corpus_parquet(path: str, n_rows: int, seed: int = 42,
+                         row_group_size: int = 4096) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    table, _ = generate_corpus(n_rows, seed)
+    pq.write_table(table, path, row_group_size=row_group_size)
+    return table

@@ -1,0 +1,19 @@
+"""Small shared helpers."""
+
+from __future__ import annotations
+
+
+def ensure_hash_shuffle(ds=None) -> None:
+    """Key-based `Dataset.repartition(keys=...)` and `Dataset.join` require
+    DataContext.shuffle_strategy = HASH_SHUFFLE (Ray 2.49). Ray snapshots
+    the DataContext into each Dataset at creation, so both the global
+    context AND the context already captured by `ds` must be updated.
+    Safe to call repeatedly. Does NOT touch ray.init (driver owns the
+    session — __ray_entry__.py:11-13)."""
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    for ctx in (DataContext.get_current(),
+                getattr(ds, "context", None)):
+        if ctx is not None and ctx.shuffle_strategy != ShuffleStrategy.HASH_SHUFFLE:
+            ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE

@@ -1,0 +1,134 @@
+"""Sequential, Ray-free REFERENCE LABELER — the correctness oracle.
+
+SURVEY.md §0 consequence 4 / §5.1: the reference snapshot is empty, so this
+repo ships its own sequential labeler implementing the spec
+(spardaqus_ray/rules.py) rule-for-rule; the distributed Ray Data pipeline
+must reproduce its keep/drop decisions (F1 target 1.0 >= 0.99,
+BASELINE.json:14) and its scrubbed text bit-for-bit (per-row content
+sha256 equality, BASELINE.json:15).
+
+Implementation notes:
+  * plain per-row Python + numpy — INDEPENDENT of the pipeline's
+    vectorized feature extraction (numpy over flat Arrow buffers), so
+    feature agreement is a real cross-check;
+  * the scrub (functions/scrub.py) and the model PARAMETERS
+    (stages/models.py) are shared by design — one scrub implementation,
+    two harnesses (SURVEY.md §7 hard-parts); model SCORING here uses the
+    scalar per-row paths, cross-checking the pipeline's batched n-gram
+    hashing paths.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+from spardaqus_ray import rules
+from spardaqus_ray.config import EngineConfig
+from spardaqus_ray.functions.scrub import count_tox, scrub_text
+from spardaqus_ray.stages.models import Models
+
+
+def features_row(s: str) -> dict:
+    """All rules.QUALITY_FIELDS for one normalized string. Per-row Python."""
+    b = s.encode("utf-8")
+    nb = len(b)
+    n_newlines = b.count(b"\n")
+    n_lines = n_newlines + 1
+    raw_lines = b.split(b"\n")
+    max_line_len = max((len(ln) for ln in raw_lines), default=0)
+    mean_line_len = (nb - n_newlines) / n_lines if nb else 0.0
+    alpha = sum(1 for c in b if 65 <= c <= 90 or 97 <= c <= 122)
+    digit = sum(1 for c in b if 48 <= c <= 57)
+    d = max(nb, 1)
+    words = b.split()
+    longest_word = max((len(w) for w in words), default=0)
+    lines = [ln for ln in (r.strip(b" \t") for r in raw_lines) if ln]
+    dup_line = (len(lines) - len(set(lines))) / len(lines) if lines else 0.0
+    paras = [p for p in (q.strip(b" \t\n") for q in b.split(b"\n\n")) if p]
+    dup_para = (len(paras) - len(set(paras))) / len(paras) if paras else 0.0
+    N = rules.NGRAM_N
+    top_ngram = 0.0
+    if nb >= N:
+        cnt = Counter(b[i: i + N] for i in range(nb - N + 1))
+        top_ngram = N * max(cnt.values()) / nb
+    head = "\n".join(s.split("\n")[: rules.AUTOGEN_HEAD_LINES])
+    autogen = rules.AUTOGEN_RE.search(head) is not None
+    tox_hits = count_tox(s)
+    n_words = len(words)
+    return {
+        "n_bytes": nb, "n_chars": len(s), "n_lines": n_lines,
+        "max_line_len": max_line_len, "mean_line_len": mean_line_len,
+        "alnum_ratio": (alpha + digit) / d, "alpha_ratio": alpha / d,
+        "digit_ratio": digit / d, "longest_word_len": longest_word,
+        "dup_line_frac": dup_line, "dup_para_frac": dup_para,
+        "top_ngram_frac": top_ngram, "autogen": autogen,
+        "n_words": n_words, "tox_hits": tox_hits,
+        "tox_frac": tox_hits / max(1, n_words),
+        "is_blank": len(b.strip(rules.ASCII_WHITESPACE)) == 0,
+    }
+
+
+def label_corpus(rows: list[dict], cfg: EngineConfig, models: Models | None) -> list[dict]:
+    """Label rows of the input_hint schema (repo,path,commit,lang,content).
+    Returns rows of the full output schema (SURVEY.md §1.2), in input order.
+    Sequential and single-threaded by construction."""
+    thr = cfg.thresholds
+    out: list[dict] = []
+
+    # pass 1: normalize + raw sha
+    normed = []
+    for r in rows:
+        c = rules.normalize_text(r["content"])
+        normed.append((r, c, hashlib.sha256(c.encode("utf-8")).hexdigest()))
+
+    # dedup winners: min (repo, path, commit) per raw_sha256
+    winners: dict[str, tuple] = {}
+    if cfg.dedup_enabled:
+        for r, c, sha in normed:
+            k = (r["repo"], r["path"], r["commit"])
+            if sha not in winners or k < winners[sha]:
+                winners[sha] = k
+
+    for r, c, raw_sha in normed:
+        feats = features_row(c)
+        keep, reason = True, ""
+        if cfg.dedup_enabled and winners[raw_sha] != (r["repo"], r["path"], r["commit"]):
+            keep, reason = False, rules.DROP_DEDUP
+        if keep:
+            for rule_id, feat, op, thr_key in rules.HEURISTIC_RULES:
+                v = feats[feat]
+                if (op == "true" and v) or (op == "gt" and v > thr[thr_key]) \
+                        or (op == "lt" and v < thr[thr_key]):
+                    keep, reason = False, rule_id
+                    break
+        detected, conf, ppl = "", float("nan"), float("nan")
+        if keep and cfg.langid_enabled and models is not None:
+            detected, conf = models.langid.score_text(c)
+            if conf < thr["min_lang_conf"]:
+                keep, reason = False, rules.DROP_LANGID_LOWCONF
+            elif r["lang"] in models.langs and detected != r["lang"]:
+                keep, reason = False, rules.DROP_LANGID_MISMATCH
+        if keep and cfg.ppl_enabled and models is not None:
+            lang_for_ppl = r["lang"] if r["lang"] in models.lms else detected
+            if lang_for_ppl in models.lms:
+                ppl = models.lms[lang_for_ppl].ppl_text(c)
+                if ppl > models.ppl_threshold[lang_for_ppl] * thr["ppl_multiplier"]:
+                    keep, reason = False, rules.DROP_PPL_HIGH
+
+        content = c
+        counts = {"email": 0, "ip": 0, "key": 0, "tox": 0}
+        if keep and cfg.scrub_enabled:
+            content, counts = scrub_text(c)
+        content_sha = hashlib.sha256(content.encode("utf-8")).hexdigest()
+
+        out.append({
+            "repo": r["repo"], "path": r["path"], "commit": r["commit"],
+            "lang": r["lang"], "content": content,
+            "content_sha256": content_sha, "raw_sha256": raw_sha,
+            "keep": keep, "drop_reason": reason,
+            "detected_lang": detected, "lang_conf": conf, "ppl": ppl,
+            **{f"q_{k}": v for k, v in feats.items()},
+            **{f"scrub_{k}": v for k, v in counts.items()},
+        })
+    return out
