@@ -1,16 +1,18 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+entry(): flagship pipeline (language-ID + quality-filter + PII/toxicity
+scrub, SURVEY.md §3.2/§3.3) on /root/testdata/sf0.001 documents mapped to
+the code schema.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+queries()/oracle_sql(): one entry per implemented operator family from
+SURVEY.md §2 + the training-data ops (dedup / ANN / text analysis /
+multimodal). Keys WITHOUT an oracle_sql entry are non-SQL-expressible
+(model-scoring, LSH, fingerprints) and get the driver's rows-only check;
+their correctness gate is pytest vs the sequential reference labeler
+(tests/reference_impl.py).
+
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -21,24 +23,72 @@ from typing import Any
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from spardaqus_ray.pipelines.textops import flagship_documents
+
+    return flagship_documents("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from spardaqus_ray.pipelines import ann, dedup, multimodal, relational, textops
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- relational layer (SURVEY.md §2.8 Q1-Q10) ---
+        "q1_lineitem_agg": relational.q1_lineitem_agg,
+        "q2_revenue_by_mktsegment": relational.q2_revenue_by_mktsegment,
+        "q3_customers_per_region": relational.q3_customers_per_region,
+        "q4_customers_with_orders": relational.q4_customers_with_orders,
+        "q5_customers_without_orders": relational.q5_customers_without_orders,
+        "q6_top_orders": relational.q6_top_orders,
+        "q7_distinct_flag_status": relational.q7_distinct_flag_status,
+        "q8_union_nationkeys": relational.q8_union_nationkeys,
+        "q9_orders_by_year_priority": relational.q9_orders_by_year_priority,
+        "q10_revenue_filter": relational.q10_revenue_filter,
+        "q11_events_hourly": relational.q11_events_hourly,
+        "q12_json_props": relational.q12_json_props,
+        "q13_doc_stats_by_lang": relational.q13_doc_stats_by_lang,
+        "q14_top_sources": relational.q14_top_sources,
+        "q15_embedding_norms": relational.q15_embedding_norms,
+        "q16_token_count_by_lang": relational.q16_token_count_by_lang,
+        # --- dedup family (exact is SQL-checkable; rest rows-only) ---
+        "dedup_exact_docs": dedup.exact_dedup_docs,
+        "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
+        "dedup_simhash": dedup.simhash_pairs,
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "dedup_embedding_cosine": dedup.embedding_neardup_pairs,
+        # --- similarity search ---
+        "ann_bruteforce": ann.ann_bruteforce,
+        "ann_ivf": ann.ann_ivf,
+        # --- text analysis / flagship slices (rows-only unless noted) ---
+        "flagship_keep_stats": textops.flagship_keep_stats,
+        "langid_agreement": textops.langid_agreement,
+        "token_count_bpe": textops.token_count_bpe,
+        "fingerprint_docs": textops.fingerprint_docs,
+        "quality_scores_docs": textops.quality_scores_docs,
+        # --- multimodal plumbing (decode stubbed; Ray-side real) ---
+        "media_feature_stats": multimodal.media_feature_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from spardaqus_ray.pipelines import ann, dedup, relational
+
+    return {
+        "q1_lineitem_agg": relational.Q1_SQL,
+        "q2_revenue_by_mktsegment": relational.Q2_SQL,
+        "q3_customers_per_region": relational.Q3_SQL,
+        "q4_customers_with_orders": relational.Q4_SQL,
+        "q5_customers_without_orders": relational.Q5_SQL,
+        "q6_top_orders": relational.Q6_SQL,
+        "q7_distinct_flag_status": relational.Q7_SQL,
+        "q8_union_nationkeys": relational.Q8_SQL,
+        "q9_orders_by_year_priority": relational.Q9_SQL,
+        "q10_revenue_filter": relational.Q10_SQL,
+        "q11_events_hourly": relational.Q11_SQL,
+        "q12_json_props": relational.Q12_SQL,
+        "q13_doc_stats_by_lang": relational.Q13_SQL,
+        "q14_top_sources": relational.Q14_SQL,
+        "q15_embedding_norms": relational.Q15_SQL,
+        "q16_token_count_by_lang": relational.Q16_SQL,
+        "dedup_exact_docs": dedup.EXACT_DEDUP_SQL,
+        "ann_bruteforce": ann.ann_bruteforce_sql(),
+    }

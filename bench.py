@@ -1,0 +1,185 @@
+"""Benchmark runner (task contract + SURVEY.md §7 Milestone 7).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline seconds>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+Headline: the flagship language-ID + quality-filter + scrub pipeline
+(annotate, SURVEY.md §3.2) over a deterministic synthetic code corpus
+(BENCH_ROWS rows, ~300 MB — the input_hint schema; generated in parallel
+once and cached under /tmp). Also times representative queries over
+$GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+--scaling: runs the headline twice in FRESH processes (num_cpus=8 and 32
+by default) on the SAME cached input and reports both throughputs plus
+efficiency = (t_lo/t_hi)/(hi/lo). This evidences the north_rule's
+"N and 4N nodes" criterion in the single-host sandbox (BASELINE.md note).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "240000"))
+BENCH_SEED = 42
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CACHE = f"/tmp/graft_bench_corpus_r{BENCH_ROWS}_s{BENCH_SEED}"
+
+
+def ensure_corpus() -> str:
+    """Parallel-generate the bench corpus once per machine (deterministic:
+    shard i uses seed BENCH_SEED*1000+i; files named by shard)."""
+    import ray
+
+    done = os.path.join(CACHE, "_DONE")
+    if os.path.exists(done):
+        return CACHE
+    os.makedirs(CACHE, exist_ok=True)
+    n_shards = 32
+    per = BENCH_ROWS // n_shards
+
+    @ray.remote
+    def gen(shard: int) -> int:
+        from spardaqus_ray.synth import write_corpus_parquet
+
+        out = os.path.join(CACHE, f"shard-{shard:03d}.parquet")
+        if not os.path.exists(out):
+            write_corpus_parquet(out + ".tmp", per, seed=BENCH_SEED * 1000 + shard)
+            os.replace(out + ".tmp", out)
+        return per
+
+    total = sum(ray.get([gen.remote(i) for i in range(n_shards)]))
+    with open(done, "w") as f:
+        f.write(str(total))
+    return CACHE
+
+
+def bench_flagship() -> dict:
+    import ray.data
+
+    from spardaqus_ray.config import EngineConfig
+    from spardaqus_ray.pipelines.flagship import annotate
+    from spardaqus_ray.stages.models import build_default_models
+
+    corpus = ensure_corpus()
+    cfg = EngineConfig(
+        num_partitions=64,
+        model_batch_size=1024,
+        model_concurrency=(1, max(2, NUM_CPUS // 2)),
+        model_num_cpus=1.0,
+    )
+    models = build_default_models(cfg.langs)  # warm (excluded from timing)
+
+    # warm OS page cache (one untimed pass over the files)
+    for f in os.listdir(corpus):
+        if f.endswith(".parquet"):
+            with open(os.path.join(corpus, f), "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
+
+    t0 = time.time()
+    ds = ray.data.read_parquet(corpus)
+    out = annotate(ds, cfg, models)
+    n_rows = 0
+    n_kept = 0
+    for b in out.select_columns(["keep"]).iter_batches(batch_format="pyarrow",
+                                                       batch_size=65536):
+        n_rows += b.num_rows
+        n_kept += int(b["keep"].true_count if hasattr(b["keep"], "true_count")
+                      else sum(b["keep"].to_pylist()))
+    dt = time.time() - t0
+    return {"sec": round(dt, 2), "rows": n_rows, "kept": n_kept,
+            "files_per_sec": round(n_rows / dt, 1)}
+
+
+def bench_queries() -> dict:
+    from spardaqus_ray.pipelines import ann, dedup, relational, textops
+
+    out = {}
+    for name, fn in [
+        ("q1_lineitem_agg", relational.q1_lineitem_agg),
+        ("q2_revenue_by_mktsegment", relational.q2_revenue_by_mktsegment),
+        ("q11_events_hourly", relational.q11_events_hourly),
+        ("dedup_minhash_lsh", dedup.minhash_lsh_pairs),
+        ("ann_bruteforce", ann.ann_bruteforce),
+        ("token_count_bpe", textops.token_count_bpe),
+    ]:
+        t0 = time.time()
+        fn(SF_DIR)
+        out[name] = round(time.time() - t0, 2)
+    return out
+
+
+def run_once() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 logging_level="ERROR")
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    flag = bench_flagship()
+    queries = bench_queries()
+    result = {
+        "metric": "flagship_annotate_e2e",
+        "value": flag["sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "flagship_rows": flag["rows"],
+        "flagship_kept": flag["kept"],
+        "files_per_sec": flag["files_per_sec"],
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling(lo: int = 8, hi: int = 32) -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_FLAGSHIP_ONLY="1")
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             capture_output=True, text=True, check=True,
+                             env=env, cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "num_cpus_lo": lo, "num_cpus_hi": hi,
+        "sec_lo": t_lo, "sec_hi": t_hi,
+        "files_per_sec_lo": r_lo["files_per_sec"],
+        "files_per_sec_hi": r_hi["files_per_sec"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    elif os.environ.get("GRAFT_BENCH_FLAGSHIP_ONLY"):
+        import ray
+
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 logging_level="ERROR")
+        import ray.data
+        ray.data.DataContext.get_current().enable_progress_bars = False
+        flag = bench_flagship()
+        ray.shutdown()
+        print(json.dumps({"metric": "flagship_annotate_e2e",
+                          "value": flag["sec"], "unit": "sec",
+                          "queries": {}, "sf": CACHE, "num_cpus": NUM_CPUS,
+                          "files_per_sec": flag["files_per_sec"]}))
+    else:
+        print(json.dumps(run_once()))

@@ -31,9 +31,13 @@ class EngineConfig:
     skew_cap_fraction: float = 0.05  # repos holding > this fraction of rows get salted
     skew_salt_k: int = 8             # a salted mega-repo spreads over k partitions
 
-    # --- actor-pool sizing (SURVEY.md §4.3) ---
+    # --- actor-pool sizing (SURVEY.md §4.3). model_num_cpus < 1 lets the
+    # scorer pools co-schedule with the read/scrub task stages instead of
+    # starving them (a fixed pool RESERVES its CPUs even while idle —
+    # size concurrency x num_cpus well below the node). ---
     model_batch_size: int = 512
     model_concurrency: tuple[int, int] | int = (2, 8)
+    model_num_cpus: float = 1.0
 
     # --- model languages: the langid/ppl models are trained for these ---
     langs: tuple[str, ...] = ("py", "js", "java", "go", "c", "md", "txt")
@@ -51,6 +55,10 @@ class EngineConfig:
 # Config used by tests and the sf0.001 smoke entry: identical spec, smaller
 # partition count.
 def test_config(**kw) -> EngineConfig:
-    base = dict(num_partitions=8, model_concurrency=2, model_batch_size=256)
+    # sized for the 4-CPU pytest Ray session: 1 actor x 0.5 CPU per model
+    # stage leaves headroom for read/shuffle/scrub tasks (a 2+2 fixed pool
+    # deadlocks a 4-CPU cluster)
+    base = dict(num_partitions=8, model_concurrency=1, model_batch_size=256,
+                model_num_cpus=0.5)
     base.update(kw)
     return EngineConfig(**base)

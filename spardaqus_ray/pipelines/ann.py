@@ -1,0 +1,155 @@
+"""Similarity search over the `embeddings` table (task brief): brute-force
+cosine top-k as the exact baseline, and an IVF-bucketed variant as the
+scale path.
+
+Scale shape:
+  * brute-force: the QUERY matrix is tiny and broadcast (captured in the
+    map_batches closure -> shipped once via the object store); each batch
+    does one numpy matmul and emits only its LOCAL top-k (k rows per
+    (query, batch)) — the driver-side reduce sees #batches x k rows, never
+    the corpus.
+  * IVF: k-means-lite centroids (built on a bounded sample), vectors
+    assigned to nearest centroid via one matmul; a query probes only the
+    nprobe nearest lists. The coarse index (centroids) is broadcast; the
+    assignment lives with the data (a column), so the probe is a
+    filter + local top-k, not a full scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from spardaqus_ray.sources.code_parquet import read_table
+
+
+def _mat(t: pa.Table, col: str = "embedding") -> np.ndarray:
+    return np.asarray(t[col].combine_chunks().flatten(),
+                      np.float32).reshape(t.num_rows, -1)
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def query_vectors(sf_dir: str, vec_ids: tuple[int, ...] = (0, 1, 2)) -> np.ndarray:
+    """Deterministic query set: the embeddings of the given vec_ids."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist())
+    mat = _mat(t)
+    sel = [int(np.flatnonzero(ids == q)[0]) for q in vec_ids]
+    return _unit(mat[sel].astype(np.float64))
+
+
+def ann_bruteforce(sf_dir: str, k: int = 10,
+                   vec_ids: tuple[int, ...] = (0, 1, 2)) -> pd.DataFrame:
+    """Exact cosine top-k per query. Returns (query_id, vec_id, cosine)
+    sorted by (query_id, -cosine, vec_id) — deterministic tie-break."""
+    q = query_vectors(sf_dir, vec_ids)          # (nq, d) — broadcast
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["vec_id"].to_pylist(), np.int64)
+        unit = _unit(_mat(t)).astype(np.float64)
+        cos = q @ unit.T                         # (nq, n)
+        out_q, out_id, out_c = [], [], []
+        kk = min(k, cos.shape[1])
+        for qi in range(cos.shape[0]):
+            top = np.argpartition(-cos[qi], kk - 1)[:kk]
+            out_q.extend([vec_ids[qi]] * kk)
+            out_id.extend(ids[top].tolist())
+            out_c.extend(cos[qi, top].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_id, pa.int64()),
+                         "cosine": pa.array(out_c, pa.float64())})
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    cand = cand.sort_values(["query_id", "cosine", "vec_id"],
+                            ascending=[True, False, True])
+    out = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["cosine"] = out["cosine"].round(4)
+    return out
+
+
+def ann_bruteforce_sql(k: int = 10, vec_ids: tuple[int, ...] = (0, 1, 2)) -> str:
+    """DuckDB oracle for ann_bruteforce (list_cosine_similarity)."""
+    ids = ", ".join(str(v) for v in vec_ids)
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id IN ({ids})),
+scored AS (SELECT q.query_id, e.vec_id,
+                  ROUND(list_cosine_similarity(q.qe, e.embedding), 4) AS cosine,
+                  ROW_NUMBER() OVER (PARTITION BY q.query_id
+                      ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
+                               e.vec_id) AS rn
+           FROM q CROSS JOIN embeddings e)
+SELECT query_id, vec_id, cosine FROM scored WHERE rn <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVF variant
+# ---------------------------------------------------------------------------
+
+def _train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 8,
+                     seed: int = 99) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    c = sample[rng.choice(len(sample), n_centroids, replace=False)].copy()
+    for _ in range(iters):
+        assign = (sample @ c.T).argmax(axis=1)
+        for j in range(n_centroids):
+            m = assign == j
+            if m.any():
+                v = sample[m].mean(axis=0)
+                c[j] = v / max(np.linalg.norm(v), 1e-12)
+    return c
+
+
+def ann_ivf(sf_dir: str, k: int = 10, n_centroids: int = 16, nprobe: int = 4,
+            vec_ids: tuple[int, ...] = (0, 1, 2)) -> pd.DataFrame:
+    """IVF top-k: centroids trained on a bounded sample (broadcast), each
+    batch scores only rows assigned to the query's nprobe nearest lists.
+    Approximate — recall vs ann_bruteforce is asserted in pytest."""
+    import pyarrow.parquet as pq
+
+    q = query_vectors(sf_dir, vec_ids)
+    # bounded sample for the coarse quantizer (first 2048 rows)
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding"]).slice(0, 2048)
+    cents = _train_centroids(_unit(_mat(head)).astype(np.float64), n_centroids)
+    probe = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]   # (nq, nprobe)
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["vec_id"].to_pylist(), np.int64)
+        unit = _unit(_mat(t)).astype(np.float64)
+        assign = (unit @ cents.T).argmax(axis=1)
+        out_q, out_id, out_c = [], [], []
+        for qi in range(len(q)):
+            m = np.isin(assign, probe[qi])
+            if not m.any():
+                continue
+            cos = unit[m] @ q[qi]
+            sel_ids = ids[m]
+            kk = min(k, len(cos))
+            top = np.argpartition(-cos, kk - 1)[:kk]
+            out_q.extend([vec_ids[qi]] * kk)
+            out_id.extend(sel_ids[top].tolist())
+            out_c.extend(cos[top].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_id, pa.int64()),
+                         "cosine": pa.array(out_c, pa.float64())})
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    cand = cand.sort_values(["query_id", "cosine", "vec_id"],
+                            ascending=[True, False, True])
+    out = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["cosine"] = out["cosine"].round(4)
+    return out

@@ -1,0 +1,375 @@
+"""Deduplication family over the `documents` table (task brief: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup).
+
+Scale notes (the partitioning assumption each op relies on):
+  * exact: hash-shuffle on the content digest — uniform keys, no skew.
+  * minhash-lsh: shingle->minhash per batch (vectorized reduceat over a
+    (n_shingles x N_PERM) matrix), EXPLODE to (band_id, band_hash, doc_id)
+    rows, groupby the band bucket — candidate generation never does
+    all-pairs; exact Jaccard verifies only within buckets. Shuffled bytes
+    are (hash,id) pairs, never the text.
+  * simhash: 64-bit fingerprint; candidates via 4x16-bit band buckets
+    (Hamming<=3 must collide on >=1 band by pigeonhole), popcount verify.
+  * embedding-cosine near-dup: per-batch numpy matmul against the
+    LSH-bucketed candidates (see ann.py for search variants).
+
+Hash family: h_j(x) = a_j*x + b_j in uint64 wraparound arithmetic (odd
+a_j) — deterministic, numpy-native, no object-int math. Word hashing is
+crc32 (stable across processes; builtin hash() is salted).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from spardaqus_ray.sources.code_parquet import read_table
+from spardaqus_ray.util import ensure_hash_shuffle
+
+# ---------------------------------------------------------------------------
+# exact dedup (SQL-checkable: GROUP BY text)
+# ---------------------------------------------------------------------------
+
+def exact_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    """One survivor per distinct text: min(doc_id). Returns survivor ids."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ensure_hash_shuffle(ds)
+
+    def digest(t: pa.Table) -> pa.Table:
+        shas = [hashlib.sha256(s.encode()).hexdigest() for s in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "sha": pa.array(shas, pa.string())})
+
+    ds = ds.map_batches(digest, batch_format="pyarrow")
+    ds = ds.repartition(8, keys=["sha"])
+
+    def first_per_sha(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        keep = df.groupby("sha", sort=False)["doc_id"].min()
+        return pa.table({"doc_id": pa.array(keep.tolist(), pa.int64())})
+
+    out = (ds.map_batches(first_per_sha, batch_format="pyarrow", batch_size=None)
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+EXACT_DEDUP_SQL = ("SELECT MIN(doc_id) AS doc_id FROM documents "
+                   "GROUP BY text ORDER BY doc_id")
+
+
+# ---------------------------------------------------------------------------
+# MinHash (batched, vectorized)
+# ---------------------------------------------------------------------------
+
+N_PERM = 64
+N_BANDS = 8            # 8 bands x 8 rows -> catches Jaccard >~ 0.7 pairs
+ROWS_PER_BAND = N_PERM // N_BANDS
+SHINGLE_K = 3          # word 3-gram shingles
+
+_rng = np.random.default_rng(4242)
+_A = (_rng.integers(1, 2**63, size=N_PERM, dtype=np.int64).astype(np.uint64)
+      | np.uint64(1))  # odd multipliers
+_B = _rng.integers(0, 2**63, size=N_PERM, dtype=np.int64).astype(np.uint64)
+_C1, _C2, _C3 = np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F), np.uint64(0x165667B19E3779F9)
+
+
+def _word_hashes(text: str) -> np.ndarray:
+    return np.array([zlib.crc32(w.encode()) for w in text.lower().split()],
+                    np.uint64)
+
+
+def shingle_hashes(text: str, k: int = SHINGLE_K) -> np.ndarray:
+    """uint64 hashes of word k-gram shingles — vectorized combine of
+    per-word crc32s (distinct odd constants per position)."""
+    w = _word_hashes(text)
+    if len(w) == 0:
+        return w
+    if len(w) < k:
+        return np.array([(w * _C1).sum(dtype=np.uint64)], np.uint64)
+    with np.errstate(over="ignore"):
+        h = w[: len(w) - k + 1] * _C1
+        h += w[1: len(w) - k + 2] * _C2
+        if k >= 3:
+            for j in range(2, k):
+                h += w[j: len(w) - k + 1 + j] * (_C3 + np.uint64(j))
+        h *= _C1
+        h ^= h >> np.uint64(29)
+    return h
+
+
+def minhash_block(texts: list[str], k: int = SHINGLE_K) -> np.ndarray:
+    """(n_docs, N_PERM) uint64 signatures. All shingles of the batch are
+    permuted in one (n_shingles, N_PERM) matrix; per-doc minima via ONE
+    np.minimum.reduceat along axis 0 (docs are contiguous)."""
+    n = len(texts)
+    sig = np.full((n, N_PERM), np.iinfo(np.uint64).max, np.uint64)
+    parts, starts, docs = [], [], []
+    pos = 0
+    for i, t in enumerate(texts):
+        h = shingle_hashes(t, k)
+        if len(h):
+            parts.append(h)
+            starts.append(pos)
+            docs.append(i)
+            pos += len(h)
+    if not parts:
+        return sig
+    x = np.concatenate(parts)
+    with np.errstate(over="ignore"):
+        m = x[:, None] * _A[None, :] + _B[None, :]   # (n_shingles, N_PERM)
+    mins = np.minimum.reduceat(m, np.asarray(starts), axis=0)
+    sig[np.asarray(docs)] = mins
+    return sig
+
+
+def band_keys(sig: np.ndarray) -> np.ndarray:
+    """(n_docs, N_BANDS) uint64 bucket keys — hash of each band's rows."""
+    n = sig.shape[0]
+    out = np.empty((n, N_BANDS), np.uint64)
+    with np.errstate(over="ignore"):
+        for b in range(N_BANDS):
+            rows = sig[:, b * ROWS_PER_BAND: (b + 1) * ROWS_PER_BAND]
+            h = np.full(n, np.uint64(1469598103934665603))
+            for r in range(ROWS_PER_BAND):
+                h ^= rows[:, r]
+                h *= np.uint64(1099511628211)
+            out[:, b] = h
+    return out
+
+
+def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.7,
+                      table: str = "documents") -> pd.DataFrame:
+    """Candidate pairs via LSH banding, verified by signature-estimated
+    Jaccard (fraction of equal minhashes >= threshold). Returns sorted
+    (a, b, est_jaccard) pairs with a < b."""
+    ds = read_table(sf_dir, table, columns=["doc_id", "text"])
+    ensure_hash_shuffle(ds)
+
+    def emit(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        ids = np.asarray(t["doc_id"].to_pylist(), np.int64)
+        sig = minhash_block(texts)
+        keys = band_keys(sig)
+        n = len(texts)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, N_BANDS)),
+            "band": pa.array(np.tile(np.arange(N_BANDS, dtype=np.int32), n)),
+            "bkey": pa.array(keys.reshape(-1).view(np.int64)),
+            "sig": pa.array(np.repeat(sig.view(np.int64), N_BANDS, axis=0).tolist(),
+                            pa.list_(pa.int64())),
+        })
+
+    bands = ds.map_batches(emit, batch_format="pyarrow")
+    bands = bands.repartition(8, keys=["band", "bkey"])
+
+    def pairs_in_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out_a, out_b, out_j = [], [], []
+        for (_, _), g in df.groupby(["band", "bkey"], sort=False):
+            if len(g) < 2:
+                continue
+            ids = g["doc_id"].to_numpy()
+            sigs = np.stack(g["sig"].to_numpy())
+            order = np.argsort(ids)
+            ids, sigs = ids[order], sigs[order]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    if ids[i] == ids[j]:
+                        continue
+                    est = float((sigs[i] == sigs[j]).mean())
+                    if est >= jaccard_threshold:
+                        out_a.append(int(ids[i]))
+                        out_b.append(int(ids[j]))
+                        out_j.append(est)
+        return pa.table({"a": pa.array(out_a, pa.int64()),
+                         "b": pa.array(out_b, pa.int64()),
+                         "est_jaccard": pa.array(out_j, pa.float64())})
+
+    pairs = (bands.map_batches(pairs_in_bucket, batch_format="pyarrow",
+                               batch_size=None).to_pandas())
+    if len(pairs) == 0:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "est_jaccard": pd.Series([], dtype="float64")})
+    pairs = (pairs.drop_duplicates(["a", "b"])
+             .sort_values(["a", "b"]).reset_index(drop=True))
+    pairs["est_jaccard"] = pairs["est_jaccard"].round(4)
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard verification (on LSH candidates — never all pairs)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6,
+                        table: str = "documents") -> pd.DataFrame:
+    """LSH candidates -> exact word-3-gram Jaccard via a broadcast
+    shingle-set lookup for the (small) candidate id set."""
+    cand = minhash_lsh_pairs(sf_dir, jaccard_threshold=0.5, table=table)
+    if len(cand) == 0:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    need = sorted(set(cand["a"]) | set(cand["b"]))
+    need_arr = pa.array(need, pa.int64())
+    ds = read_table(sf_dir, table, columns=["doc_id", "text"])
+    sub = ds.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t["doc_id"], value_set=need_arr)),
+        batch_format="pyarrow", zero_copy_batch=True).take_all()
+    shingles = {r["doc_id"]: set(shingle_hashes(r["text"]).tolist()) for r in sub}
+    rows = []
+    for a, b in zip(cand["a"], cand["b"]):
+        sa, sb = shingles[a], shingles[b]
+        u = len(sa | sb)
+        j = len(sa & sb) / u if u else 1.0
+        if j >= threshold:
+            rows.append((a, b, round(j, 4)))
+    return pd.DataFrame(rows, columns=["a", "b", "jaccard"]).astype(
+        {"a": "int64", "b": "int64", "jaccard": "float64"})
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_block(texts: list[str]) -> np.ndarray:
+    """(n,) uint64 simhash over word-level crc32 features (vectorized
+    bit-count accumulation per doc)."""
+    out = np.zeros(len(texts), np.uint64)
+    bits = np.arange(64, dtype=np.uint64)
+    for i, t in enumerate(texts):
+        w = _word_hashes(t)
+        if len(w) == 0:
+            continue
+        with np.errstate(over="ignore"):
+            h = w * _C1 + _C2
+            h ^= h >> np.uint64(31)
+            h *= _C3
+        m = ((h[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int32)
+        v = (2 * m - 1).sum(axis=0)
+        out[i] = np.uint64(((v > 0).astype(np.uint64) << bits).sum(dtype=np.uint64))
+    return out
+
+
+def simhash_pairs(sf_dir: str, max_hamming: int = 3,
+                  table: str = "documents") -> pd.DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming. Candidates via
+    4x16-bit band buckets (pigeonhole: <=3 differing bits leave >=1 of 4
+    bands identical), verified by exact popcount."""
+    ds = read_table(sf_dir, table, columns=["doc_id", "text"])
+    ensure_hash_shuffle(ds)
+
+    def emit(t: pa.Table) -> pa.Table:
+        sh = simhash_block(t["text"].to_pylist())
+        ids = np.asarray(t["doc_id"].to_pylist(), np.int64)
+        n = len(ids)
+        bands = np.empty((n, 4), np.int64)
+        for b in range(4):
+            bands[:, b] = ((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, 4)),
+            "band": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
+            "bkey": pa.array(bands.reshape(-1)),
+            "simhash": pa.array(np.repeat(sh.view(np.int64), 4)),
+        })
+
+    bands = ds.map_batches(emit, batch_format="pyarrow")
+    bands = bands.repartition(8, keys=["band", "bkey"])
+
+    def verify(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = []
+        for _, g in df.groupby(["band", "bkey"], sort=False):
+            if len(g) < 2:
+                continue
+            ids = g["doc_id"].to_numpy()
+            hs = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+            order = np.argsort(ids)
+            ids, hs = ids[order], hs[order]
+            for i in range(len(ids)):
+                x = hs[i] ^ hs[i + 1:]
+                ham = np.array([bin(int(v)).count("1") for v in x])
+                for j in np.flatnonzero(ham <= 3):
+                    if ids[i] != ids[i + 1 + j]:
+                        out.append((int(ids[i]), int(ids[i + 1 + j]),
+                                    int(ham[j])))
+        return pa.table({"a": pa.array([o[0] for o in out], pa.int64()),
+                         "b": pa.array([o[1] for o in out], pa.int64()),
+                         "hamming": pa.array([o[2] for o in out], pa.int64())})
+
+    pairs = bands.map_batches(verify, batch_format="pyarrow",
+                              batch_size=None).to_pandas()
+    if len(pairs) == 0:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "hamming": pd.Series([], dtype="int64")})
+    return (pairs.drop_duplicates(["a", "b"])
+            .sort_values(["a", "b"]).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.98) -> pd.DataFrame:
+    """Pairs of embeddings with cosine >= threshold. Candidates via
+    random-hyperplane LSH buckets (16-bit sign sketch over 4 rotations),
+    verified by exact cosine inside buckets — no all-pairs matmul."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ensure_hash_shuffle(ds)
+    rng = np.random.default_rng(777)
+    planes = rng.standard_normal((4, 16, 64)).astype(np.float32)  # 4 tables
+
+    def emit(t: pa.Table) -> pa.Table:
+        arr = np.asarray(t["embedding"].combine_chunks().flatten(),
+                         np.float32).reshape(t.num_rows, -1)
+        norm = np.linalg.norm(arr, axis=1, keepdims=True)
+        unit = arr / np.maximum(norm, 1e-12)
+        ids = np.asarray(t["vec_id"].to_pylist(), np.int64)
+        tabs = []
+        for b in range(4):
+            signs = (unit @ planes[b].T) > 0              # (n,16)
+            key = (signs.astype(np.int64) << np.arange(16)).sum(axis=1)
+            tabs.append(pa.table({
+                "vec_id": pa.array(ids),
+                "band": pa.array(np.full(len(ids), b, np.int32)),
+                "bkey": pa.array(key),
+                "vec": pa.array(unit.astype(np.float64).tolist(),
+                                pa.list_(pa.float64())),
+            }))
+        return pa.concat_tables(tabs)
+
+    bands = ds.map_batches(emit, batch_format="pyarrow")
+    bands = bands.repartition(8, keys=["band", "bkey"])
+
+    def verify(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = []
+        for _, g in df.groupby(["band", "bkey"], sort=False):
+            if len(g) < 2:
+                continue
+            ids = g["vec_id"].to_numpy()
+            mat = np.stack(g["vec"].to_numpy())
+            order = np.argsort(ids)
+            ids, mat = ids[order], mat[order]
+            cos = mat @ mat.T
+            ii, jj = np.triu_indices(len(ids), k=1)
+            hit = cos[ii, jj] >= threshold
+            for i, j, c in zip(ii[hit], jj[hit], cos[ii, jj][hit]):
+                if ids[i] != ids[j]:
+                    out.append((int(ids[i]), int(ids[j]), round(float(c), 4)))
+        return pa.table({"a": pa.array([o[0] for o in out], pa.int64()),
+                         "b": pa.array([o[1] for o in out], pa.int64()),
+                         "cosine": pa.array([o[2] for o in out], pa.float64())})
+
+    pairs = bands.map_batches(verify, batch_format="pyarrow",
+                              batch_size=None).to_pandas()
+    if len(pairs) == 0:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "cosine": pd.Series([], dtype="float64")})
+    return (pairs.drop_duplicates(["a", "b"])
+            .sort_values(["a", "b"]).reset_index(drop=True))

@@ -71,6 +71,7 @@ def annotate(ds: ray.data.Dataset, cfg: EngineConfig,
         ds = ds.map_batches(
             LangIdScorer, batch_format="pyarrow", zero_copy_batch=True,
             batch_size=cfg.model_batch_size, concurrency=cfg.model_concurrency,
+            num_cpus=cfg.model_num_cpus,
             fn_constructor_kwargs=dict(models=models, thresholds=cfg.thresholds),
         )
     if cfg.ppl_enabled:
@@ -80,6 +81,7 @@ def annotate(ds: ray.data.Dataset, cfg: EngineConfig,
         ds = ds.map_batches(
             PerplexityScorer, batch_format="pyarrow", zero_copy_batch=True,
             batch_size=cfg.model_batch_size, concurrency=cfg.model_concurrency,
+            num_cpus=cfg.model_num_cpus,
             fn_constructor_kwargs=dict(models=models, thresholds=cfg.thresholds),
         )
     return ds.map_batches(

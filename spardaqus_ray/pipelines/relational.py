@@ -1,0 +1,440 @@
+"""Generic relational operators over the driver fixture tables
+(SURVEY.md §2.8 Q1-Q10) — these populate `__ray_entry__.queries()` and are
+checked against the DuckDB oracle (`__ray_entry__.oracle_sql()`) by the
+driver at sf0.01 (row count + schema + order-insensitive value hash).
+
+Conventions (driver compare contract):
+  * every computed/aggregate column is explicitly named, identically in
+    the Ray implementation and the SQL;
+  * float aggregate outputs are ROUNDed to 4 decimals on BOTH sides
+    (sum order differs between engines; raw float64 bits would not
+    hash-equal);
+  * top-k queries carry a deterministic tie-breaker.
+
+Each function takes sf_dir and returns a small pandas DataFrame /
+pyarrow Table (aggregates — fine to materialize; the big inputs stream).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from spardaqus_ray.sources.code_parquet import read_table
+from spardaqus_ray.util import ensure_hash_shuffle
+
+
+def _r4(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
+    for c in cols:
+        df[c] = df[c].astype(float).round(4)
+    return df
+
+
+# --------------------------------------------------------------------------
+# Q1: multi-key grouped aggregation (TPC-H Q1 shape) — prune at the read,
+# computed column in Arrow, partial aggregation inside Ray's hash groupby.
+# --------------------------------------------------------------------------
+
+def q1_lineitem_agg(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus", "l_quantity",
+                             "l_extendedprice", "l_discount", "l_shipdate"],
+                    filter=(pc.field("l_shipdate") <= pa.scalar(
+                        pd.Timestamp("1998-09-02"))))
+
+    def disc(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "disc_price",
+            pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])))
+
+    ds = ds.map_batches(disc, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Sum("disc_price", alias_name="sum_disc_price"),
+        Mean("l_quantity", alias_name="avg_qty"),
+        Count(alias_name="count_order"),
+    ).to_pandas()
+    return _r4(out, ["sum_qty", "sum_base_price", "sum_disc_price", "avg_qty"])
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 4)                      AS sum_qty,
+       ROUND(SUM(l_extendedprice), 4)                 AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4)                      AS avg_qty,
+       COUNT(*)                                       AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Q2: large-side hash join (Dataset.join, hash-partitioned on the key).
+# --------------------------------------------------------------------------
+
+def q2_revenue_by_mktsegment(sf_dir: str) -> pd.DataFrame:
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    ensure_hash_shuffle(orders)
+    ensure_hash_shuffle(cust)
+    joined = orders.join(cust, "inner", num_partitions=8,
+                         on=("o_custkey",), right_on=("c_custkey",))
+    out = joined.groupby("c_mktsegment").aggregate(
+        Sum("o_totalprice", alias_name="revenue"),
+        Count(alias_name="n_orders"),
+    ).to_pandas()
+    return _r4(out, ["revenue"])
+
+
+Q2_SQL = """
+SELECT c_mktsegment, ROUND(SUM(o_totalprice), 4) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# Q3: broadcast small-side join chain (dimension lookups — SURVEY Q3):
+# nation+region are tiny -> driver dicts captured in a map_batches closure
+# (ships once through the object store; no shuffle).
+# --------------------------------------------------------------------------
+
+def q3_customers_per_region(sf_dir: str) -> pd.DataFrame:
+    nation = read_table(sf_dir, "nation").to_pandas()
+    region = read_table(sf_dir, "region").to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    lookup = {nk: r2name[rk] for nk, rk in n2r.items()}
+
+    cust = read_table(sf_dir, "customer", columns=["c_nationkey"])
+
+    def add_region(t: pa.Table) -> pa.Table:
+        names = [lookup[k] for k in t["c_nationkey"].to_pylist()]
+        return t.append_column("r_name", pa.array(names, pa.string()))
+
+    out = (cust.map_batches(add_region, batch_format="pyarrow")
+           .groupby("r_name").aggregate(Count(alias_name="n_customers"))
+           .to_pandas())
+    return out
+
+
+Q3_SQL = """
+SELECT r_name, COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Q4/Q5: semi / anti join via broadcast key set (SURVEY Q4).
+# --------------------------------------------------------------------------
+
+def _custkeys_with_orders(sf_dir: str) -> pa.Array:
+    ks = read_table(sf_dir, "orders", columns=["o_custkey"]).unique("o_custkey")
+    return pa.array(sorted(ks), pa.int64())
+
+
+def q4_customers_with_orders(sf_dir: str) -> pd.DataFrame:
+    keys = _custkeys_with_orders(sf_dir)
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    out = (cust.map_batches(
+        lambda t: t.filter(pc.is_in(t["c_custkey"], value_set=keys)),
+        batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_mktsegment").aggregate(Count(alias_name="n_active"))
+        .to_pandas())
+    return out
+
+
+Q4_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_active
+FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+GROUP BY c_mktsegment
+"""
+
+
+def q5_customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    keys = _custkeys_with_orders(sf_dir)
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    out = (cust.map_batches(
+        lambda t: t.filter(pc.invert(pc.is_in(t["c_custkey"], value_set=keys))),
+        batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_mktsegment").aggregate(Count(alias_name="n_inactive"))
+        .to_pandas())
+    if out.empty:  # groupby on an empty dataset loses the schema
+        out = pd.DataFrame({"c_mktsegment": pd.Series([], dtype=str),
+                            "n_inactive": pd.Series([], dtype="int64")})
+    return out
+
+
+Q5_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_inactive
+FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# Q6: global sort / top-k with deterministic tie-break.
+# --------------------------------------------------------------------------
+
+def q6_top_orders(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    out = (ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+           .limit(10).to_pandas())
+    return _r4(out, ["o_totalprice"])
+
+
+Q6_SQL = """
+SELECT o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Q7: distinct; Q8: union; Q9: scalar date fns; Q10: filtered agg (TPC-H Q6).
+# --------------------------------------------------------------------------
+
+def q7_distinct_flag_status(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus"])
+    return (ds.groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Count(alias_name="n")).drop_columns(["n"]).to_pandas())
+
+
+Q7_SQL = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+def q8_union_nationkeys(sf_dir: str) -> pd.DataFrame:
+    c = read_table(sf_dir, "customer", columns=["c_nationkey"]).map_batches(
+        lambda t: t.rename_columns(["nationkey"]), batch_format="pyarrow")
+    s = read_table(sf_dir, "supplier", columns=["s_nationkey"]).map_batches(
+        lambda t: t.rename_columns(["nationkey"]), batch_format="pyarrow")
+    return (c.union(s).groupby("nationkey")
+            .aggregate(Count(alias_name="n")).to_pandas())
+
+
+Q8_SQL = """
+SELECT nationkey, COUNT(*) AS n FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  UNION ALL SELECT s_nationkey AS nationkey FROM supplier)
+GROUP BY nationkey
+"""
+
+
+def q9_orders_by_year_priority(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderdate", "o_orderpriority", "o_totalprice"])
+
+    def add_year(t: pa.Table) -> pa.Table:
+        return t.append_column("o_year", pc.year(t["o_orderdate"]).cast(pa.int64()))
+
+    out = (ds.map_batches(add_year, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby(["o_year", "o_orderpriority"])
+           .aggregate(Count(alias_name="n_orders"),
+                      Sum("o_totalprice", alias_name="total"))
+           .to_pandas())
+    return _r4(out, ["total"])
+
+
+Q9_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_orderpriority,
+       COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 4) AS total
+FROM orders GROUP BY o_year, o_orderpriority
+"""
+
+
+def q10_revenue_filter(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(
+        sf_dir, "lineitem",
+        columns=["l_quantity", "l_extendedprice", "l_discount"],
+        filter=((pc.field("l_discount") >= 0.05) & (pc.field("l_discount") <= 0.07)
+                & (pc.field("l_quantity") < 24.0)))
+
+    def rev(t: pa.Table) -> pa.Table:
+        return pa.table({"revenue": pc.multiply(t["l_extendedprice"], t["l_discount"])})
+
+    out = (ds.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
+           .aggregate(Sum("revenue", alias_name="revenue")))
+    return pd.DataFrame([{"revenue": round(float(out["revenue"]), 4)}])
+
+
+Q10_SQL = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+# --------------------------------------------------------------------------
+# Q11: bounded event-stream windowing (tumbling hour) — groupby on the
+# truncated timestamp (SURVEY §2.8 note: streaming windows as bounded
+# groupby). Q12: JSON extraction from the props column (envelope-parsing
+# analog of the reference's event metadata [PK]).
+# --------------------------------------------------------------------------
+
+def q11_events_hourly(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def trunc(t: pa.Table) -> pa.Table:
+        return t.append_column("hour", pc.floor_temporal(t["ts"], unit="hour"))
+
+    out = (ds.map_batches(trunc, batch_format="pyarrow", zero_copy_batch=True)
+           .drop_columns(["ts"])
+           .groupby(["hour", "event_type"])
+           .aggregate(Count(alias_name="n_events"),
+                      Sum("value", alias_name="sum_value"))
+           .to_pandas())
+    return _r4(out, ["sum_value"])
+
+
+Q11_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY hour, event_type
+"""
+
+
+def q12_json_props(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        ks = [json.loads(p).get("k") for p in t["props"].to_pylist()]
+        return pa.table({
+            "event_type": t["event_type"],
+            "k": pa.array(ks, pa.int64()),
+        })
+
+    out = (ds.map_batches(extract, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Mean("k", alias_name="avg_k"), Max("k", alias_name="max_k"),
+                      Min("k", alias_name="min_k"))
+           .to_pandas())
+    return _r4(out, ["avg_k"])
+
+
+Q12_SQL = """
+SELECT event_type,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Q13: per-doc char-based text stats aggregated by lang (SQL-expressible
+# slice of the quality features — the flagship's byte/ASCII-based features
+# are covered by pytest instead).
+# --------------------------------------------------------------------------
+
+def q13_doc_stats_by_lang(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(sf_dir, "documents", columns=["lang", "text", "n_chars"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        n_chars = pc.utf8_length(txt).cast(pa.float64())
+        nl = pc.count_substring(txt, "\n").cast(pa.float64())
+        digits = pc.utf8_length(pc.replace_substring_regex(txt, "[0-9]", "")).cast(pa.float64())
+        return pa.table({
+            "lang": t["lang"],
+            "len_chars": n_chars,
+            "n_lines": pc.add(nl, pa.scalar(1.0)),
+            "digit_frac": pc.divide(
+                pc.subtract(n_chars, digits),
+                pc.max_element_wise(n_chars, pa.scalar(1.0))),
+        })
+
+    out = (ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("lang")
+           .aggregate(Count(alias_name="n_docs"),
+                      Mean("len_chars", alias_name="avg_chars"),
+                      Mean("n_lines", alias_name="avg_lines"),
+                      Mean("digit_frac", alias_name="avg_digit_frac"))
+           .to_pandas())
+    return _r4(out, ["avg_chars", "avg_lines", "avg_digit_frac"])
+
+
+Q13_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(AVG(CAST(length(text) AS DOUBLE)), 4) AS avg_chars,
+       ROUND(AVG(CAST(length(text) - length(replace(text, chr(10), '')) + 1 AS DOUBLE)), 4) AS avg_lines,
+       ROUND(AVG((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                 / GREATEST(CAST(length(text) AS DOUBLE), 1.0)), 4) AS avg_digit_frac
+FROM documents GROUP BY lang
+"""
+
+
+def q14_top_sources(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(sf_dir, "documents", columns=["source", "n_chars"])
+    out = (ds.groupby("source")
+           .aggregate(Sum("n_chars", alias_name="total_chars"),
+                      Count(alias_name="n_docs")))
+    return (out.sort(["total_chars", "source"], descending=[True, False])
+            .limit(5).to_pandas())
+
+
+Q14_SQL = """
+SELECT source, SUM(n_chars) AS total_chars, COUNT(*) AS n_docs
+FROM documents GROUP BY source
+ORDER BY total_chars DESC, source LIMIT 5
+"""
+
+
+def q15_embedding_norms(sf_dir: str) -> pd.DataFrame:
+    ds = read_table(sf_dir, "embeddings", columns=["embedding", "label"])
+
+    def norms(t: pa.Table) -> pa.Table:
+        arr = np.asarray(t["embedding"].combine_chunks().flatten()).reshape(
+            t.num_rows, -1)
+        return pa.table({
+            "label": t["label"],
+            "norm": pa.array(np.sqrt((arr.astype(np.float64) ** 2).sum(axis=1))),
+        })
+
+    out = (ds.map_batches(norms, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("label")
+           .aggregate(Count(alias_name="n_vecs"), Mean("norm", alias_name="avg_norm"))
+           .to_pandas())
+    return _r4(out, ["avg_norm"])
+
+
+Q15_SQL = """
+SELECT label, COUNT(*) AS n_vecs,
+       ROUND(AVG(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm
+FROM embeddings GROUP BY label
+"""
+
+
+def q16_token_count_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Whitespace token counting over documents (training-data op: token
+    budget accounting)."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        counts = [len(s.split()) for s in t["text"].to_pylist()]
+        return pa.table({"lang": t["lang"], "n_tokens": pa.array(counts, pa.int64())})
+
+    out = (ds.map_batches(toks, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Sum("n_tokens", alias_name="total_tokens"),
+                      Mean("n_tokens", alias_name="avg_tokens"))
+           .to_pandas())
+    return _r4(out, ["avg_tokens"])
+
+
+Q16_SQL = """
+SELECT lang, SUM(n) AS total_tokens, ROUND(AVG(CAST(n AS DOUBLE)), 4) AS avg_tokens
+FROM (SELECT lang, array_length(string_split_regex(trim(text), '\\s+')) AS n
+      FROM documents)
+GROUP BY lang
+"""

@@ -1,0 +1,154 @@
+"""Text-analysis operators for training-data pipelines (task brief):
+language-ID over documents, quality scoring, BPE-ish token counting,
+document fingerprinting. Plus the documents-mapped flagship run used by
+`__ray_entry__.entry()`.
+"""
+
+from __future__ import annotations
+
+import functools
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Mean, Sum
+
+from spardaqus_ray.config import EngineConfig, test_config
+from spardaqus_ray.sources.code_parquet import documents_as_code, read_table
+from spardaqus_ray.stages.models import Models, train_models_from_pairs
+
+# BPE-ish tokenizer: GPT-2-style pre-tokenization regex (public pattern
+# family: optional space + letters | digits | other), compiled once per
+# worker process.
+BPE_RE = re.compile(r" ?[A-Za-zÀ-ɏ一-鿿]+| ?[0-9]+| ?[^\sA-Za-z0-9À-ɏ一-鿿]+|\s+")
+
+
+@functools.lru_cache(maxsize=4)
+def models_from_documents(sf_dir: str) -> Models:
+    """Self-train langid + LM models from the (lang, text) pairs of the
+    documents fixture itself — deterministic function of the input table
+    (no external data). Used for documents-based flagship runs where the
+    claimed langs are natural languages, not code langs."""
+    t = read_table(sf_dir, "documents", columns=["lang", "text"]).take_all()
+    pairs = [(r["lang"], r["text"]) for r in t]
+    return train_models_from_pairs(pairs)
+
+
+def flagship_documents(sf_dir: str, cfg: EngineConfig | None = None) -> ray.data.Dataset:
+    """The flagship pipeline over the documents fixture mapped to the code
+    schema (SURVEY.md §3.3) with fixture-trained models."""
+    from spardaqus_ray.pipelines.flagship import annotate
+
+    cfg = cfg or test_config()
+    models = models_from_documents(sf_dir)
+    return annotate(documents_as_code(sf_dir), cfg, models)
+
+
+def flagship_keep_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-(lang, drop_reason) row counts of the documents flagship run —
+    the rows-only driver check for the non-SQL-expressible pipeline."""
+    ds = flagship_documents(sf_dir)
+    out = (ds.select_columns(["lang", "drop_reason"])
+           .groupby(["lang", "drop_reason"])
+           .aggregate(Count(alias_name="n")).to_pandas())
+    return out.sort_values(["lang", "drop_reason"]).reset_index(drop=True)
+
+
+def langid_agreement(sf_dir: str) -> pd.DataFrame:
+    """Language-ID over documents with fixture-trained models: per claimed
+    lang, detection agreement rate (rows-only check; model-based)."""
+    models = models_from_documents(sf_dir)
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def detect(t: pa.Table) -> pa.Table:
+        from spardaqus_ray.functions.heuristics import _flat_utf8
+        from spardaqus_ray.stages.scorers import _heads_buffer
+
+        mask = np.ones(t.num_rows, bool)
+        buf, off, idx = _heads_buffer(t["text"], mask)
+        langs, confs = models.langid.score_block(buf, off)
+        agree = np.asarray([l == c for l, c in zip(langs, t["lang"].to_pylist())],
+                           np.int64)
+        return pa.table({"lang": t["lang"],
+                         "agree": pa.array(agree),
+                         "conf": pa.array(confs, pa.float64())})
+
+    out = (ds.map_batches(detect, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Count(alias_name="n_docs"),
+                      Sum("agree", alias_name="n_agree"),
+                      Mean("conf", alias_name="avg_conf"))
+           .to_pandas())
+    out["avg_conf"] = out["avg_conf"].round(4)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def token_count_bpe(sf_dir: str) -> pd.DataFrame:
+    """BPE-ish pre-tokenizer counts per lang (regex compiled once per
+    process; findall per row is the irreducible cost, same class as any
+    subword tokenizer)."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        counts = [len(BPE_RE.findall(s)) for s in t["text"].to_pylist()]
+        return pa.table({"lang": t["lang"],
+                         "n_bpe": pa.array(counts, pa.int64())})
+
+    out = (ds.map_batches(toks, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Sum("n_bpe", alias_name="total_bpe_tokens"),
+                      Mean("n_bpe", alias_name="avg_bpe_tokens"))
+           .to_pandas())
+    out["avg_bpe_tokens"] = out["avg_bpe_tokens"].round(4)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def fingerprint_docs(sf_dir: str) -> pd.DataFrame:
+    """Deterministic rolling-hash document fingerprints (winnowing-style:
+    min of rolling 16-byte crc windows per 64-byte stripe, xor-folded).
+    Returns (doc_id, fingerprint) — rows-only check + pytest determinism."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        outs = []
+        for s in t["text"].to_pylist():
+            b = s.encode("utf-8")
+            acc = zlib.crc32(b[:64])
+            for off in range(0, max(1, len(b) - 16), 64):
+                acc ^= zlib.crc32(b[off: off + 16])
+            outs.append(f"{acc:08x}")
+        return pa.table({"doc_id": t["doc_id"],
+                         "fingerprint": pa.array(outs, pa.string())})
+
+    return (ds.map_batches(fp, batch_format="pyarrow").to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def quality_scores_docs(sf_dir: str) -> pd.DataFrame:
+    """Per-lang aggregate of the full heuristic quality features computed
+    on documents (the engine's feature kernel applied outside the
+    flagship) — rows-only check; the SQL-expressible slice is
+    relational.q13."""
+    from spardaqus_ray import rules
+    from spardaqus_ray.functions.heuristics import compute_features, normalize_batch
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def feats(t: pa.Table) -> pa.Table:
+        t = pa.table({"lang": t["lang"], "content": t["text"]})
+        t = compute_features(normalize_batch(t))
+        return t.drop_columns(["content"])
+
+    aggs = [Count(alias_name="n_docs")]
+    for f in ("alnum_ratio", "digit_ratio", "dup_line_frac", "mean_line_len",
+              "top_ngram_frac"):
+        aggs.append(Mean(f, alias_name=f"avg_{f}"))
+    out = (ds.map_batches(feats, batch_format="pyarrow")
+           .groupby("lang").aggregate(*aggs).to_pandas())
+    for c in out.columns:
+        if c.startswith("avg_"):
+            out[c] = out[c].round(4)
+    return out.sort_values("lang").reset_index(drop=True)

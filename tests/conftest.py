@@ -1,0 +1,67 @@
+"""Session-scoped Ray fixture (task contract: init Ray ONCE per pytest
+session) + shared corpus fixtures."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    import ray
+
+    ray.init(address="local", num_cpus=4, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    yield ray
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def corpus():
+    """(table, strata) — seeded synthetic corpus (FIXTURES.md §A)."""
+    from spardaqus_ray.synth import generate_corpus
+
+    return generate_corpus(1200, seed=42)
+
+
+@pytest.fixture(scope="session")
+def corpus_parquet(corpus, tmp_path_factory):
+    tbl, _ = corpus
+    p = tmp_path_factory.mktemp("corpus") / "corpus.parquet"
+    pq.write_table(tbl, p, row_group_size=256)
+    return str(p)
+
+
+@pytest.fixture(scope="session")
+def models():
+    from spardaqus_ray.stages.models import build_default_models
+
+    return build_default_models()
+
+
+@pytest.fixture(scope="session")
+def cfg():
+    from spardaqus_ray.config import test_config
+
+    return test_config()
+
+
+@pytest.fixture(scope="session")
+def oracle_rows(corpus, cfg, models):
+    from tests.reference_impl import label_corpus
+
+    tbl, _ = corpus
+    return label_corpus(tbl.to_pylist(), cfg, models)
+
+
+SF001 = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def has_testdata() -> bool:
+    return os.path.isdir(SF001)

@@ -1,0 +1,98 @@
+"""Unit tests: feature kernel vs hand-computed micro-fixtures and vs the
+per-row oracle implementation (SURVEY.md §5.2)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from spardaqus_ray import rules
+from spardaqus_ray.functions.heuristics import (apply_heuristic_rules,
+                                                compute_features,
+                                                normalize_batch)
+from tests.reference_impl import features_row
+
+
+def _feat(text: str) -> dict:
+    t = pa.table({"repo": ["r"], "path": ["p"], "commit": ["c"],
+                  "lang": ["py"], "content": [text]})
+    t = normalize_batch(t)
+    out = compute_features(t)
+    return {f: out[f][0].as_py() for f in rules.QUALITY_FIELDS}
+
+
+def test_dup_line_frac_known_answer():
+    # 31 identical non-blank lines -> 30/31 duplicates
+    f = _feat("\n".join(["same line"] * 31))
+    assert f["dup_line_frac"] == pytest.approx(30 / 31)
+    assert f["n_lines"] == 31
+
+
+def test_empty_and_blank():
+    assert _feat("")["is_blank"] is True
+    assert _feat(" \t\n \n")["is_blank"] is True
+    assert _feat("x")["is_blank"] is False
+
+
+def test_line_stats():
+    f = _feat("ab\nc\n\nlongest line here")
+    assert f["max_line_len"] == len("longest line here")
+    assert f["n_lines"] == 4
+    assert f["mean_line_len"] == pytest.approx((2 + 1 + 0 + 17) / 4)
+
+
+def test_ratios():
+    f = _feat("abc123!!!")  # 6 alnum of 9
+    assert f["alnum_ratio"] == pytest.approx(6 / 9)
+    assert f["digit_ratio"] == pytest.approx(3 / 9)
+    assert f["alpha_ratio"] == pytest.approx(3 / 9)
+
+
+def test_longest_word_and_counts():
+    f = _feat("a bb  ccc\nddddd\te")
+    assert f["longest_word_len"] == 5
+    assert f["n_words"] == 5
+
+
+def test_top_ngram_repetition():
+    f = _feat("x" * 100)
+    # most common 8-gram appears 93 times -> 8*93/100
+    assert f["top_ngram_frac"] == pytest.approx(8 * 93 / 100)
+
+
+def test_autogen_header_only_in_head():
+    assert _feat("# DO NOT EDIT\ncode")["autogen"] is True
+    body = "\n".join([f"line {i}" for i in range(10)]) + "\nDO NOT EDIT"
+    assert _feat(body)["autogen"] is False  # marker beyond first 5 lines
+
+
+def test_normalize_matches_scalar_spec():
+    raw = "﻿a\r\nb\rc\x00d"
+    t = pa.table({"content": [raw]})
+    got = normalize_batch(t)["content"][0].as_py()
+    assert got == rules.normalize_text(raw) == "a\nb\ncd"
+
+
+def test_vectorized_matches_oracle_on_corpus(corpus):
+    tbl, _ = corpus
+    tbl = normalize_batch(tbl)
+    out = compute_features(tbl)
+    cols = {f: out[f].to_pylist() for f in rules.QUALITY_FIELDS}
+    for i, s in enumerate(tbl["content"].to_pylist()):
+        exp = features_row(s)
+        for k, v in exp.items():
+            got = cols[k][i]
+            if isinstance(v, float):
+                assert got == pytest.approx(v, abs=1e-12), (i, k)
+            else:
+                assert got == v, (i, k)
+
+
+def test_rule_order_first_failure_wins():
+    # blank beats everything; a 5000-char one-liner fails max_line_len
+    # before longest_word (rule order)
+    t = pa.table({"repo": ["r"] * 2, "path": ["a", "b"], "commit": ["c"] * 2,
+                  "lang": ["py"] * 2, "content": ["", "y" * 5000]})
+    out = apply_heuristic_rules(compute_features(normalize_batch(t)),
+                                rules.DEFAULT_THRESHOLDS)
+    assert out["drop_reason"].to_pylist() == ["heur.empty", "heur.max_line_len"]
+    assert out["keep"].to_pylist() == [False, False]

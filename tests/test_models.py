@@ -1,0 +1,66 @@
+"""Langid / perplexity model tests: batched path == scalar path (the
+pipeline-vs-oracle cross-check at model level), accuracy, calibration."""
+
+import numpy as np
+
+from spardaqus_ray import synth
+from spardaqus_ray.stages.models import build_default_models
+
+
+def _block(texts):
+    heads = [t[:4096].encode()[:4096] for t in texts]
+    buf = np.frombuffer(b"".join(heads), np.uint8)
+    off = np.zeros(len(heads) + 1, np.int64)
+    off[1:] = np.cumsum([len(h) for h in heads])
+    return buf, off
+
+
+def test_langid_accuracy_on_heldout(models):
+    ok = tot = 0
+    for lang in models.langs:
+        for t in synth.training_texts(lang, 15, seed=909):
+            d, c = models.langid.score_text(t)
+            ok += d == lang
+            tot += 1
+    assert ok / tot > 0.98
+
+
+def test_batched_equals_scalar_langid(models):
+    texts = ([synth.training_texts(l, 3, seed=5)[1] for l in models.langs]
+             + ["", "ab", "x" * 3, "hello world " * 50])
+    buf, off = _block(texts)
+    langs_b, conf_b = models.langid.score_block(buf, off)
+    for i, t in enumerate(texts):
+        d, c = models.langid.score_text(t)
+        assert d == langs_b[i]
+        assert abs(c - conf_b[i]) < 1e-9
+
+
+def test_batched_equals_scalar_ppl(models):
+    texts = [synth.training_texts("py", 4, seed=6)[k] for k in range(4)] + ["", "abc"]
+    buf, off = _block(texts)
+    lm = models.lms["py"]
+    vals = lm.ppl_block(buf, off)
+    for i, t in enumerate(texts):
+        assert abs(lm.ppl_text(t) - vals[i]) < 1e-9 * max(1.0, vals[i])
+
+
+def test_ppl_calibration_separates_corrupt(models):
+    rng = np.random.default_rng(3)
+    alpha = np.frombuffer(bytes(range(33, 127)) + b"     \n", np.uint8)
+    for lang in ("py", "go"):
+        t = synth.training_texts(lang, 3, seed=11)[2]
+        b = bytearray(t.encode())
+        for i in rng.choice(len(b), len(b) // 10, replace=False):
+            b[i] = int(alpha[rng.integers(0, len(alpha))])
+        corrupt = bytes(b).decode("utf-8", "replace")
+        assert models.lms[lang].ppl_text(t) <= models.ppl_threshold[lang]
+        assert models.lms[lang].ppl_text(corrupt) > models.ppl_threshold[lang]
+
+
+def test_model_build_deterministic():
+    m1 = build_default_models.__wrapped__()
+    m2 = build_default_models.__wrapped__()
+    assert m1.langs == m2.langs
+    assert np.array_equal(m1.langid.logp, m2.langid.logp)
+    assert m1.ppl_threshold == m2.ppl_threshold

@@ -1,0 +1,75 @@
+"""DuckDB conformance for every queries() entry that has an oracle_sql()
+(SURVEY.md §5.6) — mirrors the driver's compare: row count + schema-ish +
+order-insensitive value equality with columns sorted by name. Runs at
+sf0.001 (fast); the driver runs the same at sf0.01.
+"""
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+from tests.conftest import SF001, has_testdata
+
+pytestmark = pytest.mark.skipif(not has_testdata(), reason="no testdata")
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _compare(name, ray_df, sql_df):
+    a, b = _canon(pd.DataFrame(ray_df)), _canon(sql_df)
+    assert list(a.columns) == list(b.columns), (name, list(a.columns), list(b.columns))
+    assert len(a) == len(b), (name, len(a), len(b))
+    for c in a.columns:
+        if a[c].dtype.kind == "f" or b[c].dtype.kind == "f":
+            assert (a[c].astype(float).round(4).fillna(-1)
+                    == b[c].astype(float).round(4).fillna(-1)).all(), (name, c)
+        else:
+            av, bv = a[c], b[c]
+            try:
+                av = av.astype("int64")
+                bv = bv.astype("int64")
+            except (ValueError, TypeError):
+                av, bv = av.astype(str), bv.astype(str)
+            assert (av == bv).all(), (name, c, av[av != bv].head(),
+                                      bv[av != bv].head())
+
+
+def _pairs():
+    import __ray_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    return [(k, qs[k], os_[k]) for k in sorted(os_)]
+
+
+@pytest.mark.parametrize("name", [k for k, _, _ in _pairs()])
+def test_query_matches_oracle(ray_session, name):
+    import __ray_entry__ as e
+
+    fn = e.queries()[name]
+    sql = e.oracle_sql()[name]
+    con = _duck(SF001)
+    ray_res = fn(SF001)
+    if hasattr(ray_res, "to_pandas"):
+        ray_res = ray_res.to_pandas()
+    sql_res = con.execute(sql).fetchdf()
+    _compare(name, ray_res, sql_res)
