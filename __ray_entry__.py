@@ -29,7 +29,8 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from spardaqus_ray.pipelines import ann, dedup, multimodal, relational, textops
+    from spardaqus_ray.pipelines import (ann, dedup, multimodal, relational,
+                                         repo_stats, textops)
 
     return {
         # --- relational layer (SURVEY.md §2.8 Q1-Q10) ---
@@ -64,6 +65,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_bpe": textops.token_count_bpe,
         "fingerprint_docs": textops.fingerprint_docs,
         "quality_scores_docs": textops.quality_scores_docs,
+        # --- repo-level aggregates / sampling / sketches ---
+        "repo_stats_docs": repo_stats.repo_stats_docs,
+        "qa_sample_dropped": repo_stats.qa_sample_dropped,
+        "approx_distinct_parts": repo_stats.approx_distinct_parts,
+        "q17_distinct_parts_exact": relational.q17_distinct_parts_exact,
         # --- multimodal plumbing (decode stubbed; Ray-side real) ---
         "media_feature_stats": multimodal.media_feature_stats,
     }
@@ -91,4 +97,5 @@ def oracle_sql() -> dict[str, str]:
         "q16_token_count_by_lang": relational.Q16_SQL,
         "dedup_exact_docs": dedup.EXACT_DEDUP_SQL,
         "ann_bruteforce": ann.ann_bruteforce_sql(),
+        "q17_distinct_parts_exact": relational.Q17_SQL,
     }

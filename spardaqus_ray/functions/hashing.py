@@ -75,17 +75,17 @@ def mark_dups(batch: pa.Table) -> pa.Table:
     n = batch.num_rows
     if n == 0:
         return batch
-    sha = np.asarray(batch["raw_sha256"].to_pylist())
-    repo = np.asarray(batch["repo"].to_pylist())
-    path = np.asarray(batch["path"].to_pylist())
-    commit = np.asarray(batch["commit"].to_pylist())
-    order = np.lexsort((commit, path, repo, sha))
-    sha_sorted = sha[order]
+    import pyarrow.compute as pc
+    order = pc.sort_indices(batch, sort_keys=[
+        ("raw_sha256", "ascending"), ("repo", "ascending"),
+        ("path", "ascending"), ("commit", "ascending")])
+    sha_sorted = pc.take(batch["raw_sha256"], order).combine_chunks()
+    neq = pc.not_equal(sha_sorted.slice(1), sha_sorted.slice(0, n - 1))
     is_first = np.empty(n, bool)
     is_first[0] = True
-    is_first[1:] = sha_sorted[1:] != sha_sorted[:-1]
+    is_first[1:] = neq.to_numpy(zero_copy_only=False)
     winner = np.empty(n, bool)
-    winner[order] = is_first
+    winner[order.to_numpy()] = is_first
     loser = ~winner
     if not loser.any():
         return batch

@@ -114,3 +114,60 @@ def scrub_text(s: str) -> tuple[str, dict[str, int]]:
 def count_tox(s: str) -> int:
     """tox_hits feature: number of toxicity-wordlist matches (scoring pass)."""
     return len(TOX_RE.findall(s))
+
+
+# ---------------------------------------------------------------------------
+# Vectorized candidate prefilter (pipeline-side fast path; the oracle does
+# not need it — skipping rows that CANNOT match leaves results identical).
+# ---------------------------------------------------------------------------
+
+_KEYWORDS = (b"apikey", b"api_key", b"api-key", b"secret", b"token",
+             b"passwd", b"password")
+_LITERALS = (b"@", b"akia", b"ghp_", b"-----begin") + tuple(
+    w.encode() for w in rules.TOXICITY_WORDS)
+
+
+def scrub_candidates(buf, offsets) -> "np.ndarray":
+    """Per-row bool: could SCRUB_RE possibly match? STRICT SUPERSET of the
+    regex (verified in tests): every pattern branch requires one of
+      - a literal substring ('@', 'AKIA', 'ghp_', '-----BEGIN', an assign
+        keyword, a toxicity word — searched case-insensitively at
+        memchr speed over the lowercased flat buffer), or
+      - >=2 digit-dot-digit byte trigrams (IPv4 needs 3), or
+      - >=2 colons flanked by hex digits (IPv6 needs 2+ hex:hex groups).
+    Non-candidate rows skip the (slow, ~3 MB/s) regex scan entirely —
+    measured ~85% of kept rows on the synthetic corpus.
+    """
+    import numpy as np
+
+    n = len(offsets) - 1
+    cand = np.zeros(n, bool)
+    if len(buf) == 0:
+        return cand
+    is_upper = (buf >= 65) & (buf <= 90)
+    low = buf.copy()
+    low[is_upper] += 32
+    low_b = low.tobytes()
+    for lit in _LITERALS + _KEYWORDS:
+        p = low_b.find(lit)
+        while p != -1:
+            cand[int(np.searchsorted(offsets, p, side="right")) - 1] = True
+            p = low_b.find(lit, p + len(lit))
+    # IPv4-ish: digit '.' digit trigrams, >=2 per row
+    dig = (buf >= 48) & (buf <= 57)
+    if len(buf) >= 3:
+        tri = dig[:-2] & (buf[1:-1] == 0x2E) & dig[2:]
+        pos = np.flatnonzero(tri)
+        if len(pos):
+            rows = np.searchsorted(offsets, pos, side="right") - 1
+            counts = np.bincount(rows, minlength=n)
+            cand |= counts >= 2
+        # IPv6-ish: hex ':' hex trigrams, >=2 per row
+        hexd = dig | ((low >= 97) & (low <= 102))
+        tri6 = hexd[:-2] & (buf[1:-1] == 0x3A) & hexd[2:]
+        pos6 = np.flatnonzero(tri6)
+        if len(pos6):
+            rows6 = np.searchsorted(offsets, pos6, side="right") - 1
+            counts6 = np.bincount(rows6, minlength=n)
+            cand |= counts6 >= 2
+    return cand

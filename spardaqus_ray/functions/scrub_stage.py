@@ -13,7 +13,7 @@ import pyarrow as pa
 
 from spardaqus_ray.functions.hashing import sha256_column
 from spardaqus_ray.functions.heuristics import _flat_utf8
-from spardaqus_ray.functions.scrub import SCRUB_RE, scrub_text
+from spardaqus_ray.functions.scrub import SCRUB_RE, scrub_candidates, scrub_text
 
 _COUNT_COLS = ("scrub_email", "scrub_ip", "scrub_key", "scrub_tox")
 
@@ -24,13 +24,14 @@ def scrub_and_stamp(batch: pa.Table, scrub_enabled: bool = True) -> pa.Table:
     if scrub_enabled and n:
         keep = batch["keep"].combine_chunks().to_numpy(zero_copy_only=False)
         if keep.any():
-            # cheap vectorized prefilter: regex-search only rows whose bytes
-            # can possibly match (presence of '@', ':', '.', digit or tox
-            # letters is too broad — instead do one fast SCRUB_RE.search per
-            # kept row and rewrite only on hit; search exits at first match)
+            # vectorized candidate prefilter (strict superset of the regex,
+            # memchr-speed) -> the ~3 MB/s SCRUB_RE scan runs only on the
+            # ~15% of rows that could possibly match
+            buf, offsets = _flat_utf8(batch["content"])
+            cand = scrub_candidates(buf, offsets)
             contents = batch["content"].to_pylist()
             changed = False
-            for i in np.flatnonzero(keep):
+            for i in np.flatnonzero(keep & cand):
                 s = contents[i]
                 if SCRUB_RE.search(s) is None:
                     continue

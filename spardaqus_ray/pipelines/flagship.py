@@ -36,7 +36,8 @@ from spardaqus_ray.functions.heuristics import (apply_heuristic_rules,
                                                 normalize_batch)
 from spardaqus_ray.functions.scrub_stage import scrub_and_stamp
 from spardaqus_ray.stages.models import Models, build_default_models
-from spardaqus_ray.stages.scorers import LangIdScorer, PerplexityScorer
+from spardaqus_ray.stages.scorers import (CombinedScorer, LangIdScorer,
+                                          PerplexityScorer)
 from spardaqus_ray.util import ensure_hash_shuffle
 
 
@@ -67,23 +68,21 @@ def annotate(ds: ray.data.Dataset, cfg: EngineConfig,
         ds = ds.repartition(cfg.num_partitions, keys=["raw_sha256"])
         ds = ds.map_batches(mark_dups, batch_format="pyarrow",
                             zero_copy_batch=True, batch_size=None)
-    if cfg.langid_enabled:
-        ds = ds.map_batches(
-            LangIdScorer, batch_format="pyarrow", zero_copy_batch=True,
-            batch_size=cfg.model_batch_size, concurrency=cfg.model_concurrency,
-            num_cpus=cfg.model_num_cpus,
-            fn_constructor_kwargs=dict(models=models, thresholds=cfg.thresholds),
-        )
-    if cfg.ppl_enabled:
-        if not cfg.langid_enabled:
-            ds = ds.map_batches(_add_empty_langid, batch_format="pyarrow",
-                                zero_copy_batch=True)
-        ds = ds.map_batches(
-            PerplexityScorer, batch_format="pyarrow", zero_copy_batch=True,
-            batch_size=cfg.model_batch_size, concurrency=cfg.model_concurrency,
-            num_cpus=cfg.model_num_cpus,
-            fn_constructor_kwargs=dict(models=models, thresholds=cfg.thresholds),
-        )
+    actor_kw = dict(
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=cfg.model_batch_size, concurrency=cfg.model_concurrency,
+        num_cpus=cfg.model_num_cpus,
+        fn_constructor_kwargs=dict(models=models, thresholds=cfg.thresholds),
+    )
+    if cfg.langid_enabled and cfg.ppl_enabled:
+        # one fused actor pool: one model load, one pass (same semantics)
+        ds = ds.map_batches(CombinedScorer, **actor_kw)
+    elif cfg.langid_enabled:
+        ds = ds.map_batches(LangIdScorer, **actor_kw)
+    elif cfg.ppl_enabled:
+        ds = ds.map_batches(_add_empty_langid, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        ds = ds.map_batches(PerplexityScorer, **actor_kw)
     return ds.map_batches(
         functools.partial(scrub_and_stamp, scrub_enabled=cfg.scrub_enabled),
         batch_format="pyarrow", zero_copy_batch=True,
@@ -123,10 +122,10 @@ def run_flagship(input_paths, checkpoint_dir: str, cfg: EngineConfig,
                                                 finalize_partition)
 
     os.makedirs(checkpoint_dir, exist_ok=True)
-    ensure_hash_shuffle()
     done = completed_partitions(checkpoint_dir)
 
     ds = read_code_parquet(input_paths)
+    ensure_hash_shuffle(ds)
     salted = skew_census(ds, cfg)
     ds = annotate(ds, cfg, models)
     ds = ds.map_batches(

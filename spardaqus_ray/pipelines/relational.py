@@ -438,3 +438,20 @@ FROM (SELECT lang, array_length(string_split_regex(trim(text), '\\s+')) AS n
       FROM documents)
 GROUP BY lang
 """
+
+
+def q17_distinct_parts_exact(sf_dir: str) -> pd.DataFrame:
+    """Exact distinct-count companion to the KMV sketch
+    (repo_stats.approx_distinct_parts) — SQL-checkable."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_partkey"])
+    out = (ds.groupby(["l_returnflag", "l_partkey"])
+           .aggregate(Count(alias_name="c")).drop_columns(["c"])
+           .groupby("l_returnflag")
+           .aggregate(Count(alias_name="distinct_parts")).to_pandas())
+    return out
+
+
+Q17_SQL = """
+SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS distinct_parts
+FROM lineitem GROUP BY l_returnflag
+"""

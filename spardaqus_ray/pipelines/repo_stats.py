@@ -1,0 +1,170 @@
+"""Repo-level grouped aggregates + repo-level drop + QA sampling + KMV
+approx-distinct sketch (SURVEY.md §2.6 G3/G5, §2.8 Q8/Q10).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Mean, Sum
+
+from spardaqus_ray.sources.code_parquet import read_table
+
+# ---------------------------------------------------------------------------
+# G3: per-repo quality stats over an ANNOTATED dataset (one groupby-repo
+# shuffle of tiny projected columns — content never moves).
+# ---------------------------------------------------------------------------
+
+def repo_stats(annotated: ray.data.Dataset) -> ray.data.Dataset:
+    proj = annotated.select_columns(
+        ["repo", "keep", "ppl", "alnum_ratio", "dup_line_frac",
+         "scrub_email", "scrub_ip", "scrub_key", "scrub_tox"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = t["keep"].combine_chunks().to_numpy(zero_copy_only=False)
+        scrubbed = np.zeros(t.num_rows, np.int64)
+        for c in ("scrub_email", "scrub_ip", "scrub_key", "scrub_tox"):
+            scrubbed += np.asarray(t[c].combine_chunks().to_numpy(zero_copy_only=False))
+        return pa.table({
+            "repo": t["repo"],
+            "kept": pa.array(keep.astype(np.int64)),
+            "scrub_matches": pa.array(scrubbed),
+            "ppl": t["ppl"], "alnum_ratio": t["alnum_ratio"],
+            "dup_line_frac": t["dup_line_frac"],
+        })
+
+    return (proj.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("repo")
+            .aggregate(Count(alias_name="files"),
+                       Sum("kept", alias_name="kept"),
+                       Sum("scrub_matches", alias_name="scrub_matches"),
+                       Mean("ppl", alias_name="mean_ppl", ignore_nulls=True),
+                       Mean("alnum_ratio", alias_name="mean_alnum_ratio"),
+                       Mean("dup_line_frac", alias_name="mean_dup_line_frac")))
+
+
+def repo_stats_docs(sf_dir: str) -> pd.DataFrame:
+    """Driver query (rows-only): G3 over the documents-mapped flagship."""
+    from spardaqus_ray.pipelines.textops import flagship_documents
+
+    out = repo_stats(flagship_documents(sf_dir)).to_pandas()
+    for c in ("mean_ppl", "mean_alnum_ratio", "mean_dup_line_frac"):
+        out[c] = out[c].astype(float).round(4)
+    return out.sort_values("repo").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# G5: repo-level drop — repos whose kept fraction < tau lose ALL rows
+# (keep=False, drop_reason="repo.lowquality"). The G3 result is small
+# (one row per repo) -> the low-quality repo set is a broadcast lookup,
+# not a join shuffle.
+# ---------------------------------------------------------------------------
+
+DROP_REPO = "repo.lowquality"
+
+
+def repo_level_drop(annotated: ray.data.Dataset, min_kept_frac: float = 0.25,
+                    min_files: int = 4) -> ray.data.Dataset:
+    stats = repo_stats(annotated).take_all()
+    bad = frozenset(
+        r["repo"] for r in stats
+        if r["files"] >= min_files and r["kept"] / r["files"] < min_kept_frac)
+    if not bad:
+        return annotated
+
+    def mark(t: pa.Table) -> pa.Table:
+        repos = t["repo"].to_pylist()
+        hit = np.array([r in bad for r in repos], bool)
+        if not hit.any():
+            return t
+        keep = t["keep"].combine_chunks().to_numpy(zero_copy_only=False) & ~hit
+        reason = np.asarray(t["drop_reason"].to_pylist(), object)
+        reason[hit & (reason == "")] = DROP_REPO
+        t = t.set_column(t.schema.get_field_index("keep"), "keep", pa.array(keep))
+        return t.set_column(t.schema.get_field_index("drop_reason"),
+                            "drop_reason", pa.array(reason, pa.string()))
+
+    return annotated.map_batches(mark, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Q8: deterministic seeded sampling (QA sample of dropped rows).
+# ---------------------------------------------------------------------------
+
+def qa_sample_dropped(sf_dir: str, frac: float = 0.2, seed: int = 7) -> pd.DataFrame:
+    """Seeded sample of DROPPED rows of the documents flagship for manual
+    QA (rows-only: sampling is engine-specific). Deterministic for a given
+    seed + input; sample identity is row-hash-based, not RNG-order-based,
+    so it is stable under any partitioning."""
+    from spardaqus_ray.pipelines.textops import flagship_documents
+
+    ds = flagship_documents(sf_dir)
+
+    def pick(t: pa.Table) -> pa.Table:
+        import zlib
+
+        keep = t["keep"].combine_chunks().to_numpy(zero_copy_only=False)
+        shas = t["raw_sha256"].to_pylist()
+        sel = np.array(
+            [(not k) and (zlib.crc32(f"{seed}:{s}".encode()) % 10**6 < frac * 10**6)
+             for k, s in zip(keep, shas)], bool)
+        return t.filter(pa.array(sel)).select(
+            ["repo", "path", "lang", "drop_reason", "raw_sha256"])
+
+    out = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["repo", "path"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Q10: KMV (k-minimum-values) approx-distinct sketch — one sketch per
+# batch, merged associatively in a tiny reduce; mergeable + deterministic
+# (crc64-style hashing, no RNG).
+# ---------------------------------------------------------------------------
+
+KMV_K = 256
+
+
+def _kmv_hash(vals: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        h = vals.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(32)
+    return h
+
+
+def kmv_estimate(mins: np.ndarray) -> float:
+    """Estimate n_distinct from the k smallest hashes (uniform on 2^64)."""
+    k = len(mins)
+    if k < KMV_K:
+        return float(k)
+    return (k - 1) / (float(mins[-1]) / 2**64)
+
+
+def approx_distinct_parts(sf_dir: str) -> pd.DataFrame:
+    """Approx distinct l_partkey per l_returnflag: per-batch KMV sketches
+    merged in a small groupby — never shuffles the raw keys."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_partkey"])
+
+    def sketch(t: pa.Table) -> pa.Table:
+        flags = np.asarray(t["l_returnflag"].to_pylist(), object)
+        keys = t["l_partkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        rows = []
+        for f in np.unique(flags):
+            h = np.unique(_kmv_hash(keys[flags == f]))[:KMV_K]
+            rows.append({"l_returnflag": str(f),
+                         "mins": h.view(np.int64).tolist()})
+        return pa.Table.from_pylist(rows)
+
+    sketches = ds.map_batches(sketch, batch_format="pyarrow").take_all()
+    merged: dict[str, np.ndarray] = {}
+    for r in sketches:
+        f = r["l_returnflag"]
+        h = np.asarray(r["mins"], np.int64).view(np.uint64)
+        merged[f] = np.unique(np.concatenate([merged.get(f, h[:0]), h]))[:KMV_K]
+    out = pd.DataFrame(
+        [{"l_returnflag": f, "approx_distinct_parts": round(kmv_estimate(m), 1)}
+         for f, m in sorted(merged.items())])
+    return out

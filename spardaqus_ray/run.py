@@ -1,0 +1,89 @@
+"""CLI entry point 1 (SURVEY.md §3.2): the resumable flagship batch job.
+
+    ray job submit -- python -m spardaqus_ray.run \
+        --input /data/corpus --output /data/out \
+        [--config cfg.json] [--num-partitions 512] [--no-dedup] ...
+
+This is the ONLY module that may own a Ray session (guarded with
+ray.is_initialized() per the driver contract, __ray_entry__.py:11-13).
+Exit code 0 on success; prints a one-line JSON run summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_config(args) -> "EngineConfig":
+    from spardaqus_ray.config import EngineConfig
+
+    base = {}
+    if args.config:
+        with open(args.config) as f:
+            base = json.load(f)
+    cfg = EngineConfig(**base)
+    over = {}
+    if args.num_partitions:
+        over["num_partitions"] = args.num_partitions
+    if args.no_dedup:
+        over["dedup_enabled"] = False
+    if args.no_langid:
+        over["langid_enabled"] = False
+    if args.no_ppl:
+        over["ppl_enabled"] = False
+    if args.no_scrub:
+        over["scrub_enabled"] = False
+    return cfg.with_(**over) if over else cfg
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="spardaqus_ray.run")
+    p.add_argument("--input", required=True,
+                   help="parquet path(s) with (repo,path,commit,lang,content)")
+    p.add_argument("--output", required=True,
+                   help="checkpoint/output dir (resume source of truth)")
+    p.add_argument("--config", help="JSON file of EngineConfig fields")
+    p.add_argument("--num-partitions", type=int)
+    p.add_argument("--no-dedup", action="store_true")
+    p.add_argument("--no-langid", action="store_true")
+    p.add_argument("--no-ppl", action="store_true")
+    p.add_argument("--no-scrub", action="store_true")
+    p.add_argument("--num-cpus", type=int, default=None,
+                   help="only used when this process must ray.init itself")
+    args = p.parse_args(argv)
+
+    import ray
+
+    owned = False
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+        owned = True
+    try:
+        import ray.data
+        ray.data.DataContext.get_current().enable_progress_bars = False
+
+        from spardaqus_ray.pipelines.flagship import run_flagship
+
+        cfg = build_config(args)
+        metrics = run_flagship(args.input, args.output, cfg)
+        summary = {
+            "partitions": len(metrics),
+            "input_rows": sum(m["input_rows"] for m in metrics),
+            "kept": sum(m["kept"] for m in metrics),
+            "dropped": sum(m["dropped"] for m in metrics),
+            "scrubbed_rows": sum(m["scrubbed"] for m in metrics),
+            "scrub_matches": sum(m["scrub_matches"] for m in metrics),
+            "output": args.output,
+        }
+        print(json.dumps(summary))
+        return 0
+    finally:
+        if owned:
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -79,6 +79,20 @@ class LangIdScorer:
                                 "drop_reason", pa.array(reason, pa.string()))
 
 
+class CombinedScorer:
+    """LangIdScorer + PerplexityScorer fused into ONE actor pool (one model
+    load, one batch pass, one keep/reason rebuild) — used by annotate()
+    when both stages are enabled. Rule semantics identical to running the
+    two stages in sequence (langid rules gate ppl)."""
+
+    def __init__(self, models: Models, thresholds: dict[str, float]):
+        self.langid = LangIdScorer(models, thresholds)
+        self.ppl = PerplexityScorer(models, thresholds)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.ppl(self.langid(batch))
+
+
 class PerplexityScorer:
     """Appends ppl; applies the ppl.high rule with the model's
     self-calibrated per-language threshold x config ppl_multiplier."""

@@ -30,7 +30,9 @@ def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype == object:
+        if df[c].dtype.kind == "M":  # datetimes -> canonical ISO strings
+            df[c] = pd.to_datetime(df[c]).dt.strftime("%Y-%m-%d %H:%M:%S")
+        elif df[c].dtype == object:
             df[c] = df[c].astype(str)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 

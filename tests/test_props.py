@@ -1,0 +1,106 @@
+"""Property-based invariants (SURVEY.md §5.4)."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spardaqus_ray import rules
+from spardaqus_ray.functions.heuristics import compute_features, normalize_batch
+from tests.reference_impl import features_row
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=500))
+def test_features_vectorized_equals_scalar_on_arbitrary_text(s):
+    s = rules.normalize_text(s)
+    t = pa.table({"content": [s]})
+    out = compute_features(t)
+    exp = features_row(s)
+    for k, v in exp.items():
+        got = out[k][0].as_py()
+        if isinstance(v, float):
+            assert abs(got - v) < 1e-12, (k, got, v)
+        else:
+            assert got == v, (k, got, v)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(max_size=120), min_size=1, max_size=20),
+       st.randoms(use_true_random=False))
+def test_batch_permutation_invariance(texts, rnd):
+    """Feature values are a pure per-row function: permuting the batch
+    permutes the outputs, nothing else (no cross-row leakage in the
+    flat-buffer vectorization)."""
+    t = normalize_batch(pa.table({"content": texts}))
+    base = compute_features(t)
+    perm = list(range(len(texts)))
+    rnd.shuffle(perm)
+    t2 = t.take(pa.array(perm))
+    out2 = compute_features(t2)
+    for f in rules.QUALITY_FIELDS:
+        a = base[f].to_pylist()
+        b = out2[f].to_pylist()
+        assert [a[i] for i in perm] == b, f
+
+
+def test_dedup_winner_deterministic_under_shuffling():
+    from spardaqus_ray.functions.hashing import mark_dups
+
+    n = 30
+    rng = np.random.default_rng(0)
+    rows = {
+        "repo": [f"r{i%3}" for i in range(n)],
+        "path": [f"p{i}" for i in range(n)],
+        "commit": [f"c{i}" for i in range(n)],
+        "raw_sha256": [f"{'ab'[i % 2]}sha" for i in range(n)],  # 2 groups
+        "keep": [True] * n,
+        "drop_reason": [""] * n,
+    }
+    t = pa.table(rows)
+    base = mark_dups(t).to_pandas().sort_values("path").reset_index(drop=True)
+    for seed in range(3):
+        perm = np.random.default_rng(seed).permutation(n)
+        got = (mark_dups(t.take(pa.array(perm))).to_pandas()
+               .sort_values("path").reset_index(drop=True))
+        assert got.equals(base)
+    # exactly one winner per group, and it's the min key
+    winners = base[base["drop_reason"] == ""]
+    assert len(winners) == 2
+    for sha, g in base.groupby("raw_sha256"):
+        keys = sorted(zip(g["repo"], g["path"], g["commit"]))
+        w = winners[winners["raw_sha256"] == sha]
+        assert (w["repo"].iloc[0], w["path"].iloc[0], w["commit"].iloc[0]) == keys[0]
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.text(max_size=300))
+def test_no_pii_rows_sha_stable(s):
+    """scrub(x) == x implies sha(content) == sha(raw) — the clean-row
+    invariant (FIXTURES.md stratum 10)."""
+    import hashlib
+
+    from spardaqus_ray.functions.scrub import scrub_text
+
+    s = rules.normalize_text(s)
+    out, counts = scrub_text(s)
+    if sum(counts.values()) == 0:
+        assert hashlib.sha256(out.encode()).hexdigest() == \
+            hashlib.sha256(s.encode()).hexdigest()
+
+
+def test_minhash_jaccard_estimate_tracks_truth():
+    from spardaqus_ray.pipelines.dedup import minhash_block, shingle_hashes
+
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    variants = [base,
+                base.replace("fox", "cat"),
+                "completely different words entirely " * 20]
+    sig = minhash_block(variants)
+    est01 = (sig[0] == sig[1]).mean()
+    est02 = (sig[0] == sig[2]).mean()
+    s0 = set(shingle_hashes(variants[0]).tolist())
+    s1 = set(shingle_hashes(variants[1]).tolist())
+    true01 = len(s0 & s1) / len(s0 | s1)
+    assert abs(est01 - true01) < 0.2
+    assert est02 < 0.1 < est01

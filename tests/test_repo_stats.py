@@ -1,0 +1,102 @@
+"""G3 repo stats, G5 repo-level drop, Q8 sampling, Q10 KMV sketch tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tests.conftest import SF001, has_testdata
+
+
+def test_kmv_accuracy():
+    from spardaqus_ray.pipelines.repo_stats import KMV_K, _kmv_hash, kmv_estimate
+
+    rng = np.random.default_rng(1)
+    for true_n in (100, 5_000, 200_000):
+        vals = rng.integers(0, 2**62, size=true_n, dtype=np.int64)
+        h = np.unique(_kmv_hash(np.unique(vals)))[:KMV_K]
+        est = kmv_estimate(h)
+        assert abs(est - true_n) / true_n < 0.15, (true_n, est)
+
+
+def test_kmv_merge_associative():
+    from spardaqus_ray.pipelines.repo_stats import KMV_K, _kmv_hash, kmv_estimate
+
+    rng = np.random.default_rng(2)
+    vals = rng.integers(0, 2**62, size=50_000, dtype=np.int64)
+    whole = np.unique(_kmv_hash(vals))[:KMV_K]
+    parts = np.array_split(vals, 7)
+    merged = np.unique(np.concatenate(
+        [np.unique(_kmv_hash(p))[:KMV_K] for p in parts]))[:KMV_K]
+    assert np.array_equal(whole, merged)
+    assert kmv_estimate(whole) == kmv_estimate(merged)
+
+
+@pytest.mark.skipif(not has_testdata(), reason="no testdata")
+def test_approx_vs_exact_distinct(ray_session):
+    from spardaqus_ray.pipelines.relational import q17_distinct_parts_exact
+    from spardaqus_ray.pipelines.repo_stats import approx_distinct_parts
+
+    approx = approx_distinct_parts(SF001).set_index("l_returnflag")
+    exact = q17_distinct_parts_exact(SF001).set_index("l_returnflag")
+    for f in exact.index:
+        a = approx.loc[f, "approx_distinct_parts"]
+        e = exact.loc[f, "distinct_parts"]
+        assert abs(a - e) / e < 0.15, (f, a, e)
+
+
+@pytest.mark.skipif(not has_testdata(), reason="no testdata")
+def test_repo_level_drop(ray_session):
+    from spardaqus_ray.pipelines.repo_stats import (DROP_REPO,
+                                                    repo_level_drop,
+                                                    repo_stats)
+    from spardaqus_ray.pipelines.textops import flagship_documents
+
+    ds = flagship_documents(SF001)
+    stats = repo_stats(ds).to_pandas()
+    assert (stats["files"] > 0).all()
+    # threshold strictly above the median ratio so repos with SOME kept
+    # rows also trip (a repo whose rows were all already dropped gets no
+    # DROP_REPO reason — nothing was left to re-mark)
+    ratios = stats["kept"] / stats["files"]
+    tau = float(ratios.median()) + 1e-9 + 1 / stats["files"].max()
+    expect = set(stats.loc[ratios < tau, "repo"])
+    expect_marked = set(stats.loc[(ratios < tau) & (stats["kept"] > 0), "repo"])
+    assert expect_marked, "fixture must contain a trip-able repo with kept rows"
+    out = repo_level_drop(flagship_documents(SF001), min_kept_frac=tau,
+                          min_files=1).to_pandas()
+    dropped_repos = set(out.loc[out["drop_reason"] == DROP_REPO, "repo"])
+    assert dropped_repos == expect_marked
+    assert not out.loc[out["repo"].isin(expect), "keep"].any()
+
+
+@pytest.mark.skipif(not has_testdata(), reason="no testdata")
+def test_qa_sample_deterministic_and_dropped_only(ray_session):
+    from spardaqus_ray.pipelines.repo_stats import qa_sample_dropped
+
+    a = qa_sample_dropped(SF001)
+    b = qa_sample_dropped(SF001)
+    assert a.equals(b)
+    assert (a["drop_reason"] != "").all()
+    assert len(a) > 0
+
+
+@pytest.mark.skipif(not has_testdata(), reason="no testdata")
+def test_cli_run_and_resume(ray_session, tmp_path):
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from spardaqus_ray.run import main
+    from spardaqus_ray.synth import generate_corpus
+
+    tbl, _ = generate_corpus(300, seed=9)
+    inp = str(tmp_path / "in.parquet")
+    pq.write_table(tbl, inp)
+    out = str(tmp_path / "ck")
+    rc = main(["--input", inp, "--output", out, "--num-partitions", "4"])
+    assert rc == 0
+    assert len([f for f in os.listdir(out) if f.endswith(".parquet")]) == 4
+    # resume: nothing to do
+    rc = main(["--input", inp, "--output", out])
+    assert rc == 0

@@ -61,3 +61,38 @@ def test_clean_ascii_without_patterns_unchanged(s):
     out, counts = scrub_text(s)
     if sum(counts.values()) == 0:
         assert out == s
+
+
+def _cand_one(s: str) -> bool:
+    import numpy as np
+
+    from spardaqus_ray.functions.scrub import scrub_candidates
+
+    b = np.frombuffer(s.encode(), np.uint8)
+    return bool(scrub_candidates(b, np.array([0, len(b)]))[0])
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=300))
+def test_prefilter_is_superset_of_regex(s):
+    """Any text SCRUB_RE matches MUST be a prefilter candidate — the fast
+    path may only skip rows that cannot match."""
+    from spardaqus_ray.functions.scrub import SCRUB_RE
+
+    if SCRUB_RE.search(s) is not None:
+        assert _cand_one(s)
+
+
+def test_prefilter_superset_on_corpus(corpus):
+    import numpy as np
+
+    from spardaqus_ray import rules
+    from spardaqus_ray.functions.heuristics import _flat_utf8, normalize_batch
+    from spardaqus_ray.functions.scrub import SCRUB_RE, scrub_candidates
+
+    tbl = normalize_batch(corpus[0])
+    buf, offsets = _flat_utf8(tbl["content"])
+    cand = scrub_candidates(buf, offsets)
+    for i, s in enumerate(tbl["content"].to_pylist()):
+        if SCRUB_RE.search(s) is not None:
+            assert cand[i], i
