@@ -158,6 +158,15 @@ def compute_features(batch: pa.Table) -> pa.Table:
         while p != -1:
             tox_rows.add(int(np.searchsorted(offsets, p, side="right")) - 1)
             p = low_b.find(wb, p + 1)
+    # autogen literal prefilter (superset of AUTOGEN_RE: every alternative
+    # contains one of these substrings, case-insensitive); the head-only
+    # regex then runs just on candidate rows
+    ag_rows: set[int] = set()
+    for lit in (b"generat", b"do not edit", b"lockfile"):
+        p = low_b.find(lit)
+        while p != -1:
+            ag_rows.add(int(np.searchsorted(offsets, p, side="right")) - 1)
+            p = low_b.find(lit, p + 1)
 
     # --- per-row section (bounded work: dup fracs, 8-gram stat, autogen).
     # The 8-gram ids are built VECTORIZED over chunk-level buffer spans
@@ -190,8 +199,17 @@ def compute_features(batch: pa.Table) -> pa.Table:
             if nb == 0:
                 continue
             if nb >= N:
-                _, cnt = np.unique(h[lo: hi - N + 1], return_counts=True)
-                top_ngram_frac[i] = N * int(cnt.max()) / nb
+                hs = np.sort(h[lo: hi - N + 1])
+                change = np.flatnonzero(hs[1:] != hs[:-1])
+                if len(change) == 0:
+                    top = len(hs)
+                else:
+                    bounds = np.empty(len(change) + 2, np.int64)
+                    bounds[0] = -1
+                    bounds[1:-1] = change
+                    bounds[-1] = len(hs) - 1
+                    top = int(np.diff(bounds).max())
+                top_ngram_frac[i] = N * top / nb
             bb = buf[offsets[i]:offsets[i + 1]].tobytes()
             lines = [ln for ln in (r.strip(b" \t") for r in bb.split(b"\n")) if ln]
             if lines:
@@ -199,9 +217,11 @@ def compute_features(batch: pa.Table) -> pa.Table:
             paras = [p for p in (q.strip(b" \t\n") for q in bb.split(b"\n\n")) if p]
             if paras:
                 dup_para_frac[i] = (len(paras) - len(set(paras))) / len(paras)
-            head = bb.split(b"\n", rules.AUTOGEN_HEAD_LINES)
-            head_s = b"\n".join(head[: rules.AUTOGEN_HEAD_LINES]).decode("utf-8", "replace")
-            autogen[i] = rules.AUTOGEN_RE.search(head_s) is not None
+            if i in ag_rows:
+                head = bb.split(b"\n", rules.AUTOGEN_HEAD_LINES)
+                head_s = b"\n".join(head[: rules.AUTOGEN_HEAD_LINES]).decode(
+                    "utf-8", "replace")
+                autogen[i] = rules.AUTOGEN_RE.search(head_s) is not None
             if i in tox_rows:
                 tox_hits[i] = len(TOX_RE.findall(bb.decode("utf-8", "replace")))
         i0 = i1

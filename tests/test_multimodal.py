@@ -1,0 +1,42 @@
+"""Multimodal plumbing tests: schema, actor decode, strict stub."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import SF001, has_testdata
+
+pytestmark = pytest.mark.skipif(not has_testdata(), reason="no testdata")
+
+
+def test_media_schema_and_decode(ray_session):
+    from spardaqus_ray.pipelines.multimodal import (MediaDecoder,
+                                                    decode_media,
+                                                    synth_binary_table)
+
+    ds = synth_binary_table(SF001)
+    schema = ds.schema()
+    assert schema.names == ["media_id", "kind", "payload", "meta_width",
+                            "meta_height", "meta_duration_ms"]
+    out = decode_media(SF001).to_pandas()
+    assert len(out) == 500
+    assert set(out["kind"]) == {"image", "audio", "video"}
+    feats = np.stack(out["features"].to_numpy())
+    assert feats.shape == (500, MediaDecoder.FEAT_DIM)
+    assert ((feats >= 0) & (feats < 1)).all()
+    # deterministic
+    out2 = decode_media(SF001).to_pandas()
+    assert out.sort_values("media_id").reset_index(drop=True).equals(
+        out2.sort_values("media_id").reset_index(drop=True))
+
+
+def test_strict_decoder_raises_like_missing_codec():
+    import pyarrow as pa
+
+    from spardaqus_ray.pipelines.multimodal import MediaDecoder
+
+    dec = MediaDecoder(strict=True)
+    batch = pa.table({"media_id": [1], "kind": ["image"],
+                      "payload": [b"xx"], "meta_width": [1],
+                      "meta_height": [1], "meta_duration_ms": [1]})
+    with pytest.raises(NotImplementedError):
+        dec(batch)

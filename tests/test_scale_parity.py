@@ -1,0 +1,34 @@
+"""Larger-scale pipeline-vs-oracle parity (20k rows) — the same contract as
+test_e2e at ~17x the volume, exercising multi-block shuffles and actor
+batching boundaries. Slow (~2-3 min): gated behind GRAFT_SLOW_TESTS=1 so
+`pytest -x -q` stays fast; run explicitly per round."""
+
+import os
+
+import pandas as pd
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("GRAFT_SLOW_TESTS") != "1",
+    reason="set GRAFT_SLOW_TESTS=1 to run")
+
+
+def test_scale_parity_20k(ray_session, cfg, models, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from spardaqus_ray.pipelines.flagship import annotate
+    from spardaqus_ray.synth import generate_corpus
+    from tests.reference_impl import label_corpus
+
+    tbl, _ = generate_corpus(20_000, seed=77)
+    p = str(tmp_path / "big.parquet")
+    pq.write_table(tbl, p, row_group_size=2048)
+
+    res = annotate(ray.data.read_parquet(p), cfg, models).to_pandas()
+    odf = pd.DataFrame(label_corpus(tbl.to_pylist(), cfg, models))
+    m = res.merge(odf, on=["repo", "path", "commit"], suffixes=("_p", "_o"))
+    assert len(m) == 20_000
+    assert (m["keep_p"] == m["keep_o"]).all()
+    assert (m["drop_reason_p"] == m["drop_reason_o"]).all()
+    assert (m["content_sha256_p"] == m["content_sha256_o"]).all()
