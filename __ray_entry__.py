@@ -50,12 +50,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q14_top_sources": relational.q14_top_sources,
         "q15_embedding_norms": relational.q15_embedding_norms,
         "q16_token_count_by_lang": relational.q16_token_count_by_lang,
+        "q18_user_sessions": relational.q18_user_sessions,
         # --- dedup family (exact is SQL-checkable; rest rows-only) ---
         "dedup_exact_docs": dedup.exact_dedup_docs,
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
         "dedup_simhash": dedup.simhash_pairs,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_embedding_cosine": dedup.embedding_neardup_pairs,
+        "dedup_neardup_groups": dedup.neardup_groups,
         # --- similarity search ---
         "ann_bruteforce": ann.ann_bruteforce,
         "ann_ivf": ann.ann_ivf,
@@ -98,4 +100,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": dedup.EXACT_DEDUP_SQL,
         "ann_bruteforce": ann.ann_bruteforce_sql(),
         "q17_distinct_parts_exact": relational.Q17_SQL,
+        "q18_user_sessions": relational.Q18_SQL,
     }

@@ -24,7 +24,7 @@ import subprocess
 import sys
 import time
 
-BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "480000"))
+BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "720000"))
 BENCH_SEED = 42
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -73,7 +73,7 @@ def bench_flagship() -> dict:
     # co-schedule with the task stages; 2x cpus read blocks.
     cfg = EngineConfig(
         num_partitions=NUM_CPUS,
-        model_batch_size=1024,
+        model_batch_size=2048,
         model_concurrency=max(2, int(os.environ.get("GRAFT_POOL", NUM_CPUS // 2))),
         model_num_cpus=0.5,
     )
@@ -87,7 +87,7 @@ def bench_flagship() -> dict:
                     pass
 
     t0 = time.time()
-    ds = ray.data.read_parquet(corpus, override_num_blocks=NUM_CPUS * 2)
+    ds = ray.data.read_parquet(corpus, override_num_blocks=NUM_CPUS * 4)
     out = annotate(ds, cfg, models)
     n_rows = 0
     n_kept = 0
@@ -154,16 +154,29 @@ def run_scaling(lo: int = 8, hi: int = 32) -> dict:
                              env=env, cwd=os.path.dirname(os.path.abspath(__file__)))
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    def run(ncpu: int) -> dict:
-        # best of 2: back-to-back fresh Ray sessions occasionally collide
-        # with the previous session's teardown (observed 3x outliers);
-        # a pause + min() gives a stable point estimate
-        a = run_one(ncpu)
-        time.sleep(5)
-        b = run_one(ncpu)
-        return a if a["value"] <= b["value"] else b
+    def wait_clean(timeout_s: int = 45) -> None:
+        # a fresh local Ray cluster contends with the previous one's
+        # asynchronous teardown (raylet + workers + /dev/shm unlink);
+        # wait until no ray processes remain before the next timed run
+        t0 = time.time()
+        while time.time() - t0 < timeout_s:
+            r = subprocess.run(["pgrep", "-fc", "ray::|raylet"],
+                               capture_output=True, text=True)
+            if r.stdout.strip() in ("", "0"):
+                return
+            time.sleep(2)
 
-    r_lo, r_hi = run(lo), run(hi)
+    # interleaved best-of-3 per level: this host shows +-40% run-to-run
+    # noise (shared machine); the per-level MINIMUM estimates capability,
+    # and interleaving makes slow phases hit both levels symmetrically
+    rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "3"))
+    obs: dict[int, list[dict]] = {lo: [], hi: []}
+    for _ in range(rounds):
+        for ncpu in (lo, hi):
+            wait_clean()
+            obs[ncpu].append(run_one(ncpu))
+    r_lo = min(obs[lo], key=lambda r: r["value"])
+    r_hi = min(obs[hi], key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {

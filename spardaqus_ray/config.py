@@ -22,6 +22,17 @@ class EngineConfig:
 
     # --- stage toggles ---
     dedup_enabled: bool = True
+    # exact-dedup physical plan (flagship.annotate):
+    #   "broadcast": key-only aggregate finds duplicated digests + their
+    #       min-key winners; the (small) winner map is broadcast and rows
+    #       are marked in-stream — NO full-row shuffle. Requires the
+    #       duplicated-group map to fit memory (<= dedup_broadcast_max).
+    #   "shuffle": hash-repartition the full rows by digest and mark
+    #       within blocks — the general 100-TB path (uniform keys).
+    #   "auto": broadcast, falling back to shuffle when the winner map
+    #       exceeds dedup_broadcast_max.
+    dedup_mode: str = "auto"
+    dedup_broadcast_max: int = 5_000_000
     langid_enabled: bool = True
     ppl_enabled: bool = True
     scrub_enabled: bool = True

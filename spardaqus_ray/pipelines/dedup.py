@@ -235,6 +235,47 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6,
 # SimHash
 # ---------------------------------------------------------------------------
 
+def neardup_groups(sf_dir: str, jaccard_threshold: float = 0.7,
+                   table: str = "documents", max_rounds: int = 10) -> pd.DataFrame:
+    """Connected components over the LSH-verified near-dup pairs:
+    iterative min-label propagation (each round: label[x] = min(label of
+    x's neighborhood) via a groupby-free pandas merge over the SMALL pair
+    set). The pair set is orders of magnitude smaller than the corpus
+    (LSH buckets), so propagation on the driver is the documented scale
+    path UNTIL pairs outgrow memory; then the same label-propagation loop
+    runs as repeated Dataset groupbys (same semantics, one shuffle per
+    round). Returns (doc_id, group_id=min doc_id of the component) for
+    every doc in a component of size >= 2."""
+    pairs = minhash_lsh_pairs(sf_dir, jaccard_threshold, table)
+    if len(pairs) == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "group_id": pd.Series([], dtype="int64")})
+    label: dict[int, int] = {}
+    for a, b in zip(pairs["a"], pairs["b"]):
+        label.setdefault(int(a), int(a))
+        label.setdefault(int(b), int(b))
+    edges = [(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])]
+    for _ in range(max_rounds):
+        changed = False
+        for a, b in edges:
+            m = min(label[a], label[b])
+            if label[a] != m or label[b] != m:
+                label[a] = label[b] = m
+                changed = True
+        if not changed:
+            break
+    out = pd.DataFrame(sorted(label.items()), columns=["doc_id", "group_id"])
+    # path-compress to the component minimum
+    root = dict(zip(out["doc_id"], out["group_id"]))
+    def find(x: int) -> int:
+        while root[x] != x:
+            root[x] = root[root[x]]
+            x = root[x]
+        return x
+    out["group_id"] = [find(d) for d in out["doc_id"]]
+    return out.astype({"doc_id": "int64", "group_id": "int64"})
+
+
 def simhash_block(texts: list[str]) -> np.ndarray:
     """(n,) uint64 simhash over word-level crc32 features (vectorized
     bit-count accumulation per doc)."""

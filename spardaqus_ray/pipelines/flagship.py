@@ -57,7 +57,15 @@ def annotate(ds: ray.data.Dataset, cfg: EngineConfig,
     shuffle is the optional exact-dedup repartition."""
     if models is None and (cfg.langid_enabled or cfg.ppl_enabled):
         models = build_default_models(cfg.langs)
-    if cfg.dedup_enabled:
+
+    # broadcast-dedup pre-pass runs under the default SORT shuffle (task
+    # based — no aggregator-actor spin-up); only the full-row shuffle
+    # fallback needs HASH_SHUFFLE
+    winners = None
+    if cfg.dedup_enabled and cfg.dedup_mode in ("auto", "broadcast"):
+        winners = _dup_winner_map(ds, cfg)
+
+    if cfg.dedup_enabled and winners is None:
         ensure_hash_shuffle(ds)
 
     ds = ds.map_batches(
@@ -65,9 +73,14 @@ def annotate(ds: ray.data.Dataset, cfg: EngineConfig,
         batch_format="pyarrow", zero_copy_batch=True,
     )
     if cfg.dedup_enabled:
-        ds = ds.repartition(cfg.num_partitions, keys=["raw_sha256"])
-        ds = ds.map_batches(mark_dups, batch_format="pyarrow",
-                            zero_copy_batch=True, batch_size=None)
+        if winners is not None:
+            ds = ds.map_batches(
+                functools.partial(mark_dups_broadcast, winners=winners),
+                batch_format="pyarrow", zero_copy_batch=True)
+        else:
+            ds = ds.repartition(cfg.num_partitions, keys=["raw_sha256"])
+            ds = ds.map_batches(mark_dups, batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=None)
     actor_kw = dict(
         batch_format="pyarrow", zero_copy_batch=True,
         batch_size=cfg.model_batch_size, concurrency=cfg.model_concurrency,
@@ -87,6 +100,68 @@ def annotate(ds: ray.data.Dataset, cfg: EngineConfig,
         functools.partial(scrub_and_stamp, scrub_enabled=cfg.scrub_enabled),
         batch_format="pyarrow", zero_copy_batch=True,
     )
+
+
+def _dup_winner_map(ds: ray.data.Dataset, cfg: EngineConfig) -> dict[str, str] | None:
+    """Broadcast-dedup phase A: a key-only pre-pass over the SAME input
+    plan (Datasets are lazy — the branch re-executes the cheap
+    read+normalize+sha projection, which is far cheaper than hash-
+    shuffling the full rows: digests+keys are ~8x smaller than content).
+    Returns {raw_sha256: winner "repo\\x00path\\x00commit"} for digests
+    with >=2 rows, or None to signal fallback to the shuffle plan
+    (map exceeds cfg.dedup_broadcast_max, only possible in "auto")."""
+    from ray.data.aggregate import Count, Min
+
+    def keys_only(t: pa.Table) -> pa.Table:
+        t2 = normalize_batch(t.select(["repo", "path", "commit", "content"]))
+        t2 = stamp_raw_sha256(t2)
+        composite = [f"{r}\x00{p}\x00{c}" for r, p, c in zip(
+            t2["repo"].to_pylist(), t2["path"].to_pylist(),
+            t2["commit"].to_pylist())]
+        return pa.table({"raw_sha256": t2["raw_sha256"],
+                         "k": pa.array(composite, pa.string())})
+
+    agg = (ds.map_batches(keys_only, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("raw_sha256")
+           .aggregate(Count(alias_name="n"), Min("k", alias_name="winner"))
+           # drop the (vast) unique majority DISTRIBUTEDLY — only
+           # duplicated digests reach the driver
+           .map_batches(lambda t: t.filter(pa.compute.greater(t["n"], 1)),
+                        batch_format="pyarrow", zero_copy_batch=True))
+    winners: dict[str, str] = {}
+    for b in agg.iter_batches(batch_format="pyarrow", batch_size=65536):
+        for sha, w in zip(b["raw_sha256"].to_pylist(), b["winner"].to_pylist()):
+            winners[sha] = w
+        if cfg.dedup_mode == "auto" and len(winners) > cfg.dedup_broadcast_max:
+            return None
+    return winners
+
+
+def mark_dups_broadcast(batch: pa.Table, winners: dict[str, str]) -> pa.Table:
+    """Broadcast-dedup phase B: rows whose digest is duplicated lose unless
+    they ARE the min-key winner. Same winner rule as mark_dups; no
+    shuffle. `winners` ships once per worker via the object store."""
+    import numpy as np
+
+    if not winners or batch.num_rows == 0:
+        return batch
+    shas = batch["raw_sha256"].to_pylist()
+    hit_idx = [i for i, s in enumerate(shas) if s in winners]
+    if not hit_idx:
+        return batch
+    repos = batch["repo"].to_pylist()
+    paths = batch["path"].to_pylist()
+    commits = batch["commit"].to_pylist()
+    keep = batch["keep"].combine_chunks().to_numpy(zero_copy_only=False).copy()
+    reason = np.asarray(batch["drop_reason"].to_pylist(), object)
+    for i in hit_idx:
+        if f"{repos[i]}\x00{paths[i]}\x00{commits[i]}" != winners[shas[i]]:
+            keep[i] = False
+            reason[i] = "dedup.exact"
+    batch = batch.set_column(batch.schema.get_field_index("keep"), "keep",
+                             pa.array(keep))
+    return batch.set_column(batch.schema.get_field_index("drop_reason"),
+                            "drop_reason", pa.array(reason, pa.string()))
 
 
 def _add_empty_langid(batch: pa.Table) -> pa.Table:

@@ -455,3 +455,35 @@ Q17_SQL = """
 SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS distinct_parts
 FROM lineitem GROUP BY l_returnflag
 """
+
+
+def q18_user_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Sessionization of the bounded event stream (SURVEY.md §2.8 note:
+    stream windows as bounded groupby): per user, events sorted by ts;
+    a gap > 30 min opens a new session. One groupby(user) shuffle; the
+    per-group windowing is vectorized pandas inside map_groups."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values()
+        new = (ts.diff() > pd.Timedelta(minutes=gap_minutes))
+        n_sessions = int(new.sum()) + 1
+        return pd.DataFrame([{
+            "user_id": int(g["user_id"].iloc[0]),
+            "n_events": len(g),
+            "n_sessions": n_sessions,
+        }])
+
+    out = (ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+Q18_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       1 + SUM(CASE WHEN gap > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS n_sessions
+FROM (
+  SELECT user_id, ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS gap
+  FROM events)
+GROUP BY user_id
+"""

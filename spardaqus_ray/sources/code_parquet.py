@@ -53,6 +53,19 @@ def _docs_to_code(batch: pa.Table) -> pa.Table:
     })
 
 
+def read_code_jsonl(paths, **kw) -> ray.data.Dataset:
+    """S1 variant: the same code table from JSONL (one object per line
+    with the input_hint keys) — for corpora delivered as JSON dumps.
+    Validates the schema the same way; heavier than parquet (no column
+    pruning) — convert to parquet for repeated runs."""
+    ds = ray.data.read_json(paths, **kw)
+    schema = ds.schema()
+    missing = [c for c in CODE_COLUMNS if c not in schema.names]
+    if missing:
+        raise ValueError(f"jsonl input missing columns {missing}")
+    return ds
+
+
 def documents_as_code(sf_dir: str) -> ray.data.Dataset:
     """Map the driver's `documents` fixture onto the code-table schema
     (FIXTURES.md §B: source->repo, doc_id->path, text->content) — the

@@ -1,0 +1,91 @@
+"""Dedup-family tests (SURVEY.md §5.2 test_dedup): LSH recall on planted
+near-dups, simhash verification, connected components, jsonl source."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from tests.conftest import SF001, has_testdata
+
+pytestmark = pytest.mark.skipif(not has_testdata(), reason="no testdata")
+
+
+def test_minhash_lsh_finds_exact_dups(ray_session):
+    """Exact duplicate texts must always collide in every band and be
+    reported with est_jaccard 1.0 — the recall floor of the LSH."""
+    import duckdb
+
+    from spardaqus_ray.pipelines.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(SF001)
+    con = duckdb.connect()
+    dup_groups = con.execute(
+        f"""SELECT list(doc_id ORDER BY doc_id) AS ids
+            FROM read_parquet('{SF001}/documents.parquet')
+            GROUP BY text HAVING COUNT(*) > 1""").fetchall()
+    got = set(zip(pairs["a"], pairs["b"]))
+    for (ids,) in dup_groups:
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                assert (ids[i], ids[j]) in got, (ids[i], ids[j])
+    perfect = pairs[pairs["est_jaccard"] == 1.0]
+    assert len(perfect) >= sum(
+        len(ids) * (len(ids) - 1) // 2 for (ids,) in dup_groups)
+
+
+def test_simhash_exact_dups_zero_hamming(ray_session):
+    from spardaqus_ray.pipelines.dedup import simhash_pairs
+
+    pairs = simhash_pairs(SF001)
+    assert len(pairs) > 0
+    assert (pairs["hamming"] <= 3).all()
+    assert (pairs["hamming"] == 0).any()
+
+
+def test_neardup_groups_are_components(ray_session):
+    from spardaqus_ray.pipelines.dedup import minhash_lsh_pairs, neardup_groups
+
+    groups = neardup_groups(SF001)
+    pairs = minhash_lsh_pairs(SF001)
+    gid = dict(zip(groups["doc_id"], groups["group_id"]))
+    # every verified pair ends up in the same component, labeled by min id
+    for a, b in zip(pairs["a"], pairs["b"]):
+        assert gid[a] == gid[b]
+        assert gid[a] <= min(a, b)
+    # group_id is a member of its own group
+    members = set(groups["doc_id"])
+    assert set(groups["group_id"]) <= members
+
+
+def test_embedding_neardup_self_consistency(ray_session):
+    from spardaqus_ray.pipelines.dedup import embedding_neardup_pairs
+
+    pairs = embedding_neardup_pairs(SF001, threshold=0.9)
+    assert (pairs["a"] < pairs["b"]).all()
+    assert (pairs["cosine"] >= 0.9).all()
+
+
+def test_jsonl_source_roundtrip(ray_session, tmp_path):
+    import json
+
+    from spardaqus_ray.pipelines.flagship import annotate
+    from spardaqus_ray.sources.code_parquet import read_code_jsonl
+    from spardaqus_ray.synth import generate_corpus
+    from spardaqus_ray.config import test_config
+
+    tbl, _ = generate_corpus(100, seed=3)
+    p = tmp_path / "corpus.jsonl"
+    with open(p, "w") as f:
+        for r in tbl.to_pylist():
+            f.write(json.dumps(r) + "\n")
+    ds = read_code_jsonl(str(p))
+    cfg = test_config(langid_enabled=False, ppl_enabled=False)
+    out = annotate(ds, cfg).to_pandas()
+    assert len(out) == 100
+    assert "content_sha256" in out.columns
+
+    with pytest.raises(ValueError, match="missing columns"):
+        bad = tmp_path / "bad.jsonl"
+        bad.write_text('{"repo": "a"}\n')
+        read_code_jsonl(str(bad))

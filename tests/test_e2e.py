@@ -112,6 +112,22 @@ def test_every_stratum_covered(ray_session, corpus, corpus_parquet, cfg, models)
     assert (scrubbed & pii["keep"]).sum() > 0.5 * pii["keep"].sum()
 
 
+def test_dedup_modes_equivalent(ray_session, corpus_parquet, cfg, models):
+    """broadcast and shuffle dedup plans must produce identical labels
+    (same min-key winner rule, different physical exchange)."""
+    import ray.data
+
+    from spardaqus_ray.pipelines.flagship import annotate
+
+    ds = ray.data.read_parquet(corpus_parquet)
+    a = annotate(ds, cfg.with_(dedup_mode="broadcast"), models).to_pandas()
+    b = annotate(ds, cfg.with_(dedup_mode="shuffle"), models).to_pandas()
+    a = a.sort_values(KEY).reset_index(drop=True)
+    b = b.sort_values(KEY).reset_index(drop=True)
+    for c in ("keep", "drop_reason", "content_sha256"):
+        assert (a[c] == b[c]).all(), c
+
+
 def test_resume_idempotent(ray_session, corpus_parquet, cfg, models, tmp_path):
     from spardaqus_ray.pipelines.flagship import run_flagship
 
