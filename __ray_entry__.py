@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q15_embedding_norms": relational.q15_embedding_norms,
         "q16_token_count_by_lang": relational.q16_token_count_by_lang,
         "q18_user_sessions": relational.q18_user_sessions,
+        "q19_asof_last_order": relational.q19_asof_last_order,
+        "q20_running_revenue": relational.q20_running_revenue,
         # --- dedup family (exact is SQL-checkable; rest rows-only) ---
         "dedup_exact_docs": dedup.exact_dedup_docs,
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
@@ -101,4 +103,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce": ann.ann_bruteforce_sql(),
         "q17_distinct_parts_exact": relational.Q17_SQL,
         "q18_user_sessions": relational.Q18_SQL,
+        "q19_asof_last_order": relational.Q19_SQL,
+        "q20_running_revenue": relational.Q20_SQL,
     }

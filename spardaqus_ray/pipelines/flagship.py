@@ -74,8 +74,10 @@ def annotate(ds: ray.data.Dataset, cfg: EngineConfig,
     )
     if cfg.dedup_enabled:
         if winners is not None:
+            winner_set = pa.array(list(winners.keys()), pa.string())
             ds = ds.map_batches(
-                functools.partial(mark_dups_broadcast, winners=winners),
+                functools.partial(mark_dups_broadcast, winners=winners,
+                                  winner_set=winner_set),
                 batch_format="pyarrow", zero_copy_batch=True)
         else:
             ds = ds.repartition(cfg.num_partitions, keys=["raw_sha256"])
@@ -137,7 +139,8 @@ def _dup_winner_map(ds: ray.data.Dataset, cfg: EngineConfig) -> dict[str, str] |
     return winners
 
 
-def mark_dups_broadcast(batch: pa.Table, winners: dict[str, str]) -> pa.Table:
+def mark_dups_broadcast(batch: pa.Table, winners: dict[str, str],
+                        winner_set: pa.Array | None = None) -> pa.Table:
     """Broadcast-dedup phase B: rows whose digest is duplicated lose unless
     they ARE the min-key winner. Same winner rule as mark_dups; no
     shuffle. `winners` ships once per worker via the object store."""
@@ -145,17 +148,24 @@ def mark_dups_broadcast(batch: pa.Table, winners: dict[str, str]) -> pa.Table:
 
     if not winners or batch.num_rows == 0:
         return batch
-    shas = batch["raw_sha256"].to_pylist()
-    hit_idx = [i for i, s in enumerate(shas) if s in winners]
-    if not hit_idx:
+    # vectorized candidate prefilter: winners holds ONLY duplicated
+    # digests, so the typical batch has few (often zero) hits — one
+    # Arrow is_in scan replaces a per-row Python dict probe
+    if winner_set is None:
+        winner_set = pa.array(list(winners.keys()), pa.string())
+    hits = pa.compute.is_in(batch["raw_sha256"], value_set=winner_set)
+    hit_idx = np.flatnonzero(hits.combine_chunks().to_numpy(
+        zero_copy_only=False))
+    if hit_idx.size == 0:
         return batch
-    repos = batch["repo"].to_pylist()
-    paths = batch["path"].to_pylist()
-    commits = batch["commit"].to_pylist()
+    shas = batch["raw_sha256"].take(pa.array(hit_idx)).to_pylist()
+    repos = batch["repo"].take(pa.array(hit_idx)).to_pylist()
+    paths = batch["path"].take(pa.array(hit_idx)).to_pylist()
+    commits = batch["commit"].take(pa.array(hit_idx)).to_pylist()
     keep = batch["keep"].combine_chunks().to_numpy(zero_copy_only=False).copy()
     reason = np.asarray(batch["drop_reason"].to_pylist(), object)
-    for i in hit_idx:
-        if f"{repos[i]}\x00{paths[i]}\x00{commits[i]}" != winners[shas[i]]:
+    for j, i in enumerate(hit_idx):
+        if f"{repos[j]}\x00{paths[j]}\x00{commits[j]}" != winners[shas[j]]:
             keep[i] = False
             reason[i] = "dedup.exact"
     batch = batch.set_column(batch.schema.get_field_index("keep"), "keep",

@@ -487,3 +487,85 @@ FROM (
   FROM events)
 GROUP BY user_id
 """
+
+
+def q19_asof_last_order(sf_dir: str) -> pd.DataFrame:
+    """As-of join (task-brief custom operator): each event joins the most
+    recent order of the same customer at-or-before the event time.
+    Scale plan: tag both tables onto a common (key, t, event_id) schema,
+    union, ONE hash shuffle on the key, then a per-group stable sort +
+    forward-fill merge inside map_groups — the classic co-partitioned
+    sorted-merge as-of, no broadcast, no per-row driver work.
+    Partitioning assumption: one customer's events+orders fit in a group
+    (holds at any realistic skew; salt the key if a single customer ever
+    exceeds a block)."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    od = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def tag_ev(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["user_id"].cast(pa.int64()), "t": t["ts"],
+                         "event_id": t["event_id"]})
+
+    def tag_od(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["o_custkey"].cast(pa.int64()),
+                         "t": t["o_orderdate"],
+                         "event_id": pa.nulls(t.num_rows, pa.int64())})
+
+    u = (ev.map_batches(tag_ev, batch_format="pyarrow", zero_copy_batch=True)
+         .union(od.map_batches(tag_od, batch_format="pyarrow",
+                               zero_copy_batch=True)))
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        is_order = g["event_id"].isna()
+        # orders sort BEFORE events at equal t so `<=` ties match
+        g = (g.assign(_side=is_order.map({True: 0, False: 1}))
+             .sort_values(["t", "_side"], kind="mergesort"))
+        last_order = g["t"].where(g["_side"] == 0).ffill()
+        hit = (g["_side"] == 1) & last_order.notna()
+        return pd.DataFrame({
+            "event_id": g.loc[hit, "event_id"].astype("int64"),
+            "asof_orderdate": last_order[hit],
+        })
+
+    out = u.groupby("key").map_groups(asof, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+Q19_SQL = """
+SELECT e.event_id, MAX(o.o_orderdate) AS asof_orderdate
+FROM events e JOIN orders o
+  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+GROUP BY e.event_id
+"""
+
+
+def q20_running_revenue(sf_dir: str) -> pd.DataFrame:
+    """Windowed aggregate (task-brief custom operator): per-customer
+    running revenue over orders in (o_orderdate, o_orderkey) order —
+    SUM OVER (PARTITION BY ... ORDER BY ...) as ONE groupby shuffle +
+    vectorized cumsum per group. Identical accumulation order on both
+    sides makes the 4-dp rounding stable."""
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_custkey", "o_totalprice",
+                             "o_orderdate"])
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
+        return pd.DataFrame({
+            "o_orderkey": g["o_orderkey"],
+            "o_custkey": g["o_custkey"],
+            "running_rev": g["o_totalprice"].cumsum(),
+        })
+
+    out = ds.groupby("o_custkey").map_groups(run, batch_format="pandas").to_pandas()
+    out = out.sort_values("o_orderkey").reset_index(drop=True)
+    return _r4(out, ["running_rev"])
+
+
+Q20_SQL = """
+SELECT o_orderkey, o_custkey,
+       ROUND(SUM(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 4)
+       AS running_rev
+FROM orders
+"""
