@@ -10,8 +10,10 @@ Headline: the flagship language-ID + quality-filter + scrub pipeline
 once and cached under /tmp). Also times representative queries over
 $GRAFT_SF_DIR (default /root/testdata/sf0.1).
 
---scaling: runs the headline twice in FRESH processes (num_cpus=8 and 32
-by default) on the SAME cached input and reports both throughputs plus
+--scaling: runs the headline twice in FRESH processes (num_cpus=6 and 24
+by default — 4x apart while leaving host headroom so external contention
+hits both levels symmetrically; GRAFT_SCALING_LO/HI override) on the
+SAME cached input and reports both throughputs plus
 efficiency = (t_lo/t_hi)/(hi/lo). This evidences the north_rule's
 "N and 4N nodes" criterion in the single-host sandbox (BASELINE.md note).
 """
@@ -193,7 +195,12 @@ def run_scaling(lo: int = 8, hi: int = 32) -> dict:
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        # levels overridable: on this shared host a 32-CPU run occupies
+        # every core and absorbs ALL external contention, deflating the
+        # hi side of the ratio; 6->24 keeps 4x while leaving headroom
+        print(json.dumps(run_scaling(
+            lo=int(os.environ.get("GRAFT_SCALING_LO", "6")),
+            hi=int(os.environ.get("GRAFT_SCALING_HI", "24")))))
     elif os.environ.get("GRAFT_BENCH_FLAGSHIP_ONLY"):
         import ray
 

@@ -29,6 +29,8 @@ def build_config(args) -> "EngineConfig":
         over["num_partitions"] = args.num_partitions
     if args.no_dedup:
         over["dedup_enabled"] = False
+    if args.dedup_mode:
+        over["dedup_mode"] = args.dedup_mode
     if args.no_langid:
         over["langid_enabled"] = False
     if args.no_ppl:
@@ -47,6 +49,8 @@ def main(argv=None) -> int:
     p.add_argument("--config", help="JSON file of EngineConfig fields")
     p.add_argument("--num-partitions", type=int)
     p.add_argument("--no-dedup", action="store_true")
+    p.add_argument("--dedup-mode", choices=["auto", "broadcast", "shuffle"],
+                   default=None, help="exact-dedup physical plan (config.py)")
     p.add_argument("--no-langid", action="store_true")
     p.add_argument("--no-ppl", action="store_true")
     p.add_argument("--no-scrub", action="store_true")

@@ -89,3 +89,37 @@ def test_jsonl_source_roundtrip(ray_session, tmp_path):
         bad = tmp_path / "bad.jsonl"
         bad.write_text('{"repo": "a"}\n')
         read_code_jsonl(str(bad))
+
+def test_embedding_neardup_planted_recall(ray_session, tmp_path):
+    """Plant exact + tiny-noise duplicate vectors in a synthetic
+    embeddings table; every planted pair must be recovered (at sigma
+    0.005 a bit of the 16-bit sketch flips with prob ~0.002, so all 4
+    LSH tables agreeing is near-certain and the test is deterministic
+    for a fixed seed)."""
+    import pyarrow.parquet as pq
+
+    from spardaqus_ray.pipelines.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(12345)
+    base = rng.standard_normal((40, 64)).astype(np.float32)
+    rows, planted = [], []
+    vid = 0
+    for i in range(40):
+        rows.append((vid, base[i])); a = vid; vid += 1
+        if i < 10:                       # exact copy
+            rows.append((vid, base[i])); planted.append((a, vid)); vid += 1
+        elif i < 20:                     # near copy, cosine ~0.99995
+            noisy = base[i] + 0.005 * rng.standard_normal(64).astype(np.float32)
+            rows.append((vid, noisy)); planted.append((a, vid)); vid += 1
+    t = pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array([r[1].tolist() for r in rows],
+                              pa.list_(pa.float32())),
+        "label": pa.array(["x"] * len(rows)),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    pairs = embedding_neardup_pairs(str(tmp_path), threshold=0.98)
+    got = set(zip(pairs["a"], pairs["b"]))
+    for a, b in planted:
+        assert (a, b) in got, (a, b)
+    assert (pairs["cosine"] >= 0.98).all()
