@@ -111,6 +111,7 @@ def bench_queries() -> dict:
         ("q1_lineitem_agg", relational.q1_lineitem_agg),
         ("q2_revenue_by_mktsegment", relational.q2_revenue_by_mktsegment),
         ("q11_events_hourly", relational.q11_events_hourly),
+        ("q19_asof_last_order", relational.q19_asof_last_order),
         ("dedup_minhash_lsh", dedup.minhash_lsh_pairs),
         ("ann_bruteforce", ann.ann_bruteforce),
         ("token_count_bpe", textops.token_count_bpe),

@@ -514,20 +514,43 @@ def q19_asof_last_order(sf_dir: str) -> pd.DataFrame:
     u = (ev.map_batches(tag_ev, batch_format="pyarrow", zero_copy_batch=True)
          .union(od.map_batches(tag_od, batch_format="pyarrow",
                                zero_copy_batch=True)))
+    ensure_hash_shuffle(u)
+    u = u.repartition(16, keys=["key"])
 
-    def asof(g: pd.DataFrame) -> pd.DataFrame:
-        is_order = g["event_id"].isna()
-        # orders sort BEFORE events at equal t so `<=` ties match
-        g = (g.assign(_side=is_order.map({True: 0, False: 1}))
-             .sort_values(["t", "_side"], kind="mergesort"))
-        last_order = g["t"].where(g["_side"] == 0).ffill()
-        hit = (g["_side"] == 1) & last_order.notna()
-        return pd.DataFrame({
-            "event_id": g.loc[hit, "event_id"].astype("int64"),
-            "asof_orderdate": last_order[hit],
+    def asof_block(t: pa.Table) -> pa.Table:
+        # whole-block vectorized as-of: keys are co-located by the
+        # repartition, so one lexsort + segmented cummax forward-fill
+        # handles every customer in the block at numpy speed (the
+        # per-group map_groups version was ~10x slower: ~10k Python
+        # group dispatches vs 16 array passes)
+        if t.num_rows == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "asof_orderdate": pa.array([], pa.timestamp("us"))})
+        key = np.asarray(t["key"].to_pandas(), np.int64)
+        ts = np.asarray(t["t"].to_pandas()).astype("datetime64[us]").astype(np.int64)
+        eid_pd = t["event_id"].to_pandas()
+        side = (~eid_pd.isna()).to_numpy().astype(np.int8)  # 0 = order row
+        eid = eid_pd.fillna(-1).astype(np.int64).to_numpy()
+        # orders sort BEFORE events at equal (key, t) so `<=` ties match
+        idx = np.lexsort((side, ts, key))
+        k, tt, s, e = key[idx], ts[idx], side[idx], eid[idx]
+        n = len(k)
+        pos = np.arange(n)
+        run_start = np.empty(n, bool)
+        run_start[0] = True
+        run_start[1:] = k[1:] != k[:-1]
+        seg_start = np.maximum.accumulate(np.where(run_start, pos, -1))
+        last_order = np.maximum.accumulate(np.where(s == 0, pos, -1))
+        hit = (s == 1) & (last_order >= seg_start)
+        return pa.table({
+            "event_id": pa.array(e[hit]),
+            "asof_orderdate": pa.array(
+                tt[last_order[hit]].astype("datetime64[us]")),
         })
 
-    out = u.groupby("key").map_groups(asof, batch_format="pandas").to_pandas()
+    out = (u.map_batches(asof_block, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None)
+           .to_pandas())
     return out.sort_values("event_id").reset_index(drop=True)
 
 
