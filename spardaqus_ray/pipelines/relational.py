@@ -383,7 +383,7 @@ def q14_top_sources(sf_dir: str) -> pd.DataFrame:
 
 
 Q14_SQL = """
-SELECT source, SUM(n_chars) AS total_chars, COUNT(*) AS n_docs
+SELECT source, CAST(SUM(n_chars) AS BIGINT) AS total_chars, COUNT(*) AS n_docs
 FROM documents GROUP BY source
 ORDER BY total_chars DESC, source LIMIT 5
 """
@@ -417,14 +417,17 @@ FROM embeddings GROUP BY label
 
 def q16_token_count_by_lang(sf_dir: str) -> pd.DataFrame:
     """Whitespace token counting over documents (training-data op: token
-    budget accounting)."""
+    budget accounting). Tokens = maximal runs of non-ASCII-whitespace,
+    counted with ONE vectorized RE2 kernel (pyarrow count_substring_regex)
+    — identical semantics to the oracle's regexp_extract_all (both RE2:
+    \\S is ASCII-only, empty text counts 0)."""
     ds = read_table(sf_dir, "documents", columns=["lang", "text"])
 
     def toks(t: pa.Table) -> pa.Table:
-        counts = [len(s.split()) for s in t["text"].to_pylist()]
-        return pa.table({"lang": t["lang"], "n_tokens": pa.array(counts, pa.int64())})
+        counts = pc.count_substring_regex(t["text"], pattern=r"\S+")
+        return pa.table({"lang": t["lang"], "n_tokens": counts.cast(pa.int64())})
 
-    out = (ds.map_batches(toks, batch_format="pyarrow")
+    out = (ds.map_batches(toks, batch_format="pyarrow", zero_copy_batch=True)
            .groupby("lang")
            .aggregate(Sum("n_tokens", alias_name="total_tokens"),
                       Mean("n_tokens", alias_name="avg_tokens"))
@@ -433,8 +436,9 @@ def q16_token_count_by_lang(sf_dir: str) -> pd.DataFrame:
 
 
 Q16_SQL = """
-SELECT lang, SUM(n) AS total_tokens, ROUND(AVG(CAST(n AS DOUBLE)), 4) AS avg_tokens
-FROM (SELECT lang, array_length(string_split_regex(trim(text), '\\s+')) AS n
+SELECT lang, CAST(SUM(n) AS BIGINT) AS total_tokens,
+       ROUND(AVG(CAST(n AS DOUBLE)), 4) AS avg_tokens
+FROM (SELECT lang, length(regexp_extract_all(text, '\\S+')) AS n
       FROM documents)
 GROUP BY lang
 """
@@ -460,28 +464,52 @@ FROM lineitem GROUP BY l_returnflag
 def q18_user_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     """Sessionization of the bounded event stream (SURVEY.md §2.8 note:
     stream windows as bounded groupby): per user, events sorted by ts;
-    a gap > 30 min opens a new session. One groupby(user) shuffle; the
-    per-group windowing is vectorized pandas inside map_groups."""
+    a gap > 30 min opens a new session.
+
+    Physical plan = the q19 block-vectorized pattern (NOT per-group
+    map_groups — measured ~10x slower): ONE hash repartition on user_id
+    co-locates each user, then a whole-block numpy lexsort + segmented
+    diff/reduceat computes every user's session count in a handful of
+    array passes. Partitioning assumption: one user's events fit in a
+    block (holds at any realistic skew; salt the key otherwise)."""
     ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    ensure_hash_shuffle(ds)
+    ds = ds.repartition(16, keys=["user_id"])
+    gap_us = np.int64(gap_minutes) * 60 * 1_000_000
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values()
-        new = (ts.diff() > pd.Timedelta(minutes=gap_minutes))
-        n_sessions = int(new.sum()) + 1
-        return pd.DataFrame([{
-            "user_id": int(g["user_id"].iloc[0]),
-            "n_events": len(g),
-            "n_sessions": n_sessions,
-        }])
+    def sess_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "n_sessions": pa.array([], pa.int64())})
+        key = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = np.asarray(t["ts"].to_pandas()).astype("datetime64[us]").astype(np.int64)
+        idx = np.lexsort((ts, key))
+        k, tt = key[idx], ts[idx]
+        n = len(k)
+        run_start = np.empty(n, bool)
+        run_start[0] = True
+        run_start[1:] = k[1:] != k[:-1]
+        # a new session opens at every within-user gap > gap_us
+        new_sess = np.zeros(n, np.int64)
+        new_sess[1:] = ((tt[1:] - tt[:-1]) > gap_us) & ~run_start[1:]
+        starts = np.flatnonzero(run_start)
+        n_events = np.diff(np.append(starts, n))
+        n_sessions = np.add.reduceat(new_sess, starts) + 1
+        return pa.table({"user_id": pa.array(k[starts]),
+                         "n_events": pa.array(n_events),
+                         "n_sessions": pa.array(n_sessions)})
 
-    out = (ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    out = (ds.map_batches(sess_block, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
            .to_pandas())
     return out.sort_values("user_id").reset_index(drop=True)
 
 
 Q18_SQL = """
 SELECT user_id, COUNT(*) AS n_events,
-       1 + SUM(CASE WHEN gap > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS n_sessions
+       CAST(1 + SUM(CASE WHEN gap > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_sessions
 FROM (
   SELECT user_id, ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS gap
   FROM events)
@@ -565,22 +593,42 @@ GROUP BY e.event_id
 def q20_running_revenue(sf_dir: str) -> pd.DataFrame:
     """Windowed aggregate (task-brief custom operator): per-customer
     running revenue over orders in (o_orderdate, o_orderkey) order —
-    SUM OVER (PARTITION BY ... ORDER BY ...) as ONE groupby shuffle +
-    vectorized cumsum per group. Identical accumulation order on both
-    sides makes the 4-dp rounding stable."""
+    SUM OVER (PARTITION BY ... ORDER BY ...) as ONE hash repartition on
+    the customer key + a whole-block segmented cumsum (the q19
+    block-vectorized pattern; per-group map_groups measured ~10x slower).
+    Identical per-customer accumulation order on both sides makes the
+    4-dp rounding stable."""
     ds = read_table(sf_dir, "orders",
                     columns=["o_orderkey", "o_custkey", "o_totalprice",
                              "o_orderdate"])
+    ensure_hash_shuffle(ds)
+    ds = ds.repartition(16, keys=["o_custkey"])
 
-    def run(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
-        return pd.DataFrame({
-            "o_orderkey": g["o_orderkey"],
-            "o_custkey": g["o_custkey"],
-            "running_rev": g["o_totalprice"].cumsum(),
-        })
+    def run_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "o_custkey": pa.array([], pa.int64()),
+                             "running_rev": pa.array([], pa.float64())})
+        cust = t["o_custkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        okey = t["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        odate = np.asarray(t["o_orderdate"].to_pandas()).astype(
+            "datetime64[us]").astype(np.int64)
+        price = t["o_totalprice"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        idx = np.lexsort((okey, odate, cust))
+        c, k, p = cust[idx], okey[idx], price[idx]
+        # per-customer sequential cumsum (pandas cython groupby.cumsum:
+        # one vectorized pass, no per-group Python) — the SAME left-to-right
+        # float64 accumulation order as the SQL window, so the 4-dp rounding
+        # is bit-stable. (A global-cumsum-minus-segment-base trick is NOT
+        # equivalent: prefix-difference roundoff grows with the block sum.)
+        running = pd.Series(p).groupby(pd.Series(c), sort=False).cumsum().to_numpy()
+        return pa.table({"o_orderkey": pa.array(k), "o_custkey": pa.array(c),
+                         "running_rev": pa.array(running)})
 
-    out = ds.groupby("o_custkey").map_groups(run, batch_format="pandas").to_pandas()
+    out = (ds.map_batches(run_block, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+           .to_pandas())
     out = out.sort_values("o_orderkey").reset_index(drop=True)
     return _r4(out, ["running_rev"])
 

@@ -42,7 +42,14 @@ def _compare(name, ray_df, sql_df):
     assert list(a.columns) == list(b.columns), (name, list(a.columns), list(b.columns))
     assert len(a) == len(b), (name, len(a), len(b))
     for c in a.columns:
-        if a[c].dtype.kind == "f" or b[c].dtype.kind == "f":
+        # DTYPE-STRICT (mirrors the driver's type-sensitive value hash):
+        # an int64 Ray column vs a float64 oracle column (e.g. DuckDB
+        # SUM(int) -> HUGEINT -> fetchdf float64) must FAIL here even when
+        # the values are numerically equal — CAST the SQL side to BIGINT.
+        ak, bk = a[c].dtype.kind, b[c].dtype.kind
+        assert (ak == "f") == (bk == "f"), \
+            (name, c, f"dtype mismatch: ray={a[c].dtype} oracle={b[c].dtype}")
+        if ak == "f":
             assert (a[c].astype(float).round(4).fillna(-1)
                     == b[c].astype(float).round(4).fillna(-1)).all(), (name, c)
         else:
