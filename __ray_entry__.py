@@ -58,7 +58,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
         "dedup_simhash": dedup.simhash_pairs,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
-        "dedup_embedding_cosine": dedup.embedding_neardup_pairs,
+        "dedup_embedding_cosine": dedup.embedding_cosine_pairs_exact,
+        "dedup_embedding_lsh": dedup.embedding_neardup_pairs,
         "dedup_neardup_groups": dedup.neardup_groups,
         # --- similarity search ---
         "ann_bruteforce": ann.ann_bruteforce,
@@ -100,6 +101,7 @@ def oracle_sql() -> dict[str, str]:
         "q15_embedding_norms": relational.Q15_SQL,
         "q16_token_count_by_lang": relational.Q16_SQL,
         "dedup_exact_docs": dedup.EXACT_DEDUP_SQL,
+        "dedup_embedding_cosine": dedup.EMB_COSINE_SQL,
         "ann_bruteforce": ann.ann_bruteforce_sql(),
         "q17_distinct_parts_exact": relational.Q17_SQL,
         "q18_user_sessions": relational.Q18_SQL,

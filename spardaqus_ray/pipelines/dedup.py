@@ -20,7 +20,7 @@ crc32 (stable across processes; builtin hash() is salted).
 
 from __future__ import annotations
 
-import hashlib
+import logging
 import zlib
 
 import numpy as np
@@ -29,6 +29,15 @@ import pyarrow as pa
 
 from spardaqus_ray.sources.code_parquet import read_table
 from spardaqus_ray.util import ensure_hash_shuffle
+
+log = logging.getLogger(__name__)
+
+# Max distinct signatures compared pairwise inside one LSH bucket. Exact
+# duplicates are collapsed to one representative FIRST (a mega-bucket of m
+# copies costs m-1 star pairs, not m^2/2), so hitting this cap means >cap
+# genuinely distinct signatures landed in one band bucket — we verify the
+# cap smallest doc_ids and LOG the drop (no silent truncation).
+BUCKET_CAP = 256
 
 # ---------------------------------------------------------------------------
 # exact dedup (SQL-checkable: GROUP BY text)
@@ -40,8 +49,11 @@ def exact_dedup_docs(sf_dir: str) -> pd.DataFrame:
     ensure_hash_shuffle(ds)
 
     def digest(t: pa.Table) -> pa.Table:
-        shas = [hashlib.sha256(s.encode()).hexdigest() for s in t["text"].to_pylist()]
-        return pa.table({"doc_id": t["doc_id"], "sha": pa.array(shas, pa.string())})
+        from spardaqus_ray.functions.hashing import sha256_column
+
+        # hashlib over zero-copy slices of the flat Arrow buffer — no
+        # per-row Python string materialization
+        return pa.table({"doc_id": t["doc_id"], "sha": sha256_column(t["text"])})
 
     ds = ds.map_batches(digest, batch_format="pyarrow")
     ds = ds.repartition(8, keys=["sha"])
@@ -144,7 +156,16 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.7,
                       table: str = "documents") -> pd.DataFrame:
     """Candidate pairs via LSH banding, verified by signature-estimated
     Jaccard (fraction of equal minhashes >= threshold). Returns sorted
-    (a, b, est_jaccard) pairs with a < b."""
+    (a, b, est_jaccard) pairs with a < b.
+
+    Pair-set shape: docs with IDENTICAL signatures (exact/near-exact dups)
+    are collapsed to their min-id representative BEFORE pairwise compare —
+    each identity group contributes a STAR (rep, member, 1.0), not the full
+    m^2/2 clique, and only representatives are compared across groups. The
+    transitive closure (what neardup_groups consumes) is unchanged; the
+    quadratic blow-up of duplicate-heavy mega-buckets is gone. Buckets with
+    more than BUCKET_CAP distinct signatures are truncated WITH a logged
+    count."""
     ds = read_table(sf_dir, table, columns=["doc_id", "text"])
     ensure_hash_shuffle(ds)
 
@@ -168,22 +189,45 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.7,
     def pairs_in_bucket(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
         out_a, out_b, out_j = [], [], []
+        dropped_buckets = 0
         for (_, _), g in df.groupby(["band", "bkey"], sort=False):
             if len(g) < 2:
                 continue
             ids = g["doc_id"].to_numpy()
             sigs = np.stack(g["sig"].to_numpy())
-            order = np.argsort(ids)
-            ids, sigs = ids[order], sigs[order]
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    if ids[i] == ids[j]:
-                        continue
-                    est = float((sigs[i] == sigs[j]).mean())
-                    if est >= jaccard_threshold:
-                        out_a.append(int(ids[i]))
-                        out_b.append(int(ids[j]))
-                        out_j.append(est)
+            # 1) collapse identical signatures -> star pairs to the min-id
+            # representative (exact-dup mega-groups cost m-1, not m^2/2)
+            uniq, inv = np.unique(sigs, axis=0, return_inverse=True)
+            rep_ids = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+            np.minimum.at(rep_ids, inv, ids)
+            members = ids != rep_ids[inv]
+            for i in np.flatnonzero(members):
+                out_a.append(int(rep_ids[inv[i]]))
+                out_b.append(int(ids[i]))
+                out_j.append(1.0)
+            u = len(uniq)
+            if u < 2:
+                continue
+            # 2) cap: only the cap smallest-id distinct signatures are
+            # cross-compared; log the truncation (never silent)
+            if u > BUCKET_CAP:
+                dropped_buckets += 1
+                order = np.argsort(rep_ids)[:BUCKET_CAP]
+                uniq, rep_ids = uniq[order], rep_ids[order]
+                u = BUCKET_CAP
+            # 3) one stacked broadcast compare for the whole bucket
+            est = (uniq[:, None, :] == uniq[None, :, :]).mean(axis=2)
+            ii, jj = np.triu_indices(u, k=1)
+            hit = est[ii, jj] >= jaccard_threshold
+            a = np.minimum(rep_ids[ii[hit]], rep_ids[jj[hit]])
+            b = np.maximum(rep_ids[ii[hit]], rep_ids[jj[hit]])
+            out_a.extend(a.tolist())
+            out_b.extend(b.tolist())
+            out_j.extend(est[ii, jj][hit].tolist())
+        if dropped_buckets:
+            log.warning("minhash LSH: %d buckets exceeded BUCKET_CAP=%d "
+                        "distinct signatures; compared the cap smallest ids",
+                        dropped_buckets, BUCKET_CAP)
         return pa.table({"a": pa.array(out_a, pa.int64()),
                          "b": pa.array(out_b, pa.int64()),
                          "est_jaccard": pa.array(out_j, pa.float64())})
@@ -235,45 +279,110 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6,
 # SimHash
 # ---------------------------------------------------------------------------
 
+# Pair sets above this size switch component labeling from the driver
+# union-find to the distributed min-label-propagation loop.
+COMPONENTS_DISTRIBUTED_THRESHOLD = 5_000_000
+
+
+def components_from_pairs(pairs: pd.DataFrame) -> pd.DataFrame:
+    """Exact connected components over an edge list via union-find with
+    path compression + min-root union (always converges — no bounded
+    round count). Driver-memory path for pair sets that fit."""
+    root: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while root.setdefault(r, r) != r:
+            r = root[r]
+        while root[x] != r:   # path compression
+            root[x], x = r, root[x]
+        return r
+
+    for a, b in zip(pairs["a"], pairs["b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:          # min root keeps group_id = min doc_id
+            if ra < rb:
+                root[rb] = ra
+            else:
+                root[ra] = rb
+    out = pd.DataFrame(sorted((x, find(x)) for x in root),
+                       columns=["doc_id", "group_id"])
+    return out.astype({"doc_id": "int64", "group_id": "int64"})
+
+
+def components_from_pairs_distributed(pairs: pd.DataFrame) -> pd.DataFrame:
+    """The documented scale fallback: min-label propagation as repeated
+    Dataset shuffles — labels never sit in one process; each round is
+    (edges x2 directions) -> groupby(node).min(neighbor-label) -> merge
+    with current labels. Converges in O(component diameter) rounds.
+
+    Takes the same edge list as components_from_pairs and returns the
+    identical labeling (equivalence pinned by pytest). For a pair set
+    born distributed, build `edges` directly from the pairs Dataset
+    instead of a DataFrame — the loop body is unchanged."""
+    import ray.data
+    from ray.data.aggregate import Min
+
+    edges = ray.data.from_pandas(pd.DataFrame({
+        "u": pd.concat([pairs["a"], pairs["b"]], ignore_index=True).astype("int64"),
+        "v": pd.concat([pairs["b"], pairs["a"]], ignore_index=True).astype("int64"),
+    })).materialize()
+    # labels start as identity: label[x] = x
+    labels = (edges.groupby("u").aggregate(Min("v", alias_name="_"))
+              .map_batches(lambda t: pa.table({
+                  "u": t["u"], "label": t["u"]}), batch_format="pyarrow")
+              .materialize())
+    while True:
+        # neighbor messages: v receives label[u] for every edge (u,v)
+        ensure_hash_shuffle(edges)
+        ensure_hash_shuffle(labels)
+        msgs = (edges.join(labels, "inner", num_partitions=8, on=("u",))
+                .map_batches(lambda t: pa.table({"u": t["v"],
+                                                 "label": t["label"]}),
+                             batch_format="pyarrow"))
+        # materialize the per-round label state (size = #nodes, the one
+        # deliberately-bounded state of the loop) — without this, round k's
+        # LAZY dataset re-executes every previous round's joins from
+        # scratch and the loop goes super-linear
+        new_labels = (labels.union(msgs).groupby("u")
+                      .aggregate(Min("label", alias_name="label"))
+                      .materialize())
+        # convergence check: one tiny aggregate over the joined old/new
+        ensure_hash_shuffle(new_labels)
+        delta = (labels.map_batches(
+                    lambda t: pa.table({"u": t["u"], "old": t["label"]}),
+                    batch_format="pyarrow")
+                 .join(new_labels, "inner", num_partitions=8, on=("u",))
+                 .map_batches(lambda t: pa.table({"changed": pa.array(
+                     (t["old"].combine_chunks().to_numpy(zero_copy_only=False)
+                      != t["label"].combine_chunks().to_numpy(zero_copy_only=False))
+                     .astype(np.int64))}), batch_format="pyarrow")
+                 .sum("changed"))
+        labels = new_labels
+        if not delta:
+            break
+    out = labels.to_pandas().rename(columns={"u": "doc_id",
+                                             "label": "group_id"})
+    return (out.sort_values("doc_id").reset_index(drop=True)
+            .astype({"doc_id": "int64", "group_id": "int64"}))
+
+
 def neardup_groups(sf_dir: str, jaccard_threshold: float = 0.7,
-                   table: str = "documents", max_rounds: int = 10) -> pd.DataFrame:
-    """Connected components over the LSH-verified near-dup pairs:
-    iterative min-label propagation (each round: label[x] = min(label of
-    x's neighborhood) via a groupby-free pandas merge over the SMALL pair
-    set). The pair set is orders of magnitude smaller than the corpus
-    (LSH buckets), so propagation on the driver is the documented scale
-    path UNTIL pairs outgrow memory; then the same label-propagation loop
-    runs as repeated Dataset groupbys (same semantics, one shuffle per
-    round). Returns (doc_id, group_id=min doc_id of the component) for
-    every doc in a component of size >= 2."""
+                   table: str = "documents") -> pd.DataFrame:
+    """Connected components over the LSH-verified near-dup pairs. The pair
+    set is orders of magnitude smaller than the corpus (LSH buckets +
+    star-collapse), so exact driver union-find is the default; pair sets
+    above COMPONENTS_DISTRIBUTED_THRESHOLD use the distributed min-label
+    propagation loop (same labeling, pinned by an equivalence test).
+    Returns (doc_id, group_id=min doc_id of the component) for every doc
+    in a component of size >= 2."""
     pairs = minhash_lsh_pairs(sf_dir, jaccard_threshold, table)
     if len(pairs) == 0:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                              "group_id": pd.Series([], dtype="int64")})
-    label: dict[int, int] = {}
-    for a, b in zip(pairs["a"], pairs["b"]):
-        label.setdefault(int(a), int(a))
-        label.setdefault(int(b), int(b))
-    edges = [(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])]
-    for _ in range(max_rounds):
-        changed = False
-        for a, b in edges:
-            m = min(label[a], label[b])
-            if label[a] != m or label[b] != m:
-                label[a] = label[b] = m
-                changed = True
-        if not changed:
-            break
-    out = pd.DataFrame(sorted(label.items()), columns=["doc_id", "group_id"])
-    # path-compress to the component minimum
-    root = dict(zip(out["doc_id"], out["group_id"]))
-    def find(x: int) -> int:
-        while root[x] != x:
-            root[x] = root[root[x]]
-            x = root[x]
-        return x
-    out["group_id"] = [find(d) for d in out["doc_id"]]
-    return out.astype({"doc_id": "int64", "group_id": "int64"})
+    if len(pairs) > COMPONENTS_DISTRIBUTED_THRESHOLD:
+        return components_from_pairs_distributed(pairs)
+    return components_from_pairs(pairs)
 
 
 def simhash_block(texts: list[str]) -> np.ndarray:
@@ -299,7 +408,10 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3,
                   table: str = "documents") -> pd.DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming. Candidates via
     4x16-bit band buckets (pigeonhole: <=3 differing bits leave >=1 of 4
-    bands identical), verified by exact popcount."""
+    bands identical), verified by exact popcount. Same pair-set shape as
+    minhash_lsh_pairs: identical fingerprints collapse to star pairs
+    (hamming 0) around the min-id representative; buckets over BUCKET_CAP
+    distinct fingerprints are truncated with a logged count."""
     ds = read_table(sf_dir, table, columns=["doc_id", "text"])
     ensure_hash_shuffle(ds)
 
@@ -322,24 +434,49 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3,
 
     def verify(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        out = []
+        out_a, out_b, out_h = [], [], []
+        dropped_buckets = 0
         for _, g in df.groupby(["band", "bkey"], sort=False):
             if len(g) < 2:
                 continue
             ids = g["doc_id"].to_numpy()
             hs = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
-            order = np.argsort(ids)
-            ids, hs = ids[order], hs[order]
-            for i in range(len(ids)):
-                x = hs[i] ^ hs[i + 1:]
-                ham = np.array([bin(int(v)).count("1") for v in x])
-                for j in np.flatnonzero(ham <= 3):
-                    if ids[i] != ids[i + 1 + j]:
-                        out.append((int(ids[i]), int(ids[i + 1 + j]),
-                                    int(ham[j])))
-        return pa.table({"a": pa.array([o[0] for o in out], pa.int64()),
-                         "b": pa.array([o[1] for o in out], pa.int64()),
-                         "hamming": pa.array([o[2] for o in out], pa.int64())})
+            # collapse identical fingerprints -> star pairs (hamming 0)
+            uniq, inv = np.unique(hs, return_inverse=True)
+            rep_ids = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+            np.minimum.at(rep_ids, inv, ids)
+            members = ids != rep_ids[inv]
+            for i in np.flatnonzero(members):
+                out_a.append(int(rep_ids[inv[i]]))
+                out_b.append(int(ids[i]))
+                out_h.append(0)
+            u = len(uniq)
+            if u < 2:
+                continue
+            if u > BUCKET_CAP:
+                dropped_buckets += 1
+                order = np.argsort(rep_ids)[:BUCKET_CAP]
+                uniq, rep_ids = uniq[order], rep_ids[order]
+                u = BUCKET_CAP
+            # vectorized popcount of the whole XOR matrix (unpackbits on
+            # the uint8 view — no per-element Python bin())
+            xor = uniq[:, None] ^ uniq[None, :]
+            ham = np.unpackbits(
+                xor.view(np.uint8).reshape(u, u, 8), axis=2).sum(axis=2)
+            ii, jj = np.triu_indices(u, k=1)
+            hit = ham[ii, jj] <= max_hamming
+            a = np.minimum(rep_ids[ii[hit]], rep_ids[jj[hit]])
+            b = np.maximum(rep_ids[ii[hit]], rep_ids[jj[hit]])
+            out_a.extend(a.tolist())
+            out_b.extend(b.tolist())
+            out_h.extend(ham[ii, jj][hit].tolist())
+        if dropped_buckets:
+            log.warning("simhash: %d buckets exceeded BUCKET_CAP=%d distinct "
+                        "fingerprints; compared the cap smallest ids",
+                        dropped_buckets, BUCKET_CAP)
+        return pa.table({"a": pa.array(out_a, pa.int64()),
+                         "b": pa.array(out_b, pa.int64()),
+                         "hamming": pa.array(out_h, pa.int64())})
 
     pairs = bands.map_batches(verify, batch_format="pyarrow",
                               batch_size=None).to_pandas()
@@ -355,10 +492,80 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3,
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 
+def embedding_cosine_pairs_exact(sf_dir: str, threshold: float = 0.4,
+                                 table: str = "embeddings") -> pd.DataFrame:
+    """EXACT embedding near-dup pairs: cosine(a,b) >= threshold, a < b —
+    blocked brute force. The full unit-normalized matrix is broadcast ONCE
+    (ray.put; N x d float64 — ~0.5 GB per million 64-dim vectors) and each
+    batch does one matmul against it, emitting only its a<b upper-triangle
+    hits. SQL-checkable at any threshold (the DuckDB cross-join oracle).
+
+    Scale shape: compute is O(N^2 d) but embarrassingly parallel with no
+    shuffle and driver traffic = the hit pairs only. The documented
+    crossover: beyond ~1M vectors (broadcast matrix > memory / quadratic
+    compute too slow) use embedding_neardup_pairs (hyperplane LSH), which
+    trades exactness for O(N * bucket) compare at high thresholds."""
+    import ray
+
+    ds = read_table(sf_dir, table, columns=["vec_id", "embedding"])
+
+    def load(t: pa.Table) -> pa.Table:
+        arr = np.asarray(t["embedding"].combine_chunks().flatten(),
+                         np.float64).reshape(t.num_rows, -1)
+        unit = arr / np.maximum(np.linalg.norm(arr, axis=1, keepdims=True), 1e-12)
+        return pa.table({"vec_id": t["vec_id"],
+                         "vec": pa.array(unit.tolist(), pa.list_(pa.float64()))})
+
+    # bounded materialization: N x (d+1) doubles — the documented limit of
+    # the exact path (see docstring); the LSH variant has no such pull
+    full = ds.map_batches(load, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    ids_all = full["vec_id"].to_numpy(np.int64)
+    mat_all = np.stack(full["vec"].to_numpy())
+    order = np.argsort(ids_all)
+    ids_all, mat_all = ids_all[order], mat_all[order]
+    ref = ray.put((ids_all, mat_all))
+
+    def probe(t: pa.Table) -> pa.Table:
+        r_ids, r_mat = ray.get(ref)
+        arr = np.asarray(t["embedding"].combine_chunks().flatten(),
+                         np.float64).reshape(t.num_rows, -1)
+        unit = arr / np.maximum(np.linalg.norm(arr, axis=1, keepdims=True), 1e-12)
+        ids = t["vec_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        cos = unit @ r_mat.T                       # (batch, N)
+        mask = (cos >= threshold) & (ids[:, None] < r_ids[None, :])
+        bi, rj = np.nonzero(mask)
+        return pa.table({"a": pa.array(ids[bi]),
+                         "b": pa.array(r_ids[rj]),
+                         "cosine": pa.array(np.round(cos[bi, rj], 4))})
+
+    pairs = ds.map_batches(probe, batch_format="pyarrow").to_pandas()
+    if len(pairs) == 0:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "cosine": pd.Series([], dtype="float64")})
+    return pairs.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+EMB_COSINE_SQL = """
+SELECT x.vec_id AS a, y.vec_id AS b,
+       ROUND(list_cosine_similarity(
+           list_transform(x.embedding, v -> CAST(v AS DOUBLE)),
+           list_transform(y.embedding, v -> CAST(v AS DOUBLE))), 4) AS cosine
+FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+WHERE list_cosine_similarity(
+          list_transform(x.embedding, v -> CAST(v AS DOUBLE)),
+          list_transform(y.embedding, v -> CAST(v AS DOUBLE))) >= 0.4
+"""
+
+
 def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.98) -> pd.DataFrame:
     """Pairs of embeddings with cosine >= threshold. Candidates via
     random-hyperplane LSH buckets (16-bit sign sketch over 4 rotations),
-    verified by exact cosine inside buckets — no all-pairs matmul."""
+    verified by exact cosine inside buckets — no all-pairs matmul. The
+    SCALE path of embedding_cosine_pairs_exact for high thresholds
+    (recall of a cos>=0.98 pair across the 4 tables is near-certain;
+    equivalence vs the exact path at fixture scale pinned by pytest)."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     ensure_hash_shuffle(ds)
     rng = np.random.default_rng(777)
@@ -388,7 +595,8 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.98) -> pd.DataFram
 
     def verify(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        out = []
+        out_a, out_b, out_c = [], [], []
+        dropped_buckets = 0
         for _, g in df.groupby(["band", "bkey"], sort=False):
             if len(g) < 2:
                 continue
@@ -396,15 +604,22 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.98) -> pd.DataFram
             mat = np.stack(g["vec"].to_numpy())
             order = np.argsort(ids)
             ids, mat = ids[order], mat[order]
+            if len(ids) > BUCKET_CAP:
+                dropped_buckets += 1
+                ids, mat = ids[:BUCKET_CAP], mat[:BUCKET_CAP]
             cos = mat @ mat.T
             ii, jj = np.triu_indices(len(ids), k=1)
-            hit = cos[ii, jj] >= threshold
-            for i, j, c in zip(ii[hit], jj[hit], cos[ii, jj][hit]):
-                if ids[i] != ids[j]:
-                    out.append((int(ids[i]), int(ids[j]), round(float(c), 4)))
-        return pa.table({"a": pa.array([o[0] for o in out], pa.int64()),
-                         "b": pa.array([o[1] for o in out], pa.int64()),
-                         "cosine": pa.array([o[2] for o in out], pa.float64())})
+            hit = (cos[ii, jj] >= threshold) & (ids[ii] != ids[jj])
+            out_a.extend(ids[ii[hit]].tolist())
+            out_b.extend(ids[jj[hit]].tolist())
+            out_c.extend(np.round(cos[ii, jj][hit], 4).tolist())
+        if dropped_buckets:
+            log.warning("embedding LSH: %d buckets exceeded BUCKET_CAP=%d "
+                        "vectors; compared the cap smallest ids",
+                        dropped_buckets, BUCKET_CAP)
+        return pa.table({"a": pa.array(out_a, pa.int64()),
+                         "b": pa.array(out_b, pa.int64()),
+                         "cosine": pa.array(out_c, pa.float64())})
 
     pairs = bands.map_batches(verify, batch_format="pyarrow",
                               batch_size=None).to_pandas()

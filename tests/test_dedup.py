@@ -12,26 +12,32 @@ pytestmark = pytest.mark.skipif(not has_testdata(), reason="no testdata")
 
 
 def test_minhash_lsh_finds_exact_dups(ray_session):
-    """Exact duplicate texts must always collide in every band and be
-    reported with est_jaccard 1.0 — the recall floor of the LSH."""
+    """Exact duplicate texts must always collide in every band — the LSH
+    recall floor. The pair set is star-collapsed (identical signatures
+    emit (min_id, member) stars, not cliques), so the assertion is
+    CONNECTIVITY: every exact-dup group must land in one component whose
+    label is the group's min doc_id, reachable via est_jaccard==1 edges."""
     import duckdb
 
-    from spardaqus_ray.pipelines.dedup import minhash_lsh_pairs
+    from spardaqus_ray.pipelines.dedup import (components_from_pairs,
+                                               minhash_lsh_pairs)
 
     pairs = minhash_lsh_pairs(SF001)
+    perfect = pairs[pairs["est_jaccard"] == 1.0]
+    comp = components_from_pairs(perfect)
+    gid = dict(zip(comp["doc_id"], comp["group_id"]))
     con = duckdb.connect()
     dup_groups = con.execute(
         f"""SELECT list(doc_id ORDER BY doc_id) AS ids
             FROM read_parquet('{SF001}/documents.parquet')
             GROUP BY text HAVING COUNT(*) > 1""").fetchall()
-    got = set(zip(pairs["a"], pairs["b"]))
+    if not dup_groups:
+        # sf0.001 plants near-dups but no byte-exact dups; the exact-dup
+        # star path is covered by test_mega_bucket_completes_fast
+        pytest.skip("fixture has no exact text dups")
     for (ids,) in dup_groups:
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                assert (ids[i], ids[j]) in got, (ids[i], ids[j])
-    perfect = pairs[pairs["est_jaccard"] == 1.0]
-    assert len(perfect) >= sum(
-        len(ids) * (len(ids) - 1) // 2 for (ids,) in dup_groups)
+        labels = {gid.get(i) for i in ids}
+        assert labels == {min(ids)}, (ids, labels)
 
 
 def test_simhash_exact_dups_zero_hamming(ray_session):
@@ -123,3 +129,138 @@ def test_embedding_neardup_planted_recall(ray_session, tmp_path):
     for a, b in planted:
         assert (a, b) in got, (a, b)
     assert (pairs["cosine"] >= 0.98).all()
+
+
+def _brute_truth_pairs(sf_dir):
+    """Exact all-pairs ground truth over documents at fixture scale:
+    word-3-gram Jaccard + simhash Hamming for every pair."""
+    import pyarrow.parquet as pq
+
+    from spardaqus_ray.pipelines.dedup import shingle_hashes, simhash_block
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    sets = [set(shingle_hashes(s).tolist()) for s in texts]
+    sh = simhash_block(texts)
+    jac, ham = {}, {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            u = len(sets[i] | sets[j])
+            jv = len(sets[i] & sets[j]) / u if u else 1.0
+            if jv >= 0.5:
+                jac[(ids[i], ids[j])] = jv
+            h = int(sh[i] ^ sh[j]).bit_count()
+            if h <= 3:
+                ham[(ids[i], ids[j])] = h
+    return jac, ham
+
+
+def test_minhash_recall_vs_bruteforce(ray_session):
+    """Recall gate vs exact all-pairs word-3-gram Jaccard at sf0.001:
+    every pair with true Jaccard >= 0.9 must be CONNECTED in the LSH
+    pair graph (banding recall at j>=0.9 is ~0.99 per pair; the fixture
+    is fixed and seeded, so this is deterministic)."""
+    from spardaqus_ray.pipelines.dedup import (components_from_pairs,
+                                               minhash_lsh_pairs)
+
+    jac, _ = _brute_truth_pairs(SF001)
+    strong = [p for p, v in jac.items() if v >= 0.9]
+    assert strong  # the gate must gate something
+    pairs = minhash_lsh_pairs(SF001, jaccard_threshold=0.7)
+    comp = components_from_pairs(pairs)
+    gid = dict(zip(comp["doc_id"], comp["group_id"]))
+    missed = [(a, b) for a, b in strong
+              if gid.get(a) is None or gid.get(a) != gid.get(b)]
+    recall = 1 - len(missed) / len(strong)
+    assert recall >= 0.9, (recall, missed[:10])
+
+
+def test_simhash_recall_vs_bruteforce(ray_session):
+    """Pigeonhole guarantee: EVERY pair with Hamming(simhash) <= 3 must
+    collide in >= 1 of the 4 16-bit bands — recall is exactly 1.0 (up to
+    star-collapse connectivity)."""
+    from spardaqus_ray.pipelines.dedup import (components_from_pairs,
+                                               simhash_pairs)
+
+    _, ham = _brute_truth_pairs(SF001)
+    assert ham
+    pairs = simhash_pairs(SF001)
+    comp = components_from_pairs(pairs)
+    gid = dict(zip(comp["doc_id"], comp["group_id"]))
+    for a, b in ham:
+        assert gid.get(a) is not None and gid.get(a) == gid.get(b), (a, b)
+
+
+def test_mega_bucket_completes_fast(ray_session, tmp_path):
+    """1000 copies of one document (the adversarial exact-dup mega-bucket)
+    must produce a linear-size star pair set in seconds, not an O(m^2)
+    Python pair loop."""
+    import time
+
+    import pyarrow.parquet as pq
+
+    from spardaqus_ray.pipelines.dedup import minhash_lsh_pairs
+
+    text = "the same document body repeated verbatim many times over " * 20
+    n = 1000
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array([text] * n),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    t0 = time.time()
+    pairs = minhash_lsh_pairs(str(tmp_path))
+    dt = time.time() - t0
+    # star representation: exactly n-1 pairs, all to doc 0, est 1.0
+    assert len(pairs) == n - 1
+    assert (pairs["a"] == 0).all()
+    assert (pairs["est_jaccard"] == 1.0).all()
+    assert dt < 30, dt
+
+
+def test_components_distributed_equivalence(ray_session):
+    """The distributed min-label-propagation fallback labels the sf0.001
+    LSH pair set identically to the driver union-find."""
+    from spardaqus_ray.pipelines.dedup import (
+        components_from_pairs, components_from_pairs_distributed,
+        minhash_lsh_pairs)
+
+    pairs = minhash_lsh_pairs(SF001)
+    assert len(pairs) > 0
+    a = components_from_pairs(pairs)
+    b = components_from_pairs_distributed(pairs)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+
+
+def test_embedding_exact_matches_lsh_on_planted(ray_session, tmp_path):
+    """At high threshold the LSH scale path must equal the exact blocked
+    brute force on a planted near-dup table (the documented equivalence
+    of the two physical plans)."""
+    import pyarrow.parquet as pq
+
+    from spardaqus_ray.pipelines.dedup import (embedding_cosine_pairs_exact,
+                                               embedding_neardup_pairs)
+
+    rng = np.random.default_rng(999)
+    base = rng.standard_normal((60, 64)).astype(np.float32)
+    rows = []
+    vid = 0
+    for i in range(60):
+        rows.append((vid, base[i])); vid += 1
+        if i % 3 == 0:
+            noisy = base[i] + 0.004 * rng.standard_normal(64).astype(np.float32)
+            rows.append((vid, noisy)); vid += 1
+    t = pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array([r[1].tolist() for r in rows],
+                              pa.list_(pa.float32())),
+        "label": pa.array(["x"] * len(rows)),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    exact = embedding_cosine_pairs_exact(str(tmp_path), threshold=0.98)
+    lsh = embedding_neardup_pairs(str(tmp_path), threshold=0.98)
+    assert len(exact) >= 20
+    pd.testing.assert_frame_equal(exact.reset_index(drop=True),
+                                  lsh.sort_values(["a", "b"]).reset_index(drop=True))
