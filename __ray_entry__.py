@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_user_sessions": relational.q18_user_sessions,
         "q19_asof_last_order": relational.q19_asof_last_order,
         "q20_running_revenue": relational.q20_running_revenue,
+        "q21_nation_supplier_left": relational.q21_nation_supplier_left,
         # --- dedup family (exact is SQL-checkable; rest rows-only) ---
         "dedup_exact_docs": dedup.exact_dedup_docs,
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
@@ -107,4 +108,5 @@ def oracle_sql() -> dict[str, str]:
         "q18_user_sessions": relational.Q18_SQL,
         "q19_asof_last_order": relational.Q19_SQL,
         "q20_running_revenue": relational.Q20_SQL,
+        "q21_nation_supplier_left": relational.Q21_SQL,
     }

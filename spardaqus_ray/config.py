@@ -19,6 +19,12 @@ class EngineConfig:
     thresholds: dict[str, float] = field(
         default_factory=lambda: dict(rules.DEFAULT_THRESHOLDS)
     )
+    # per-language heuristic overrides (SURVEY.md §2.3): {lang: {key: val}},
+    # global thresholds as fallback — see rules.DEFAULT_LANG_THRESHOLDS
+    lang_thresholds: dict[str, dict[str, float]] = field(
+        default_factory=lambda: {k: dict(v)
+                                 for k, v in rules.DEFAULT_LANG_THRESHOLDS.items()}
+    )
 
     # --- stage toggles ---
     dedup_enabled: bool = True
@@ -33,9 +39,18 @@ class EngineConfig:
     #       exceeds dedup_broadcast_max.
     dedup_mode: str = "auto"
     dedup_broadcast_max: int = 5_000_000
+    # bytes-aware companion cap for the broadcast winner map (the entry
+    # count alone ignores winner-key length; ~230 B/entry means 5M entries
+    # is ~1.2 GB — cap the bytes too, then fall back to the shuffle plan)
+    dedup_broadcast_max_bytes: int = 512 * 1024 * 1024
     langid_enabled: bool = True
     ppl_enabled: bool = True
     scrub_enabled: bool = True
+    # G5: repos whose kept fraction < repo_drop_min_kept_frac (with at
+    # least repo_drop_min_files files) lose ALL rows (repo.lowquality)
+    repo_drop_enabled: bool = False
+    repo_drop_min_kept_frac: float = 0.25
+    repo_drop_min_files: int = 4
 
     # --- partitioning / skew (SURVEY.md §2.6 G1, §4.3) ---
     num_partitions: int = 8          # P; bench uses 16x CPUs, tests use 8

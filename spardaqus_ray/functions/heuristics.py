@@ -244,22 +244,44 @@ def compute_features(batch: pa.Table) -> pa.Table:
     return batch
 
 
-def apply_heuristic_rules(batch: pa.Table, thresholds: dict[str, float]) -> pa.Table:
+def apply_heuristic_rules(
+        batch: pa.Table, thresholds: dict[str, float],
+        lang_thresholds: dict[str, dict[str, float]] | None = None) -> pa.Table:
     """Vectorized first-failing-rule evaluation over the feature columns.
-    Appends keep:bool and drop_reason:string ("" = kept so far)."""
+    Appends keep:bool and drop_reason:string ("" = kept so far).
+
+    Per-language thresholds (SURVEY.md §2.3): for each rule whose key has
+    a language override, the scalar threshold becomes a per-row array —
+    one equality mask per overriding language (few languages), still zero
+    per-row Python. Resolution semantics = rules.threshold_for."""
     n = batch.num_rows
     reason = np.full(n, "", dtype=object)
     undecided = np.ones(n, bool)
     feats = {f: batch[f].combine_chunks().to_numpy(zero_copy_only=False)
              for f in rules.QUALITY_FIELDS}
+    lang_masks: dict[str, np.ndarray] = {}
+    if lang_thresholds and "lang" in batch.column_names:
+        langs = batch["lang"]
+        for lg in lang_thresholds:
+            m = pc.equal(langs, lg).combine_chunks().to_numpy(
+                zero_copy_only=False)
+            if m.any():
+                lang_masks[lg] = m
     for rule_id, feat, op, thr_key in rules.HEURISTIC_RULES:
         v = feats[feat]
         if op == "true":
             fail = v.astype(bool)
-        elif op == "gt":
-            fail = v > thresholds[thr_key]
         else:
-            fail = v < thresholds[thr_key]
+            thr = thresholds[thr_key]
+            overs = [(lg, lang_thresholds[lg][thr_key])
+                     for lg in lang_masks
+                     if thr_key in lang_thresholds[lg]] if lang_masks else []
+            if overs:
+                thr_arr = np.full(n, float(thr))
+                for lg, val in overs:
+                    thr_arr[lang_masks[lg]] = val
+                thr = thr_arr
+            fail = (v > thr) if op == "gt" else (v < thr)
         hit = undecided & fail
         reason[hit] = rule_id
         undecided &= ~hit

@@ -41,13 +41,15 @@ from spardaqus_ray.stages.scorers import (CombinedScorer, LangIdScorer,
 from spardaqus_ray.util import ensure_hash_shuffle
 
 
-def score_batch(batch: pa.Table, thresholds: dict[str, float]) -> pa.Table:
+def score_batch(batch: pa.Table, thresholds: dict[str, float],
+                lang_thresholds: dict[str, dict[str, float]] | None = None
+                ) -> pa.Table:
     """Fused stateless scoring pass: one batch materialization for
     normalize + raw sha + all heuristic features + rule evaluation."""
     batch = normalize_batch(batch)
     batch = stamp_raw_sha256(batch)
     batch = compute_features(batch)
-    return apply_heuristic_rules(batch, thresholds)
+    return apply_heuristic_rules(batch, thresholds, lang_thresholds)
 
 
 def annotate(ds: ray.data.Dataset, cfg: EngineConfig,
@@ -69,7 +71,8 @@ def annotate(ds: ray.data.Dataset, cfg: EngineConfig,
         ensure_hash_shuffle(ds)
 
     ds = ds.map_batches(
-        functools.partial(score_batch, thresholds=cfg.thresholds),
+        functools.partial(score_batch, thresholds=cfg.thresholds,
+                          lang_thresholds=cfg.lang_thresholds),
         batch_format="pyarrow", zero_copy_batch=True,
     )
     if cfg.dedup_enabled:
@@ -131,10 +134,18 @@ def _dup_winner_map(ds: ray.data.Dataset, cfg: EngineConfig) -> dict[str, str] |
            .map_batches(lambda t: t.filter(pa.compute.greater(t["n"], 1)),
                         batch_format="pyarrow", zero_copy_batch=True))
     winners: dict[str, str] = {}
+    approx_bytes = 0
     for b in agg.iter_batches(batch_format="pyarrow", batch_size=65536):
-        for sha, w in zip(b["raw_sha256"].to_pylist(), b["winner"].to_pylist()):
+        keys = b["raw_sha256"].to_pylist()
+        vals = b["winner"].to_pylist()
+        for sha, w in zip(keys, vals):
             winners[sha] = w
-        if cfg.dedup_mode == "auto" and len(winners) > cfg.dedup_broadcast_max:
+            # dict-entry estimate: 64-hex key + value + ~100 B of python
+            # object/dict-slot overhead per entry
+            approx_bytes += len(sha) + len(w) + 100
+        if cfg.dedup_mode == "auto" and (
+                len(winners) > cfg.dedup_broadcast_max
+                or approx_bytes > cfg.dedup_broadcast_max_bytes):
             return None
     return winners
 
@@ -191,9 +202,15 @@ def skew_census(ds: ray.data.Dataset, cfg: EngineConfig) -> frozenset[str]:
     total = ds.count()
     if total == 0:
         return frozenset()
-    counts = ds.select_columns(["repo"]).groupby("repo").count().take_all()
     cap = cfg.skew_cap_fraction * total
-    return frozenset(r["repo"] for r in counts if r["count()"] > cap)
+    # filter count > cap DISTRIBUTEDLY before collecting: the salted set is
+    # small by construction (at most 1/cap repos), but the unfiltered
+    # census is one row per distinct repo — a driver OOM at 10^8 repos
+    big = (ds.select_columns(["repo"]).groupby("repo").count()
+           .map_batches(lambda t: t.filter(pa.compute.greater(t["count()"], cap)),
+                        batch_format="pyarrow", zero_copy_batch=True)
+           .take_all())
+    return frozenset(r["repo"] for r in big)
 
 
 def run_flagship(input_paths, checkpoint_dir: str, cfg: EngineConfig,
@@ -213,6 +230,15 @@ def run_flagship(input_paths, checkpoint_dir: str, cfg: EngineConfig,
     ensure_hash_shuffle(ds)
     salted = skew_census(ds, cfg)
     ds = annotate(ds, cfg, models)
+    if cfg.repo_drop_enabled:
+        # G5: repo-level drop. NOTE the lazy-lineage cost: the per-repo
+        # stats branch re-executes the annotate pipeline once (Datasets
+        # are lazy); at 100-TB scale prefer two jobs — checkpoint the
+        # annotate output, then repo-drop over the checkpoint files.
+        from spardaqus_ray.pipelines.repo_stats import repo_level_drop
+
+        ds = repo_level_drop(ds, min_kept_frac=cfg.repo_drop_min_kept_frac,
+                             min_files=cfg.repo_drop_min_files)
     ds = ds.map_batches(
         functools.partial(add_partition_key, num_partitions=cfg.num_partitions,
                           salted_repos=salted, salt_k=cfg.skew_salt_k),

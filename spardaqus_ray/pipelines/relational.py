@@ -116,10 +116,13 @@ def q3_customers_per_region(sf_dir: str) -> pd.DataFrame:
     lookup = {nk: r2name[rk] for nk, rk in n2r.items()}
 
     cust = read_table(sf_dir, "customer", columns=["c_nationkey"])
+    lut_keys = pa.array(list(lookup.keys()), pa.int64())
+    lut_names = pa.array(list(lookup.values()), pa.string())
 
     def add_region(t: pa.Table) -> pa.Table:
-        names = [lookup[k] for k in t["c_nationkey"].to_pylist()]
-        return t.append_column("r_name", pa.array(names, pa.string()))
+        # vectorized broadcast-join probe: index_in + take, no Python rows
+        idx = pc.index_in(t["c_nationkey"], value_set=lut_keys)
+        return t.append_column("r_name", pc.take(lut_names, idx))
 
     out = (cust.map_batches(add_region, batch_format="pyarrow")
            .groupby("r_name").aggregate(Count(alias_name="n_customers"))
@@ -639,4 +642,38 @@ SELECT o_orderkey, o_custkey,
            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 4)
        AS running_rev
 FROM orders
+"""
+
+
+def q21_nation_supplier_left(sf_dir: str) -> pd.DataFrame:
+    """Left outer hash join (SURVEY §2.8 Q2's left half): every nation
+    appears, nations without suppliers carry 0 counts — exercises the
+    engine's null-producing join path (Dataset.join left_outer), not a
+    broadcast filter."""
+    nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    supp = read_table(sf_dir, "supplier",
+                      columns=["s_suppkey", "s_nationkey", "s_acctbal"])
+    ensure_hash_shuffle(nation)
+    ensure_hash_shuffle(supp)
+    joined = nation.join(supp, "left_outer", num_partitions=4,
+                         on=("n_nationkey",), right_on=("s_nationkey",))
+
+    def prep(t: pa.Table) -> pa.Table:
+        has = pc.is_valid(t["s_suppkey"]).cast(pa.int64())
+        bal = pc.coalesce(t["s_acctbal"], pa.scalar(0.0))
+        return pa.table({"n_name": t["n_name"], "has": has, "bal": bal})
+
+    out = (joined.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("n_name")
+           .aggregate(Sum("has", alias_name="n_suppliers"),
+                      Sum("bal", alias_name="total_acctbal"))
+           .to_pandas())
+    return _r4(out, ["total_acctbal"])
+
+
+Q21_SQL = """
+SELECT n_name, CAST(COUNT(s_suppkey) AS BIGINT) AS n_suppliers,
+       ROUND(COALESCE(SUM(s_acctbal), 0), 4) AS total_acctbal
+FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+GROUP BY n_name
 """

@@ -67,10 +67,18 @@ DROP_REPO = "repo.lowquality"
 
 def repo_level_drop(annotated: ray.data.Dataset, min_kept_frac: float = 0.25,
                     min_files: int = 4) -> ray.data.Dataset:
-    stats = repo_stats(annotated).take_all()
-    bad = frozenset(
-        r["repo"] for r in stats
-        if r["files"] >= min_files and r["kept"] / r["files"] < min_kept_frac)
+    # filter to the (small) bad-repo set DISTRIBUTEDLY before collecting —
+    # the full census is one row per repo, unbounded at corpus scale
+    stats = (repo_stats(annotated)
+             .map_batches(lambda t: t.filter(pa.compute.and_(
+                 pa.compute.greater_equal(t["files"], min_files),
+                 pa.compute.less(
+                     pa.compute.divide(
+                         pa.compute.cast(t["kept"], pa.float64()), t["files"]),
+                     min_kept_frac))),
+                 batch_format="pyarrow", zero_copy_batch=True)
+             .take_all())
+    bad = frozenset(r["repo"] for r in stats)
     if not bad:
         return annotated
 

@@ -26,13 +26,32 @@ from spardaqus_ray.stages.models import Models, train_models_from_pairs
 BPE_RE = re.compile(r" ?[A-Za-zÀ-ɏ一-鿿]+| ?[0-9]+| ?[^\sA-Za-z0-9À-ɏ一-鿿]+|\s+")
 
 
+# Model training needs only a bounded sample — never the whole corpus.
+MODEL_SAMPLE_DOCS = 4000
+
+
 @functools.lru_cache(maxsize=4)
 def models_from_documents(sf_dir: str) -> Models:
-    """Self-train langid + LM models from the (lang, text) pairs of the
-    documents fixture itself — deterministic function of the input table
-    (no external data). Used for documents-based flagship runs where the
-    claimed langs are natural languages, not code langs."""
-    t = read_table(sf_dir, "documents", columns=["lang", "text"]).take_all()
+    """Self-train langid + LM models from a BOUNDED sample of the (lang,
+    text) pairs of the documents fixture — deterministic function of the
+    input table (no external data). The sample is row-hash selected
+    (partition-order independent) and capped at MODEL_SAMPLE_DOCS, so the
+    driver pull stays O(sample) no matter the corpus size."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    n = ds.count()  # parquet metadata — no data read
+    if n > MODEL_SAMPLE_DOCS:
+        threshold = int(MODEL_SAMPLE_DOCS / n * 2**32)
+
+        def pick(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                h = ids * np.uint64(0x9E3779B97F4A7C15)
+                h ^= h >> np.uint64(31)
+            return t.filter(pa.array((h & np.uint64(0xFFFFFFFF)) < threshold))
+
+        ds = ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+    t = ds.take_all()
     pairs = [(r["lang"], r["text"]) for r in t]
     return train_models_from_pairs(pairs)
 

@@ -136,6 +136,30 @@ DEFAULT_THRESHOLDS: dict[str, float] = {
     "ppl_multiplier": 1.0,   # scales the model's self-calibrated per-lang threshold
 }
 
+# Per-language HEURISTIC threshold overrides (SURVEY.md §2.3 "per-language
+# thresholds from config"): {lang: {threshold_key: value}}, falling back to
+# DEFAULT_THRESHOLDS for any (lang, key) not listed. Only heuristic-rule
+# keys participate — min_lang_conf / ppl_multiplier stay global (ppl is
+# already per-language via model self-calibration). Default rationale:
+# prose formats (md/txt) legitimately carry unwrapped paragraphs, so their
+# line-length limits are far looser than for source code.
+DEFAULT_LANG_THRESHOLDS: dict[str, dict[str, float]] = {
+    "md":  {"max_line_len": 4000, "mean_line_len": 500.0},
+    "txt": {"max_line_len": 2500, "mean_line_len": 350.0},
+}
+
+
+def threshold_for(lang: str, key: str,
+                  thresholds: dict[str, float],
+                  lang_thresholds: dict[str, dict[str, float]] | None) -> float:
+    """Scalar (lang, key) threshold resolution — the single definition both
+    harnesses share (the pipeline applies it vectorized per lang mask)."""
+    if lang_thresholds:
+        ov = lang_thresholds.get(lang)
+        if ov is not None and key in ov:
+            return ov[key]
+    return thresholds[key]
+
 # Ordered heuristic rule registry: (rule_id, feature, op, threshold_key).
 # op "gt": drop when feature >  thresholds[key]
 # op "lt": drop when feature <  thresholds[key]

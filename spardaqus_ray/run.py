@@ -37,6 +37,8 @@ def build_config(args) -> "EngineConfig":
         over["ppl_enabled"] = False
     if args.no_scrub:
         over["scrub_enabled"] = False
+    if args.repo_drop:
+        over["repo_drop_enabled"] = True
     return cfg.with_(**over) if over else cfg
 
 
@@ -54,6 +56,8 @@ def main(argv=None) -> int:
     p.add_argument("--no-langid", action="store_true")
     p.add_argument("--no-ppl", action="store_true")
     p.add_argument("--no-scrub", action="store_true")
+    p.add_argument("--repo-drop", action="store_true",
+                   help="enable G5 repo-level low-quality drop")
     p.add_argument("--num-cpus", type=int, default=None,
                    help="only used when this process must ray.init itself")
     args = p.parse_args(argv)

@@ -98,8 +98,14 @@ def label_corpus(rows: list[dict], cfg: EngineConfig, models: Models | None) -> 
         if keep:
             for rule_id, feat, op, thr_key in rules.HEURISTIC_RULES:
                 v = feats[feat]
-                if (op == "true" and v) or (op == "gt" and v > thr[thr_key]) \
-                        or (op == "lt" and v < thr[thr_key]):
+                if op == "true":
+                    t = None
+                else:
+                    # per-language resolution shared with the pipeline
+                    t = rules.threshold_for(r["lang"], thr_key, thr,
+                                            cfg.lang_thresholds)
+                if (op == "true" and v) or (op == "gt" and v > t) \
+                        or (op == "lt" and v < t):
                     keep, reason = False, rule_id
                     break
         detected, conf, ppl = "", float("nan"), float("nan")
@@ -131,4 +137,22 @@ def label_corpus(rows: list[dict], cfg: EngineConfig, models: Models | None) -> 
             **{f"q_{k}": v for k, v in feats.items()},
             **{f"scrub_{k}": v for k, v in counts.items()},
         })
+
+    # G5 repo-level drop (mirrors pipelines.repo_stats.repo_level_drop):
+    # runs AFTER scoring+scrub, so dropped rows keep their scrubbed content;
+    # already-dropped rows keep their original drop_reason.
+    if cfg.repo_drop_enabled:
+        files: Counter = Counter()
+        kept_n: Counter = Counter()
+        for r in out:
+            files[r["repo"]] += 1
+            kept_n[r["repo"]] += bool(r["keep"])
+        bad = {repo for repo, n in files.items()
+               if n >= cfg.repo_drop_min_files
+               and kept_n[repo] / n < cfg.repo_drop_min_kept_frac}
+        for r in out:
+            if r["repo"] in bad:
+                if r["keep"] and r["drop_reason"] == "":
+                    r["drop_reason"] = "repo.lowquality"
+                r["keep"] = False
     return out

@@ -148,3 +148,49 @@ def test_resume_idempotent(ray_session, corpus_parquet, cfg, models, tmp_path):
     assert sorted(r["part_id"] for r in m2) == [0, 4]
     files2 = {f: sha(os.path.join(ck, f)) for f in files}
     assert files == files2
+
+
+def test_repo_drop_e2e_and_resume(ray_session, corpus, corpus_parquet, cfg,
+                                  models, tmp_path):
+    """G5 wired into the full flagship job: with repo_drop_enabled the
+    pipeline must match the sequential labeler (which mirrors the rule),
+    actually drop at least one repo, and stay resume-idempotent."""
+    import ray.data
+
+    from spardaqus_ray.pipelines.flagship import annotate, run_flagship
+    from spardaqus_ray.pipelines.repo_stats import repo_level_drop
+    from tests.reference_impl import label_corpus
+
+    g5 = cfg.with_(repo_drop_enabled=True, repo_drop_min_kept_frac=0.6,
+                   repo_drop_min_files=4)
+    tbl, _ = corpus
+    oracle = pd.DataFrame(label_corpus(tbl.to_pylist(), g5, models))
+    assert (oracle["drop_reason"] == "repo.lowquality").any(), \
+        "threshold must actually fire on the fixture"
+
+    ds = ray.data.read_parquet(corpus_parquet)
+    res = repo_level_drop(annotate(ds, g5, models),
+                          min_kept_frac=g5.repo_drop_min_kept_frac,
+                          min_files=g5.repo_drop_min_files).to_pandas()
+    m = res.merge(oracle, on=KEY, suffixes=("_p", "_o"))
+    assert len(m) == len(oracle)
+    assert (m["keep_p"] == m["keep_o"]).all()
+    assert (m["drop_reason_p"] == m["drop_reason_o"]).all()
+    assert (m["content_sha256_p"] == m["content_sha256_o"]).all()
+
+    # resume idempotence with G5 enabled (full run_flagship path)
+    ck = str(tmp_path / "ck_g5")
+    m1 = run_flagship(corpus_parquet, ck, g5, models)
+    assert sum(x["kept"] for x in m1) == int(oracle["keep"].sum())
+
+    def sha(p):
+        return hashlib.sha256(open(p, "rb").read()).hexdigest()
+
+    files = {f: sha(os.path.join(ck, f)) for f in os.listdir(ck)
+             if f.endswith(".parquet")}
+    os.remove(os.path.join(ck, "part-00002.parquet"))
+    os.remove(os.path.join(ck, "_manifest", "part-00002.done.json"))
+    m2 = run_flagship(corpus_parquet, ck, g5, models)
+    assert sorted(r["part_id"] for r in m2) == [2]
+    files2 = {f: sha(os.path.join(ck, f)) for f in files}
+    assert files == files2

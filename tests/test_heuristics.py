@@ -96,3 +96,57 @@ def test_rule_order_first_failure_wins():
                                 rules.DEFAULT_THRESHOLDS)
     assert out["drop_reason"].to_pylist() == ["heur.empty", "heur.max_line_len"]
     assert out["keep"].to_pylist() == [False, False]
+
+
+def test_per_language_thresholds_differential():
+    """SURVEY §2.3 per-language thresholds: the SAME oversized-line text is
+    dropped as py (global max_line_len=1000) but kept as md (override
+    4000) — and the reference labeler agrees row for row."""
+    from spardaqus_ray.config import EngineConfig
+    from tests.reference_impl import label_corpus
+
+    # one long line (> global max_line_len 1000, < md/txt overrides) of
+    # seeded-random words (no top-ngram/dup-line repetition anywhere)
+    # among random short lines, so ONLY max_line_len differs between langs
+    import random
+
+    rng = random.Random(7)
+
+    def words(n):
+        return " ".join("".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
+                                for _ in range(rng.randint(3, 9)))
+                        for _ in range(n))
+
+    long_line = words(250)
+    assert 1000 < len(long_line) <= 2500, len(long_line)
+    shorts = "\n".join(words(5) for _ in range(80))
+    body = long_line + "\n" + shorts
+    t = pa.table({"repo": ["r"] * 3, "path": ["a.py", "b.md", "c.txt"],
+                  "commit": ["c"] * 3, "lang": ["py", "md", "txt"],
+                  "content": [body] * 3})
+    cfg = EngineConfig()
+    out = apply_heuristic_rules(
+        compute_features(normalize_batch(t)), cfg.thresholds,
+        cfg.lang_thresholds)
+    assert out["keep"].to_pylist() == [False, True, True]
+    assert out["drop_reason"].to_pylist() == ["heur.max_line_len", "", ""]
+
+    ref = label_corpus(t.to_pylist(), cfg.with_(langid_enabled=False,
+                                                ppl_enabled=False,
+                                                dedup_enabled=False,
+                                                scrub_enabled=False), None)
+    assert [r["keep"] for r in ref] == [False, True, True]
+    assert [r["drop_reason"] for r in ref] == ["heur.max_line_len", "", ""]
+
+    # md and txt themselves differ (txt max_line_len=2500 < this line)
+    long2 = words(450)
+    assert 2500 < len(long2) < 4000, len(long2)
+    body2 = long2 + "\n" + shorts
+    t2 = pa.table({"repo": ["r"] * 2, "path": ["a.md", "b.txt"],
+                   "commit": ["c"] * 2, "lang": ["md", "txt"],
+                   "content": [body2] * 2})
+    out2 = apply_heuristic_rules(
+        compute_features(normalize_batch(t2)), cfg.thresholds,
+        cfg.lang_thresholds)
+    assert out2["keep"].to_pylist() == [True, False]
+    assert out2["drop_reason"].to_pylist() == ["", "heur.max_line_len"]
