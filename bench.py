@@ -111,8 +111,12 @@ def bench_queries() -> dict:
         ("q1_lineitem_agg", relational.q1_lineitem_agg),
         ("q2_revenue_by_mktsegment", relational.q2_revenue_by_mktsegment),
         ("q11_events_hourly", relational.q11_events_hourly),
+        ("q18_user_sessions", relational.q18_user_sessions),
         ("q19_asof_last_order", relational.q19_asof_last_order),
+        ("q20_running_revenue", relational.q20_running_revenue),
+        ("q21_nation_supplier_left", relational.q21_nation_supplier_left),
         ("dedup_minhash_lsh", dedup.minhash_lsh_pairs),
+        ("dedup_embedding_cosine", dedup.embedding_cosine_pairs_exact),
         ("ann_bruteforce", ann.ann_bruteforce),
         ("token_count_bpe", textops.token_count_bpe),
     ]:
@@ -145,10 +149,18 @@ def run_once() -> dict:
         "files_per_sec": flag["files_per_sec"],
     }
     ray.shutdown()
+    # self-document the scaling claim in every BENCH file (one quick round
+    # of the 6->24 pair in fresh subprocesses; GRAFT_BENCH_NO_SCALING=1
+    # skips it, --scaling remains the thorough both-pairs mode)
+    if not os.environ.get("GRAFT_BENCH_NO_SCALING"):
+        result["scaling"] = run_scaling(
+            lo=int(os.environ.get("GRAFT_SCALING_LO", "6")),
+            hi=int(os.environ.get("GRAFT_SCALING_HI", "24")),
+            rounds=1)
     return result
 
 
-def run_scaling(lo: int = 8, hi: int = 32) -> dict:
+def run_scaling(lo: int = 8, hi: int = 32, rounds: int | None = None) -> dict:
     def run_one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_FLAGSHIP_ONLY="1")
@@ -169,10 +181,11 @@ def run_scaling(lo: int = 8, hi: int = 32) -> dict:
                 return
             time.sleep(2)
 
-    # interleaved best-of-3 per level: this host shows +-40% run-to-run
+    # interleaved best-of-N per level: this host shows +-40% run-to-run
     # noise (shared machine); the per-level MINIMUM estimates capability,
     # and interleaving makes slow phases hit both levels symmetrically
-    rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "3"))
+    if rounds is None:
+        rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "3"))
     obs: dict[int, list[dict]] = {lo: [], hi: []}
     for _ in range(rounds):
         for ncpu in (lo, hi):
@@ -196,12 +209,25 @@ def run_scaling(lo: int = 8, hi: int = 32) -> dict:
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        # levels overridable: on this shared host a 32-CPU run occupies
-        # every core and absorbs ALL external contention, deflating the
-        # hi side of the ratio; 6->24 keeps 4x while leaving headroom
-        print(json.dumps(run_scaling(
-            lo=int(os.environ.get("GRAFT_SCALING_LO", "6")),
-            hi=int(os.environ.get("GRAFT_SCALING_HI", "24")))))
+        # BOTH 4x pairs, equal prominence (ADVICE r1): 8->32 is the
+        # originally specified pair and the headline `value`; 6->24 is
+        # the host-contention-symmetric alternative (a 32-CPU run
+        # occupies every core and absorbs ALL external contention,
+        # deflating only the hi side of the 8->32 ratio). Overridable:
+        # GRAFT_SCALING_LO/HI run just that one pair.
+        if os.environ.get("GRAFT_SCALING_LO") or os.environ.get("GRAFT_SCALING_HI"):
+            print(json.dumps(run_scaling(
+                lo=int(os.environ.get("GRAFT_SCALING_LO", "8")),
+                hi=int(os.environ.get("GRAFT_SCALING_HI", "32")))))
+        else:
+            p832 = run_scaling(lo=8, hi=32)
+            p624 = run_scaling(lo=6, hi=24)
+            print(json.dumps({
+                "metric": "scaling_efficiency",
+                "value": p832["value"], "unit": "ratio",
+                "pair_8_32": p832, "pair_6_24": p624,
+                "sf": SF_DIR,
+            }))
     elif os.environ.get("GRAFT_BENCH_FLAGSHIP_ONLY"):
         import ray
 

@@ -218,12 +218,18 @@ def run_flagship(input_paths, checkpoint_dir: str, cfg: EngineConfig,
     """Entry point 1 (SURVEY.md §3.2): the resumable batch job. Returns the
     per-partition metrics rows (tiny; the data lives in checkpoint_dir)."""
     import os
+    import uuid
 
     from spardaqus_ray.sources.code_parquet import read_code_parquet
-    from spardaqus_ray.state.checkpoint import (completed_partitions,
-                                                finalize_partition)
+    from spardaqus_ray.state.checkpoint import (check_job_signature,
+                                                completed_partitions,
+                                                finalize_partition,
+                                                input_signature)
 
     os.makedirs(checkpoint_dir, exist_ok=True)
+    # C1: refuse to resume against a checkpoint recorded for different input
+    check_job_signature(checkpoint_dir, input_signature(input_paths))
+    run_id = uuid.uuid4().hex
     done = completed_partitions(checkpoint_dir)
 
     ds = read_code_parquet(input_paths)
@@ -260,7 +266,8 @@ def run_flagship(input_paths, checkpoint_dir: str, cfg: EngineConfig,
         # a block holds exactly the rows of >=1 whole partitions
         for pid in pa.compute.unique(batch["part_id"]).to_pylist():
             part = batch.filter(pa.compute.equal(batch["part_id"], pid))
-            rows.append(finalize_partition(part, int(pid), checkpoint_dir))
+            rows.append(finalize_partition(part, int(pid), checkpoint_dir,
+                                           run_id=run_id))
         return pa.Table.from_pylist(rows)
 
     metrics = ds.map_batches(_finalize, batch_format="pyarrow",

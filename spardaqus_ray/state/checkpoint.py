@@ -25,6 +25,8 @@ input_fingerprint (C1) = xor of the per-row raw_sha256 (order-insensitive)
 
 from __future__ import annotations
 
+import glob
+import hashlib
 import json
 import os
 import time
@@ -45,9 +47,54 @@ def manifest_dir(checkpoint_dir: str) -> str:
     return os.path.join(checkpoint_dir, "_manifest")
 
 
+def input_signature(input_paths) -> str:
+    """C1 job-level input fingerprint: sha256 over the sorted
+    (path, size, mtime_ns) of every input file — metadata-only (verifiable
+    at resume time WITHOUT re-reading the data, unlike the per-partition
+    row fingerprints, which exist to prove rewrite determinism)."""
+    paths = [input_paths] if isinstance(input_paths, str) else list(input_paths)
+    files: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            files.extend(glob.glob(os.path.join(p, "**", "*"), recursive=True))
+        else:
+            files.append(p)
+    h = hashlib.sha256()
+    for f in sorted(f for f in files if os.path.isfile(f)):
+        st = os.stat(f)
+        h.update(f"{f}\x00{st.st_size}\x00{st.st_mtime_ns}\n".encode())
+    return h.hexdigest()
+
+
+def check_job_signature(checkpoint_dir: str, signature: str) -> None:
+    """Verify (or record) the job-level input signature. A resume against a
+    checkpoint dir whose recorded signature differs FAILS LOUDLY — silently
+    mixing partitions of two different inputs is the one unrecoverable
+    outcome (ADVICE r1: the fingerprint was written but never verified)."""
+    mdir = manifest_dir(checkpoint_dir)
+    os.makedirs(mdir, exist_ok=True)
+    jpath = os.path.join(mdir, "job.json")
+    if os.path.exists(jpath):
+        with open(jpath) as f:
+            recorded = json.load(f).get("input_signature")
+        if recorded != signature:
+            raise ValueError(
+                f"checkpoint dir {checkpoint_dir!r} was written for a "
+                f"DIFFERENT input (recorded signature {recorded[:12]}..., "
+                f"current {signature[:12]}...); refusing to resume. "
+                f"Clear the checkpoint dir to reprocess the new input.")
+    else:
+        tmp = jpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"input_signature": signature,
+                       "created_at": time.time()}, f)
+        os.replace(tmp, jpath)
+
+
 def completed_partitions(checkpoint_dir: str) -> set[int]:
     """C3: resume source of truth. Only partitions with BOTH a manifest and
-    the data file it names are considered done."""
+    the data file it names are considered done. Callers that resume must
+    first pass check_job_signature (run_flagship does)."""
     mdir = manifest_dir(checkpoint_dir)
     done: set[int] = set()
     if not os.path.isdir(mdir):
@@ -65,10 +112,31 @@ def completed_partitions(checkpoint_dir: str) -> set[int]:
     return done
 
 
-def finalize_partition(part: pa.Table, part_id: int, checkpoint_dir: str) -> dict:
+def finalize_partition(part: pa.Table, part_id: int, checkpoint_dir: str,
+                       run_id: str | None = None) -> dict:
     """C4: deterministic per-partition output + manifest. `part` must hold
     every row of the partition, already fully annotated. Returns the
-    metrics/checkpoint row (tiny — the only thing sent back downstream)."""
+    metrics/checkpoint row (tiny — the only thing sent back downstream).
+
+    Guard (ADVICE r1): a manifest for part_id written by the SAME run_id
+    means this partition arrived split across blocks — the one-block-per-
+    partition assumption of the hash shuffle broke. Overwriting would be
+    silent data loss on resume, so fail loudly instead."""
+    if run_id is not None:
+        prev = os.path.join(manifest_dir(checkpoint_dir),
+                            f"part-{part_id:05d}.done.json")
+        if os.path.exists(prev):
+            try:
+                with open(prev) as f:
+                    prev_run = json.load(f).get("run_id")
+            except (json.JSONDecodeError, ValueError):
+                prev_run = None
+            if prev_run == run_id:
+                raise RuntimeError(
+                    f"partition {part_id} finalized twice within run "
+                    f"{run_id}: the partition arrived split across blocks "
+                    f"(one-block-per-partition assumption violated); "
+                    f"refusing to overwrite a partial part file")
     idx = pa.compute.sort_indices(
         part, sort_keys=[("repo", "ascending"), ("path", "ascending"),
                          ("commit", "ascending")]
@@ -98,6 +166,7 @@ def finalize_partition(part: pa.Table, part_id: int, checkpoint_dir: str) -> dic
         "input_fingerprint": partition_fingerprint(
             part["raw_sha256"].to_pylist(), part.num_rows),
         "output_file": fname,
+        "run_id": run_id,
         "completed_at": time.time(),
     }
     mdir = manifest_dir(checkpoint_dir)

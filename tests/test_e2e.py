@@ -194,3 +194,50 @@ def test_repo_drop_e2e_and_resume(ray_session, corpus, corpus_parquet, cfg,
     assert sorted(r["part_id"] for r in m2) == [2]
     files2 = {f: sha(os.path.join(ck, f)) for f in files}
     assert files == files2
+
+
+def test_resume_refuses_changed_input(ray_session, corpus_parquet, cfg,
+                                      models, tmp_path):
+    """C1 verification (ADVICE r1): resuming a checkpoint dir whose
+    recorded input signature no longer matches must fail loudly, not
+    silently mix stale and fresh partitions."""
+    import shutil
+
+    from spardaqus_ray.pipelines.flagship import run_flagship
+
+    inp = str(tmp_path / "corpus.parquet")
+    shutil.copy(corpus_parquet, inp)
+    ck = str(tmp_path / "ck_sig")
+    run_flagship(inp, ck, cfg, models)
+    # same bytes, same mtime -> resume is a no-op, not an error
+    assert run_flagship(inp, ck, cfg, models) == []
+    # rewrite the input (size/mtime change) -> loud refusal
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    t = pq.read_table(inp)
+    pq.write_table(t.slice(0, 100), inp)
+    with pytest.raises(ValueError, match="DIFFERENT input"):
+        run_flagship(inp, ck, cfg, models)
+
+
+def test_finalize_twice_same_run_raises(tmp_path):
+    """Split-partition guard (ADVICE r1): a second finalize of the same
+    part_id within one run_id must raise, never overwrite."""
+    import pyarrow as pa
+
+    from spardaqus_ray.state.checkpoint import finalize_partition
+
+    part = pa.table({
+        "repo": ["r"], "path": ["p"], "commit": ["c"],
+        "raw_sha256": ["ab" * 32], "keep": [True],
+        "scrub_email": [0], "scrub_ip": [0], "scrub_key": [0],
+        "scrub_tox": [0],
+    })
+    ck = str(tmp_path / "ck")
+    import os
+    os.makedirs(ck)
+    finalize_partition(part, 3, ck, run_id="runA")
+    with pytest.raises(RuntimeError, match="finalized twice"):
+        finalize_partition(part, 3, ck, run_id="runA")
+    # a DIFFERENT run recomputing the partition is the normal resume path
+    finalize_partition(part, 3, ck, run_id="runB")
