@@ -76,13 +76,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qa_sample_dropped": repo_stats.qa_sample_dropped,
         "approx_distinct_parts": repo_stats.approx_distinct_parts,
         "q17_distinct_parts_exact": relational.q17_distinct_parts_exact,
-        # --- multimodal plumbing (decode stubbed; Ray-side real) ---
+        # --- multimodal plumbing (codec calls stubbed; Ray-side real) ---
         "media_feature_stats": multimodal.media_feature_stats,
+        "media_frame_stats": multimodal.media_frame_stats,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    from spardaqus_ray.pipelines import ann, dedup, relational
+    from spardaqus_ray.pipelines import ann, dedup, relational, textops
 
     return {
         "q1_lineitem_agg": relational.Q1_SQL,
@@ -103,6 +104,7 @@ def oracle_sql() -> dict[str, str]:
         "q16_token_count_by_lang": relational.Q16_SQL,
         "dedup_exact_docs": dedup.EXACT_DEDUP_SQL,
         "dedup_embedding_cosine": dedup.EMB_COSINE_SQL,
+        "token_count_bpe": textops.TOKEN_BPE_SQL,
         "ann_bruteforce": ann.ann_bruteforce_sql(),
         "q17_distinct_parts_exact": relational.Q17_SQL,
         "q18_user_sessions": relational.Q18_SQL,

@@ -110,6 +110,117 @@ def decode_media(sf_dir: str, concurrency: int | tuple[int, int] = 2,
     )
 
 
+class MediaResizer:
+    """Actor-pool RESIZE stage (image rows): rewrites payload to the target
+    geometry and updates the typed metadata columns in place. The pixel
+    resample itself is the stubbed codec call (deterministic fake: crc-
+    seeded bytes of exactly target_w x target_h length — real shape:
+    PIL.Image.resize in _resize on a cluster with the libs)."""
+
+    def __init__(self, target_w: int = 64, target_h: int = 64,
+                 strict: bool = False):
+        self.w, self.h = target_w, target_h
+        self.strict = strict
+        self.codec = "fake-resizer-v1"   # once-per-actor load stand-in
+
+    def _resize(self, payload: bytes) -> bytes:
+        if self.strict:
+            raise NotImplementedError(
+                "real image resize requires codec libs not present "
+                "in this container")
+        need = self.w * self.h
+        seed = hashlib.sha256(payload).digest()
+        reps = need // len(seed) + 1
+        return (seed * reps)[:need]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        is_img = np.asarray([k == "image" for k in batch["kind"].to_pylist()])
+        payloads = batch["payload"].to_pylist()
+        out_payload, out_w, out_h = [], [], []
+        ow = batch["meta_width"].to_pylist()
+        oh = batch["meta_height"].to_pylist()
+        for i, p in enumerate(payloads):
+            if is_img[i]:
+                out_payload.append(self._resize(p))
+                out_w.append(self.w)
+                out_h.append(self.h)
+            else:                       # pass non-images through untouched
+                out_payload.append(p)
+                out_w.append(ow[i])
+                out_h.append(oh[i])
+        batch = batch.set_column(
+            batch.schema.get_field_index("payload"), "payload",
+            pa.array(out_payload, pa.binary()))
+        batch = batch.set_column(
+            batch.schema.get_field_index("meta_width"), "meta_width",
+            pa.array(out_w, pa.int32()))
+        return batch.set_column(
+            batch.schema.get_field_index("meta_height"), "meta_height",
+            pa.array(out_h, pa.int32()))
+
+
+class FrameSampler:
+    """Actor-pool FRAME-SAMPLE stage (video rows): EXPLODES each video
+    into one row per sampled frame (1 frame/sec of meta_duration, capped)
+    — the map_batches-returns-more-rows pattern (no driver fan-out). The
+    frame grab is the stubbed codec call (deterministic fake: digest of
+    (payload, frame_idx))."""
+
+    MAX_FRAMES = 8
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+        self.codec = "fake-frame-grabber-v1"
+
+    def _grab(self, payload: bytes, idx: int) -> bytes:
+        if self.strict:
+            raise NotImplementedError(
+                "real video decode requires codec libs not present "
+                "in this container")
+        return hashlib.sha256(payload + idx.to_bytes(4, "little")).digest()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, kinds = batch["media_id"].to_pylist(), batch["kind"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        durs = batch["meta_duration_ms"].to_pylist()
+        out_id, out_idx, out_frame = [], [], []
+        for i, k in enumerate(kinds):
+            if k != "video":
+                continue
+            n_frames = max(1, min(self.MAX_FRAMES, durs[i] // 1000))
+            for f in range(n_frames):
+                out_id.append(ids[i])
+                out_idx.append(f)
+                out_frame.append(self._grab(payloads[i], f))
+        return pa.table({
+            "media_id": pa.array(out_id, pa.int64()),
+            "frame_idx": pa.array(out_idx, pa.int32()),
+            "frame": pa.array(out_frame, pa.binary()),
+        })
+
+
+def media_frame_stats(sf_dir: str) -> pd.DataFrame:
+    """Rows-only driver check: resize images, frame-sample videos, count
+    frames + distinct frame payloads per media_id bucket (mod 5)."""
+    from ray.data.aggregate import Count
+
+    ds = synth_binary_table(sf_dir)
+    ds = ds.map_batches(MediaResizer, batch_format="pyarrow",
+                        zero_copy_batch=True, batch_size=64, concurrency=2)
+    frames = ds.map_batches(FrameSampler, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=64,
+                            concurrency=2)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        b = np.asarray(t["media_id"].to_pylist(), np.int64) % 5
+        return pa.table({"bucket": pa.array(b)})
+
+    out = (frames.map_batches(bucket, batch_format="pyarrow")
+           .groupby("bucket").aggregate(Count(alias_name="n_frames"))
+           .to_pandas())
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
 def media_feature_stats(sf_dir: str) -> pd.DataFrame:
     """Rows-only driver check: per-kind decoded feature aggregates."""
     from ray.data.aggregate import Count, Mean, Sum

@@ -469,43 +469,14 @@ def q18_user_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     stream windows as bounded groupby): per user, events sorted by ts;
     a gap > 30 min opens a new session.
 
-    Physical plan = the q19 block-vectorized pattern (NOT per-group
-    map_groups — measured ~10x slower): ONE hash repartition on user_id
-    co-locates each user, then a whole-block numpy lexsort + segmented
-    diff/reduceat computes every user's session count in a handful of
-    array passes. Partitioning assumption: one user's events fit in a
-    block (holds at any realistic skew; salt the key otherwise)."""
+    Delegates to the generic windows.sessionize operator (ONE hash
+    repartition on the key + whole-block lexsort/segmented-reduceat — the
+    block-vectorized pattern; per-group map_groups measured ~10x slower)."""
+    from spardaqus_ray.pipelines.windows import sessionize
+
     ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
-    ensure_hash_shuffle(ds)
-    ds = ds.repartition(16, keys=["user_id"])
-    gap_us = np.int64(gap_minutes) * 60 * 1_000_000
-
-    def sess_block(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"user_id": pa.array([], pa.int64()),
-                             "n_events": pa.array([], pa.int64()),
-                             "n_sessions": pa.array([], pa.int64())})
-        key = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-        ts = np.asarray(t["ts"].to_pandas()).astype("datetime64[us]").astype(np.int64)
-        idx = np.lexsort((ts, key))
-        k, tt = key[idx], ts[idx]
-        n = len(k)
-        run_start = np.empty(n, bool)
-        run_start[0] = True
-        run_start[1:] = k[1:] != k[:-1]
-        # a new session opens at every within-user gap > gap_us
-        new_sess = np.zeros(n, np.int64)
-        new_sess[1:] = ((tt[1:] - tt[:-1]) > gap_us) & ~run_start[1:]
-        starts = np.flatnonzero(run_start)
-        n_events = np.diff(np.append(starts, n))
-        n_sessions = np.add.reduceat(new_sess, starts) + 1
-        return pa.table({"user_id": pa.array(k[starts]),
-                         "n_events": pa.array(n_events),
-                         "n_sessions": pa.array(n_sessions)})
-
-    out = (ds.map_batches(sess_block, batch_format="pyarrow",
-                          zero_copy_batch=True, batch_size=None)
-           .to_pandas())
+    out = sessionize(ds, key="user_id", ts="ts",
+                     gap_us=gap_minutes * 60 * 1_000_000).to_pandas()
     return out.sort_values("user_id").reset_index(drop=True)
 
 
@@ -523,65 +494,18 @@ GROUP BY user_id
 def q19_asof_last_order(sf_dir: str) -> pd.DataFrame:
     """As-of join (task-brief custom operator): each event joins the most
     recent order of the same customer at-or-before the event time.
-    Scale plan: tag both tables onto a common (key, t, event_id) schema,
-    union, ONE hash shuffle on the key, then a per-group stable sort +
-    forward-fill merge inside map_groups — the classic co-partitioned
-    sorted-merge as-of, no broadcast, no per-row driver work.
-    Partitioning assumption: one customer's events+orders fit in a group
-    (holds at any realistic skew; salt the key if a single customer ever
-    exceeds a block)."""
+    Delegates to the generic windows.asof_join (tag→union→ONE hash
+    shuffle→whole-block lexsort + segmented cummax forward-fill — the
+    co-partitioned sorted-merge as-of; no broadcast, no per-row driver
+    work). Partitioning assumption documented in windows.py."""
+    from spardaqus_ray.pipelines.windows import asof_join
+
     ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
     od = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
-
-    def tag_ev(t: pa.Table) -> pa.Table:
-        return pa.table({"key": t["user_id"].cast(pa.int64()), "t": t["ts"],
-                         "event_id": t["event_id"]})
-
-    def tag_od(t: pa.Table) -> pa.Table:
-        return pa.table({"key": t["o_custkey"].cast(pa.int64()),
-                         "t": t["o_orderdate"],
-                         "event_id": pa.nulls(t.num_rows, pa.int64())})
-
-    u = (ev.map_batches(tag_ev, batch_format="pyarrow", zero_copy_batch=True)
-         .union(od.map_batches(tag_od, batch_format="pyarrow",
-                               zero_copy_batch=True)))
-    ensure_hash_shuffle(u)
-    u = u.repartition(16, keys=["key"])
-
-    def asof_block(t: pa.Table) -> pa.Table:
-        # whole-block vectorized as-of: keys are co-located by the
-        # repartition, so one lexsort + segmented cummax forward-fill
-        # handles every customer in the block at numpy speed (the
-        # per-group map_groups version was ~10x slower: ~10k Python
-        # group dispatches vs 16 array passes)
-        if t.num_rows == 0:
-            return pa.table({"event_id": pa.array([], pa.int64()),
-                             "asof_orderdate": pa.array([], pa.timestamp("us"))})
-        key = np.asarray(t["key"].to_pandas(), np.int64)
-        ts = np.asarray(t["t"].to_pandas()).astype("datetime64[us]").astype(np.int64)
-        eid_pd = t["event_id"].to_pandas()
-        side = (~eid_pd.isna()).to_numpy().astype(np.int8)  # 0 = order row
-        eid = eid_pd.fillna(-1).astype(np.int64).to_numpy()
-        # orders sort BEFORE events at equal (key, t) so `<=` ties match
-        idx = np.lexsort((side, ts, key))
-        k, tt, s, e = key[idx], ts[idx], side[idx], eid[idx]
-        n = len(k)
-        pos = np.arange(n)
-        run_start = np.empty(n, bool)
-        run_start[0] = True
-        run_start[1:] = k[1:] != k[:-1]
-        seg_start = np.maximum.accumulate(np.where(run_start, pos, -1))
-        last_order = np.maximum.accumulate(np.where(s == 0, pos, -1))
-        hit = (s == 1) & (last_order >= seg_start)
-        return pa.table({
-            "event_id": pa.array(e[hit]),
-            "asof_orderdate": pa.array(
-                tt[last_order[hit]].astype("datetime64[us]")),
-        })
-
-    out = (u.map_batches(asof_block, batch_format="pyarrow",
-                         zero_copy_batch=True, batch_size=None)
-           .to_pandas())
+    out = asof_join(ev, od, left_on="user_id", right_on="o_custkey",
+                    left_ts="ts", right_ts="o_orderdate",
+                    right_value="o_orderdate", out_name="asof_orderdate",
+                    payload=["event_id"]).to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
 
 
@@ -596,41 +520,18 @@ GROUP BY e.event_id
 def q20_running_revenue(sf_dir: str) -> pd.DataFrame:
     """Windowed aggregate (task-brief custom operator): per-customer
     running revenue over orders in (o_orderdate, o_orderkey) order —
-    SUM OVER (PARTITION BY ... ORDER BY ...) as ONE hash repartition on
-    the customer key + a whole-block segmented cumsum (the q19
-    block-vectorized pattern; per-group map_groups measured ~10x slower).
-    Identical per-customer accumulation order on both sides makes the
-    4-dp rounding stable."""
+    SUM OVER (PARTITION BY ... ORDER BY ...) via the generic
+    windows.running_sum operator (ONE hash repartition + per-block keyed
+    cython cumsum; per-key sequential float accumulation keeps the 4-dp
+    rounding bit-stable vs the SQL window)."""
+    from spardaqus_ray.pipelines.windows import running_sum
+
     ds = read_table(sf_dir, "orders",
                     columns=["o_orderkey", "o_custkey", "o_totalprice",
                              "o_orderdate"])
-    ensure_hash_shuffle(ds)
-    ds = ds.repartition(16, keys=["o_custkey"])
-
-    def run_block(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"o_orderkey": pa.array([], pa.int64()),
-                             "o_custkey": pa.array([], pa.int64()),
-                             "running_rev": pa.array([], pa.float64())})
-        cust = t["o_custkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-        okey = t["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-        odate = np.asarray(t["o_orderdate"].to_pandas()).astype(
-            "datetime64[us]").astype(np.int64)
-        price = t["o_totalprice"].combine_chunks().to_numpy(
-            zero_copy_only=False).astype(np.float64)
-        idx = np.lexsort((okey, odate, cust))
-        c, k, p = cust[idx], okey[idx], price[idx]
-        # per-customer sequential cumsum (pandas cython groupby.cumsum:
-        # one vectorized pass, no per-group Python) — the SAME left-to-right
-        # float64 accumulation order as the SQL window, so the 4-dp rounding
-        # is bit-stable. (A global-cumsum-minus-segment-base trick is NOT
-        # equivalent: prefix-difference roundoff grows with the block sum.)
-        running = pd.Series(p).groupby(pd.Series(c), sort=False).cumsum().to_numpy()
-        return pa.table({"o_orderkey": pa.array(k), "o_custkey": pa.array(c),
-                         "running_rev": pa.array(running)})
-
-    out = (ds.map_batches(run_block, batch_format="pyarrow",
-                          zero_copy_batch=True, batch_size=None)
+    out = (running_sum(ds, key="o_custkey", order=["o_orderdate", "o_orderkey"],
+                       value="o_totalprice", out_name="running_rev")
+           .select_columns(["o_orderkey", "o_custkey", "running_rev"])
            .to_pandas())
     out = out.sort_values("o_orderkey").reset_index(drop=True)
     return _r4(out, ["running_rev"])

@@ -106,23 +106,33 @@ def langid_agreement(sf_dir: str) -> pd.DataFrame:
 
 
 def token_count_bpe(sf_dir: str) -> pd.DataFrame:
-    """BPE-ish pre-tokenizer counts per lang (regex compiled once per
-    process; findall per row is the irreducible cost, same class as any
-    subword tokenizer)."""
+    """BPE-ish pre-tokenizer counts per lang — ONE vectorized RE2 kernel
+    (pyarrow count_substring_regex) per batch, no per-row findall. The
+    DuckDB oracle runs the IDENTICAL pattern through its RE2
+    (regexp_extract_all), verified match-for-match on the fixtures."""
     ds = read_table(sf_dir, "documents", columns=["lang", "text"])
 
     def toks(t: pa.Table) -> pa.Table:
-        counts = [len(BPE_RE.findall(s)) for s in t["text"].to_pylist()]
-        return pa.table({"lang": t["lang"],
-                         "n_bpe": pa.array(counts, pa.int64())})
+        counts = pa.compute.count_substring_regex(t["text"],
+                                                  pattern=BPE_RE.pattern)
+        return pa.table({"lang": t["lang"], "n_bpe": counts.cast(pa.int64())})
 
-    out = (ds.map_batches(toks, batch_format="pyarrow")
+    out = (ds.map_batches(toks, batch_format="pyarrow", zero_copy_batch=True)
            .groupby("lang")
            .aggregate(Sum("n_bpe", alias_name="total_bpe_tokens"),
                       Mean("n_bpe", alias_name="avg_bpe_tokens"))
            .to_pandas())
     out["avg_bpe_tokens"] = out["avg_bpe_tokens"].round(4)
     return out.sort_values("lang").reset_index(drop=True)
+
+
+TOKEN_BPE_SQL = f"""
+SELECT lang, CAST(SUM(n) AS BIGINT) AS total_bpe_tokens,
+       ROUND(AVG(CAST(n AS DOUBLE)), 4) AS avg_bpe_tokens
+FROM (SELECT lang, length(regexp_extract_all(text, '{BPE_RE.pattern}')) AS n
+      FROM documents)
+GROUP BY lang
+"""
 
 
 def fingerprint_docs(sf_dir: str) -> pd.DataFrame:

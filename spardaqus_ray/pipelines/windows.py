@@ -1,0 +1,196 @@
+"""Generic keyed-window / temporal operators (task-brief custom operators:
+as-of join, windowed aggregate, sessionization) — the reusable library
+surface behind relational.q18/q19/q20.
+
+Physical plan shared by all three (the measured-fastest pattern, see
+BASELINE.md): ONE hash repartition on the key co-locates each key's rows,
+then a WHOLE-BLOCK numpy lexsort + segmented scan handles every key in the
+block in a handful of array passes — no per-group Python dispatch
+(`map_groups` with a per-group pandas fn measured ~10x slower on the same
+queries).
+
+Partitioning assumption (documented per task brief): one key's rows fit in
+one block. Holds at any realistic skew for user/customer-grained keys;
+salt the key upstream if a single key can exceed a block.
+
+Keys may be any numpy-sortable dtype (ints, strings via object arrays);
+timestamps are normalized to int64 microseconds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from spardaqus_ray.util import ensure_hash_shuffle
+
+
+def _np(col: pa.ChunkedArray) -> np.ndarray:
+    return col.combine_chunks().to_numpy(zero_copy_only=False)
+
+
+def _ts_us(col: pa.ChunkedArray) -> np.ndarray:
+    """Timestamp-ish column -> int64 microseconds (numeric passes through)."""
+    arr = np.asarray(col.to_pandas())
+    if np.issubdtype(arr.dtype, np.datetime64):
+        return arr.astype("datetime64[us]").astype(np.int64)
+    return arr.astype(np.int64)
+
+
+def _keyed(ds: ray.data.Dataset, key: str, num_partitions: int) -> ray.data.Dataset:
+    ensure_hash_shuffle(ds)
+    return ds.repartition(num_partitions, keys=[key])
+
+
+def _segments(key_sorted: np.ndarray) -> np.ndarray:
+    """Start indices of each key run in a key-sorted array."""
+    n = len(key_sorted)
+    run_start = np.empty(n, bool)
+    run_start[0] = True
+    run_start[1:] = key_sorted[1:] != key_sorted[:-1]
+    return np.flatnonzero(run_start)
+
+
+def sessionize(ds: ray.data.Dataset, key: str, ts: str, gap_us: int,
+               num_partitions: int = 16) -> ray.data.Dataset:
+    """Per-key gap-window sessionization over a bounded event table:
+    rows sorted by ts within key; a gap > gap_us opens a new session.
+    Returns one row per key: (key, n_events, n_sessions)."""
+    ds = _keyed(ds.select_columns([key, ts]), key, num_partitions)
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({key: pa.array([], t.schema.field(key).type),
+                             "n_events": pa.array([], pa.int64()),
+                             "n_sessions": pa.array([], pa.int64())})
+        k = _np(t[key])
+        tt = _ts_us(t[ts])
+        idx = np.lexsort((tt, k))
+        k, tt = k[idx], tt[idx]
+        starts = _segments(k)
+        run_start = np.zeros(len(k), bool)
+        run_start[starts] = True
+        new_sess = np.zeros(len(k), np.int64)
+        new_sess[1:] = ((tt[1:] - tt[:-1]) > gap_us) & ~run_start[1:]
+        return pa.table({
+            key: pa.array(k[starts]).cast(t.schema.field(key).type),
+            "n_events": pa.array(np.diff(np.append(starts, len(k)))),
+            "n_sessions": pa.array(np.add.reduceat(new_sess, starts) + 1),
+        })
+
+    return ds.map_batches(block, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+
+
+def running_sum(ds: ray.data.Dataset, key: str, order: list[str], value: str,
+                out_name: str = "running_sum",
+                num_partitions: int = 16) -> ray.data.Dataset:
+    """Per-row running SUM(value) OVER (PARTITION BY key ORDER BY order):
+    one hash repartition + per-block keyed cython cumsum. Accumulation is
+    per-key sequential left-to-right float64 — identical order to a SQL
+    window, so rounded comparisons are bit-stable. Output = all input
+    columns + out_name."""
+    ds = _keyed(ds, key, num_partitions)
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_name, pa.array([], pa.float64()))
+        cols = [_np(t[c]) if not pa.types.is_timestamp(t.schema.field(c).type)
+                else _ts_us(t[c]) for c in order]
+        k = _np(t[key])
+        idx = np.lexsort(tuple(reversed(cols)) + (k,))
+        t = t.take(pa.array(idx))
+        p = _np(t[value]).astype(np.float64)
+        running = (pd.Series(p).groupby(pd.Series(_np(t[key])), sort=False)
+                   .cumsum().to_numpy())
+        return t.append_column(out_name, pa.array(running))
+
+    return ds.map_batches(block, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+
+
+def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
+              left_on: str, right_on: str, left_ts: str, right_ts: str,
+              right_value: str, out_name: str = "asof_value",
+              payload: list[str] | None = None,
+              num_partitions: int = 16) -> ray.data.Dataset:
+    """As-of join: each left row picks the right row of the same key with
+    the greatest right_ts <= left_ts, emitting right_value as out_name
+    (left rows with no such right row are dropped, matching the inner
+    as-of semantics of the SQL oracle).
+
+    Plan: tag both inputs onto one (key, t, side, value, payload...)
+    schema, union, ONE hash shuffle on the key, then a whole-block
+    lexsort + segmented cummax forward-fill — the classic co-partitioned
+    sorted-merge as-of; no broadcast, no per-row driver work."""
+    def _pa_type(t):
+        # ray Schema reports Arrow types for Arrow-backed datasets but
+        # numpy/pandas dtypes for pandas-backed ones — normalize
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string()          # pandas object dtype -> string
+
+    lschema = {n: _pa_type(t) for n, t in
+               zip(left.schema().names, left.schema().types)}
+    rschema = {n: _pa_type(t) for n, t in
+               zip(right.schema().names, right.schema().types)}
+    if payload is None:
+        payload = [c for c in lschema if c not in (left_on, left_ts)]
+    rv_type = rschema[right_value]
+    # union requires ONE schema: normalize key to the left's type and any
+    # temporal ts to timestamp[us] on both sides
+    k_type = lschema[left_on]
+    t_type = (pa.timestamp("us")
+              if pa.types.is_temporal(lschema[left_ts]) else lschema[left_ts])
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        cols = {"__k": t[left_on].cast(k_type), "__t": t[left_ts].cast(t_type),
+                "__side": pa.array(np.ones(t.num_rows, np.int8)),
+                "__rv": pa.nulls(t.num_rows, rv_type)}
+        for c in payload:
+            cols[c] = t[c]
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        cols = {"__k": t[right_on].cast(k_type), "__t": t[right_ts].cast(t_type),
+                "__side": pa.array(np.zeros(t.num_rows, np.int8)),
+                "__rv": t[right_value]}
+        for c in payload:
+            cols[c] = pa.nulls(t.num_rows, lschema[c])
+        return pa.table(cols)
+
+    u = (left.map_batches(tag_left, batch_format="pyarrow", zero_copy_batch=True)
+         .union(right.map_batches(tag_right, batch_format="pyarrow",
+                                  zero_copy_batch=True)))
+    u = _keyed(u, "__k", num_partitions)
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], lschema[c]) for c in payload}
+                            | {out_name: pa.array([], rv_type)})
+        k = _np(t["__k"])
+        tt = _ts_us(t["__t"])
+        side = _np(t["__side"])
+        # right rows sort BEFORE left at equal (key, t) so `<=` ties match
+        idx = np.lexsort((side, tt, k))
+        ks, ss = k[idx], side[idx]
+        n = len(ks)
+        pos = np.arange(n)
+        starts = _segments(ks)
+        run_start = np.zeros(n, bool)
+        run_start[starts] = True
+        seg_start = np.maximum.accumulate(np.where(run_start, pos, -1))
+        last_right = np.maximum.accumulate(np.where(ss == 0, pos, -1))
+        hit = (ss == 1) & (last_right >= seg_start)
+        t = t.take(pa.array(idx))
+        out = t.filter(pa.array(hit)).select(payload)
+        rv = t["__rv"].take(pa.array(last_right[hit]))
+        return out.append_column(out_name, rv)
+
+    return u.map_batches(block, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None)

@@ -40,3 +40,57 @@ def test_strict_decoder_raises_like_missing_codec():
                       "meta_height": [1], "meta_duration_ms": [1]})
     with pytest.raises(NotImplementedError):
         dec(batch)
+
+
+def test_resizer_rewrites_images_only(ray_session):
+    from tests.conftest import SF001
+    from spardaqus_ray.pipelines.multimodal import (MediaResizer,
+                                                    synth_binary_table)
+
+    ds = synth_binary_table(SF001).map_batches(
+        MediaResizer, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=64, concurrency=1)
+    df = ds.to_pandas()
+    img = df[df["kind"] == "image"]
+    assert (img["meta_width"] == 64).all() and (img["meta_height"] == 64).all()
+    assert img["payload"].map(len).eq(64 * 64).all()
+    other = df[df["kind"] != "image"]  # untouched pass-through
+    assert (other["meta_width"] != 64).any() or (other["meta_height"] != 64).any()
+
+
+def test_frame_sampler_explodes_videos_deterministically(ray_session):
+    from tests.conftest import SF001
+    from spardaqus_ray.pipelines.multimodal import (FrameSampler,
+                                                    synth_binary_table)
+
+    src = synth_binary_table(SF001).to_pandas()
+    vids = src[src["kind"] == "video"]
+    expected = int(vids["meta_duration_ms"].map(
+        lambda d: max(1, min(FrameSampler.MAX_FRAMES, d // 1000))).sum())
+    frames = (synth_binary_table(SF001)
+              .map_batches(FrameSampler, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=64, concurrency=1)
+              .to_pandas())
+    assert len(frames) == expected
+    assert set(frames["media_id"]) == set(vids["media_id"])
+    # deterministic: a second run produces identical frame bytes
+    frames2 = (synth_binary_table(SF001)
+               .map_batches(FrameSampler, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=64,
+                            concurrency=1)
+               .to_pandas())
+    a = frames.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    b = frames2.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    assert (a["frame"] == b["frame"]).all()
+
+
+def test_strict_mode_raises_like_missing_codec():
+    import numpy as np
+    import pytest
+
+    from spardaqus_ray.pipelines.multimodal import FrameSampler, MediaResizer
+
+    with pytest.raises(NotImplementedError):
+        MediaResizer(strict=True)._resize(b"payload")
+    with pytest.raises(NotImplementedError):
+        FrameSampler(strict=True)._grab(b"payload", 0)

@@ -1,0 +1,103 @@
+"""Generic keyed-window operator tests (pipelines/windows.py): the library
+surface behind q18/q19/q20, exercised with string keys and hand-checkable
+frames (the int-key paths are driver-oracle-checked via q18/q19/q20)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ds(df):
+    import ray.data
+
+    return ray.data.from_pandas(df)
+
+
+def test_sessionize_string_keys(ray_session):
+    from spardaqus_ray.pipelines.windows import sessionize
+
+    df = pd.DataFrame({
+        "user": ["a", "a", "a", "b", "b", "c"],
+        "ts": pd.to_datetime([
+            "2024-01-01 10:00", "2024-01-01 10:10",   # session 1
+            "2024-01-01 12:00",                        # gap > 30min -> 2
+            "2024-01-01 09:00", "2024-01-02 09:00",   # b: 2 sessions
+            "2024-01-01 00:00",                        # c: 1
+        ]),
+    })
+    out = (sessionize(_ds(df), key="user", ts="ts",
+                      gap_us=30 * 60 * 1_000_000, num_partitions=2)
+           .to_pandas().sort_values("user").reset_index(drop=True))
+    assert out["user"].tolist() == ["a", "b", "c"]
+    assert out["n_events"].tolist() == [3, 2, 1]
+    assert out["n_sessions"].tolist() == [2, 2, 1]
+
+
+def test_running_sum_matches_pandas(ray_session):
+    from spardaqus_ray.pipelines.windows import running_sum
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "k": rng.choice(["x", "y", "z"], 300),
+        "o": rng.permutation(300),
+        "v": rng.standard_normal(300),
+    })
+    out = (running_sum(_ds(df), key="k", order=["o"], value="v",
+                       out_name="rs", num_partitions=3)
+           .to_pandas().sort_values(["k", "o"]).reset_index(drop=True))
+    exp = df.sort_values(["k", "o"]).reset_index(drop=True)
+    exp["rs"] = exp.groupby("k", sort=False)["v"].cumsum()
+    pd.testing.assert_frame_equal(out, exp)
+
+
+def test_asof_join_string_keys_and_no_match_drop(ray_session):
+    from spardaqus_ray.pipelines.windows import asof_join
+
+    left = pd.DataFrame({
+        "k": ["a", "a", "b", "c"],
+        "t": pd.to_datetime(["2024-01-02", "2024-01-05",
+                             "2024-01-01", "2024-01-03"]),
+        "eid": [1, 2, 3, 4],
+    })
+    right = pd.DataFrame({
+        "rk": ["a", "a", "b"],
+        "rt": pd.to_datetime(["2024-01-01", "2024-01-04", "2024-01-02"]),
+        "val": [10.0, 20.0, 30.0],
+    })
+    out = (asof_join(_ds(left), _ds(right), left_on="k", right_on="rk",
+                     left_ts="t", right_ts="rt", right_value="val",
+                     out_name="asof_val", payload=["eid"], num_partitions=2)
+           .to_pandas().sort_values("eid").reset_index(drop=True))
+    # eid=1: right 01-01 <= 01-02 -> 10; eid=2: 01-04 <= 01-05 -> 20;
+    # eid=3: b's only right row is 01-02 > 01-01 -> dropped;
+    # eid=4: key c has no right rows -> dropped
+    assert out["eid"].tolist() == [1, 2]
+    assert out["asof_val"].tolist() == [10.0, 20.0]
+
+
+def test_asof_join_tie_is_inclusive(ray_session):
+    from spardaqus_ray.pipelines.windows import asof_join
+
+    left = pd.DataFrame({"k": [1], "t": pd.to_datetime(["2024-06-01"]),
+                         "eid": [7]})
+    right = pd.DataFrame({"k": [1], "t": pd.to_datetime(["2024-06-01"]),
+                          "val": [5.5]})
+    out = asof_join(_ds(left), _ds(right), left_on="k", right_on="k",
+                    left_ts="t", right_ts="t", right_value="val",
+                    out_name="v", payload=["eid"]).to_pandas()
+    assert out["v"].tolist() == [5.5]  # `<=` semantics: equal ts matches
+
+
+def test_ann_ivf_full_probe_equals_bruteforce(ray_session):
+    """nprobe == n_centroids probes every list -> IVF degenerates to the
+    exact scan and must return exactly the brute-force top-k."""
+    from tests.conftest import SF001, has_testdata
+
+    if not has_testdata():
+        pytest.skip("no testdata")
+    from spardaqus_ray.pipelines.ann import ann_bruteforce, ann_ivf
+
+    brute = ann_bruteforce(SF001)
+    full = ann_ivf(SF001, n_centroids=16, nprobe=16)
+    pd.testing.assert_frame_equal(brute, full)
