@@ -54,6 +54,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q19_asof_last_order": relational.q19_asof_last_order,
         "q20_running_revenue": relational.q20_running_revenue,
         "q21_nation_supplier_left": relational.q21_nation_supplier_left,
+        "q22_median_price_by_segment": relational.q22_median_price_by_segment,
+        "q23_top_orders_per_segment": relational.q23_top_orders_per_segment,
         # --- dedup family (exact is SQL-checkable; rest rows-only) ---
         "dedup_exact_docs": dedup.exact_dedup_docs,
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
@@ -75,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repo_stats_docs": repo_stats.repo_stats_docs,
         "qa_sample_dropped": repo_stats.qa_sample_dropped,
         "approx_distinct_parts": repo_stats.approx_distinct_parts,
+        "approx_median_price": repo_stats.approx_median_price,
         "q17_distinct_parts_exact": relational.q17_distinct_parts_exact,
         # --- multimodal plumbing (codec calls stubbed; Ray-side real) ---
         "media_feature_stats": multimodal.media_feature_stats,
@@ -111,4 +114,6 @@ def oracle_sql() -> dict[str, str]:
         "q19_asof_last_order": relational.Q19_SQL,
         "q20_running_revenue": relational.Q20_SQL,
         "q21_nation_supplier_left": relational.Q21_SQL,
+        "q22_median_price_by_segment": relational.Q22_SQL,
+        "q23_top_orders_per_segment": relational.Q23_SQL,
     }

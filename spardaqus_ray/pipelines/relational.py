@@ -578,3 +578,98 @@ SELECT n_name, CAST(COUNT(s_suppkey) AS BIGINT) AS n_suppliers,
 FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
 GROUP BY n_name
 """
+
+
+def _seg_lookup(sf_dir: str) -> tuple[pa.Array, pa.Array]:
+    """Broadcast c_custkey -> c_mktsegment lookup arrays (index_in/take)."""
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    return (pa.array(cust["c_custkey"], pa.int64()),
+            pa.array(cust["c_mktsegment"], pa.string()))
+
+
+def q22_median_price_by_segment(sf_dir: str) -> pd.DataFrame:
+    """Grouped EXACT quantile (PERCENTILE_CONT semantics — linear
+    interpolation): median order price per market segment. Plan: broadcast
+    customer->segment lookup (no join shuffle), ONE hash repartition on
+    the segment, per-block pandas groupby.quantile (cython, linear
+    interpolation = PERCENTILE_CONT). Exact quantiles need each group's
+    values co-located; the 100-TB path is the mergeable bottom-k-sample
+    sketch (repo_stats.approx_median_price) — documented trade."""
+    keys, segs = _seg_lookup(sf_dir)
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def add_seg(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t["o_custkey"], value_set=keys)
+        return pa.table({"c_mktsegment": pc.take(segs, idx),
+                         "o_totalprice": t["o_totalprice"]})
+
+    ds = ds.map_batches(add_seg, batch_format="pyarrow", zero_copy_batch=True)
+    ensure_hash_shuffle(ds)
+    ds = ds.repartition(4, keys=["c_mktsegment"])
+
+    def med_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"c_mktsegment": pa.array([], pa.string()),
+                             "median_price": pa.array([], pa.float64())})
+        df = t.to_pandas()
+        out = (df.groupby("c_mktsegment", sort=True)["o_totalprice"]
+               .quantile(0.5, interpolation="linear").reset_index())
+        return pa.table({"c_mktsegment": pa.array(out["c_mktsegment"]),
+                         "median_price": pa.array(out["o_totalprice"].round(4))})
+
+    return (ds.map_batches(med_block, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+            .to_pandas().sort_values("c_mktsegment").reset_index(drop=True))
+
+
+Q22_SQL = """
+SELECT c_mktsegment,
+       ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4)
+           AS median_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q23_top_orders_per_segment(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Top-k per group (ROW_NUMBER() <= k): the k highest-price orders per
+    market segment, deterministic (price desc, orderkey asc) tie-break.
+    Plan: broadcast segment lookup + per-block LOCAL top-k (each batch
+    keeps at most k rows per segment — the only rows that can survive) ->
+    tiny global reduce on the driver. No shuffle at all; driver traffic is
+    #blocks x #segments x k rows."""
+    keys, segs = _seg_lookup(sf_dir)
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t["o_custkey"], value_set=keys)
+        t = pa.table({"c_mktsegment": pc.take(segs, idx),
+                      "o_orderkey": t["o_orderkey"],
+                      "o_totalprice": t["o_totalprice"]})
+        df = t.to_pandas()
+        df = df.sort_values(["c_mktsegment", "o_totalprice", "o_orderkey"],
+                            ascending=[True, False, True], kind="mergesort")
+        return pa.Table.from_pandas(
+            df.groupby("c_mktsegment", sort=False).head(k),
+            preserve_index=False)
+
+    cand = (ds.map_batches(local_topk, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas())
+    cand = cand.sort_values(["c_mktsegment", "o_totalprice", "o_orderkey"],
+                            ascending=[True, False, True], kind="mergesort")
+    out = (cand.groupby("c_mktsegment", sort=True).head(k)
+           .reset_index(drop=True))
+    return _r4(out, ["o_totalprice"])
+
+
+Q23_SQL = """
+SELECT c_mktsegment, o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice
+FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+             ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders JOIN customer ON o_custkey = c_custkey)
+WHERE rn <= 3
+"""

@@ -151,6 +151,57 @@ def kmv_estimate(mins: np.ndarray) -> float:
     return (k - 1) / (float(mins[-1]) / 2**64)
 
 
+def approx_median_price(sf_dir: str, sample_k: int = 512) -> pd.DataFrame:
+    """Approx grouped median via a MERGEABLE bottom-k-by-hash sample (the
+    100-TB path for q22's exact quantile): per batch, keep the sample_k
+    rows with the smallest deterministic row hash per segment — a uniform
+    sample whose union/re-truncation is associative, so the driver reduce
+    sees #batches x k rows, never the data. Accuracy vs the exact median
+    is pinned by pytest (~1/sqrt(k) relative rank error)."""
+    from spardaqus_ray.pipelines.relational import _seg_lookup
+
+    keys, segs = _seg_lookup(sf_dir)
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def sketch(t: pa.Table) -> pa.Table:
+        idx = pa.compute.index_in(t["o_custkey"], value_set=keys)
+        seg = np.asarray(pa.compute.take(segs, idx).to_pylist(), object)
+        okey = t["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        price = t["o_totalprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        h = _kmv_hash(okey.astype(np.uint64))
+        rows = []
+        for s in np.unique(seg):
+            m = seg == s
+            order = np.argsort(h[m], kind="stable")[:sample_k]
+            rows.append({"c_mktsegment": str(s),
+                         "hashes": h[m][order].view(np.int64).tolist(),
+                         "prices": price[m][order].tolist()})
+        return pa.Table.from_pylist(rows)
+
+    sketches = ds.map_batches(sketch, batch_format="pyarrow").take_all()
+    merged: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for r in sketches:
+        s = r["c_mktsegment"]
+        h = np.asarray(r["hashes"], np.int64).view(np.uint64)
+        p = np.asarray(r["prices"], np.float64)
+        if s in merged:
+            h = np.concatenate([merged[s][0], h])
+            p = np.concatenate([merged[s][1], p])
+        order = np.argsort(h, kind="stable")
+        # drop duplicate hashes (same row seen via retries) then truncate
+        h, p = h[order], p[order]
+        first = np.ones(len(h), bool)
+        first[1:] = h[1:] != h[:-1]
+        h, p = h[first][:sample_k], p[first][:sample_k]
+        merged[s] = (h, p)
+    out = pd.DataFrame(
+        [{"c_mktsegment": s,
+          "approx_median_price": round(float(np.percentile(p, 50)), 2)}
+         for s, (h, p) in sorted(merged.items())])
+    return out
+
+
 def approx_distinct_parts(sf_dir: str) -> pd.DataFrame:
     """Approx distinct l_partkey per l_returnflag: per-batch KMV sketches
     merged in a small groupby — never shuffles the raw keys."""

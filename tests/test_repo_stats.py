@@ -100,3 +100,23 @@ def test_cli_run_and_resume(ray_session, tmp_path):
     # resume: nothing to do
     rc = main(["--input", inp, "--output", out])
     assert rc == 0
+
+
+def test_approx_median_accuracy(ray_session):
+    """The mergeable bottom-k-sample quantile must land near the exact
+    grouped median (rank error ~1/sqrt(k))."""
+    from tests.conftest import SF001, has_testdata
+
+    if not has_testdata():
+        import pytest
+        pytest.skip("no testdata")
+    from spardaqus_ray.pipelines.relational import q22_median_price_by_segment
+    from spardaqus_ray.pipelines.repo_stats import approx_median_price
+
+    exact = q22_median_price_by_segment(SF001).set_index("c_mktsegment")
+    approx = approx_median_price(SF001).set_index("c_mktsegment")
+    assert set(exact.index) == set(approx.index)
+    for seg in exact.index:
+        e = exact.loc[seg, "median_price"]
+        a = approx.loc[seg, "approx_median_price"]
+        assert abs(a - e) / e < 0.15, (seg, e, a)
