@@ -152,11 +152,13 @@ def band_keys(sig: np.ndarray) -> np.ndarray:
     return out
 
 
-def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.7,
-                      table: str = "documents") -> pd.DataFrame:
-    """Candidate pairs via LSH banding, verified by signature-estimated
-    Jaccard (fraction of equal minhashes >= threshold). Returns sorted
-    (a, b, est_jaccard) pairs with a < b.
+def minhash_lsh_pairs_ds(sf_dir: str, jaccard_threshold: float = 0.7,
+                         table: str = "documents"):
+    """DATASET-native LSH candidate pairs — the 100-TB path: the pair set
+    never touches the driver (feeds components_from_pairs_distributed
+    directly; duplicate (a,b) rows across bands are fine there because
+    min-label aggregation is idempotent). minhash_lsh_pairs is the
+    collected/deduped DataFrame view of this same plan.
 
     Pair-set shape: docs with IDENTICAL signatures (exact/near-exact dups)
     are collapsed to their min-id representative BEFORE pairwise compare —
@@ -232,8 +234,17 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.7,
                          "b": pa.array(out_b, pa.int64()),
                          "est_jaccard": pa.array(out_j, pa.float64())})
 
-    pairs = (bands.map_batches(pairs_in_bucket, batch_format="pyarrow",
-                               batch_size=None).to_pandas())
+    return bands.map_batches(pairs_in_bucket, batch_format="pyarrow",
+                             batch_size=None)
+
+
+def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.7,
+                      table: str = "documents") -> pd.DataFrame:
+    """Collected DataFrame view of minhash_lsh_pairs_ds: deduped across
+    bands, sorted (a, b, est_jaccard) with a < b. Appropriate while the
+    pair set fits the driver (LSH + star-collapse keeps it orders of
+    magnitude below the corpus); the Dataset variant is the scale path."""
+    pairs = minhash_lsh_pairs_ds(sf_dir, jaccard_threshold, table).to_pandas()
     if len(pairs) == 0:
         return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                              "b": pd.Series([], dtype="int64"),
@@ -310,23 +321,38 @@ def components_from_pairs(pairs: pd.DataFrame) -> pd.DataFrame:
     return out.astype({"doc_id": "int64", "group_id": "int64"})
 
 
-def components_from_pairs_distributed(pairs: pd.DataFrame) -> pd.DataFrame:
+def components_from_pairs_distributed(pairs) -> pd.DataFrame:
     """The documented scale fallback: min-label propagation as repeated
     Dataset shuffles — labels never sit in one process; each round is
     (edges x2 directions) -> groupby(node).min(neighbor-label) -> merge
     with current labels. Converges in O(component diameter) rounds.
 
-    Takes the same edge list as components_from_pairs and returns the
-    identical labeling (equivalence pinned by pytest). For a pair set
-    born distributed, build `edges` directly from the pairs Dataset
-    instead of a DataFrame — the loop body is unchanged."""
+    `pairs` is EITHER a DataFrame (same edge list as components_from_pairs
+    — equivalence pinned by pytest) or a Dataset with (a, b) columns (the
+    born-distributed path from minhash_lsh_pairs_ds: the pair set never
+    touches the driver; duplicate (a,b) rows across LSH bands are harmless
+    because min aggregation is idempotent)."""
     import ray.data
     from ray.data.aggregate import Min
 
-    edges = ray.data.from_pandas(pd.DataFrame({
-        "u": pd.concat([pairs["a"], pairs["b"]], ignore_index=True).astype("int64"),
-        "v": pd.concat([pairs["b"], pairs["a"]], ignore_index=True).astype("int64"),
-    })).materialize()
+    if isinstance(pairs, pd.DataFrame):
+        edges = ray.data.from_pandas(pd.DataFrame({
+            "u": pd.concat([pairs["a"], pairs["b"]],
+                           ignore_index=True).astype("int64"),
+            "v": pd.concat([pairs["b"], pairs["a"]],
+                           ignore_index=True).astype("int64"),
+        })).materialize()
+    else:
+        def both_dirs(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "u": pa.concat_arrays([t["a"].combine_chunks(),
+                                       t["b"].combine_chunks()]),
+                "v": pa.concat_arrays([t["b"].combine_chunks(),
+                                       t["a"].combine_chunks()]),
+            })
+
+        edges = pairs.map_batches(both_dirs, batch_format="pyarrow",
+                                  zero_copy_batch=True).materialize()
     # labels start as identity: label[x] = x
     labels = (edges.groupby("u").aggregate(Min("v", alias_name="_"))
               .map_batches(lambda t: pa.table({
@@ -383,6 +409,19 @@ def neardup_groups(sf_dir: str, jaccard_threshold: float = 0.7,
     if len(pairs) > COMPONENTS_DISTRIBUTED_THRESHOLD:
         return components_from_pairs_distributed(pairs)
     return components_from_pairs(pairs)
+
+
+def neardup_groups_ds(sf_dir: str, jaccard_threshold: float = 0.7,
+                      table: str = "documents") -> pd.DataFrame:
+    """FULLY-distributed near-dup grouping: the LSH pair Dataset feeds the
+    label-propagation loop directly — no driver collection of pairs at any
+    point (the true 100-TB composition; equal labeling to neardup_groups
+    is pinned by pytest)."""
+    pairs_ds = minhash_lsh_pairs_ds(sf_dir, jaccard_threshold, table)
+    if pairs_ds.count() == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "group_id": pd.Series([], dtype="int64")})
+    return components_from_pairs_distributed(pairs_ds)
 
 
 def simhash_block(texts: list[str]) -> np.ndarray:

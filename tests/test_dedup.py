@@ -264,3 +264,14 @@ def test_embedding_exact_matches_lsh_on_planted(ray_session, tmp_path):
     assert len(exact) >= 20
     pd.testing.assert_frame_equal(exact.reset_index(drop=True),
                                   lsh.sort_values(["a", "b"]).reset_index(drop=True))
+
+
+def test_neardup_groups_ds_fully_distributed_equivalence(ray_session):
+    """The Dataset-native pipeline (pairs never collected on the driver)
+    must label identically to the driver union-find path."""
+    from spardaqus_ray.pipelines.dedup import neardup_groups, neardup_groups_ds
+
+    a = neardup_groups(SF001)
+    b = neardup_groups_ds(SF001)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
