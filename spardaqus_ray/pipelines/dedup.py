@@ -261,8 +261,14 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.7,
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6,
                         table: str = "documents") -> pd.DataFrame:
-    """LSH candidates -> exact word-3-gram Jaccard via a broadcast
-    shingle-set lookup for the (small) candidate id set."""
+    """LSH candidates -> exact word-3-gram Jaccard, DISTRIBUTED: the
+    candidate ids' shingle sets (sorted uint64 arrays) are broadcast once
+    via ray.put, and the verify runs as map_batches over the candidate-
+    pair Dataset (numpy sorted-array intersection per pair — no driver
+    pair loop). Driver traffic = the qualifying pairs only."""
+    import ray
+    import ray.data
+
     cand = minhash_lsh_pairs(sf_dir, jaccard_threshold=0.5, table=table)
     if len(cand) == 0:
         return pd.DataFrame({"a": pd.Series([], dtype="int64"),
@@ -271,19 +277,48 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6,
     need = sorted(set(cand["a"]) | set(cand["b"]))
     need_arr = pa.array(need, pa.int64())
     ds = read_table(sf_dir, table, columns=["doc_id", "text"])
-    sub = ds.map_batches(
-        lambda t: t.filter(pa.compute.is_in(t["doc_id"], value_set=need_arr)),
-        batch_format="pyarrow", zero_copy_batch=True).take_all()
-    shingles = {r["doc_id"]: set(shingle_hashes(r["text"]).tolist()) for r in sub}
-    rows = []
-    for a, b in zip(cand["a"], cand["b"]):
-        sa, sb = shingles[a], shingles[b]
-        u = len(sa | sb)
-        j = len(sa & sb) / u if u else 1.0
-        if j >= threshold:
-            rows.append((a, b, round(j, 4)))
-    return pd.DataFrame(rows, columns=["a", "b", "jaccard"]).astype(
-        {"a": "int64", "b": "int64", "jaccard": "float64"})
+
+    def shingle_sets(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.compute.is_in(t["doc_id"], value_set=need_arr))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "sh": pa.array([np.unique(shingle_hashes(s)).view(np.int64).tolist()
+                            for s in t["text"].to_pylist()],
+                           pa.list_(pa.int64())),
+        })
+
+    sub = ds.map_batches(shingle_sets, batch_format="pyarrow",
+                         zero_copy_batch=True).take_all()
+    shingles = {r["doc_id"]: np.asarray(r["sh"], np.int64).view(np.uint64)
+                for r in sub}
+    ref = ray.put(shingles)
+
+    def verify(t: pa.Table) -> pa.Table:
+        sh = ray.get(ref)
+        a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        out_a, out_b, out_j = [], [], []
+        for x, y in zip(a, b):
+            sa, sb = sh[x], sh[y]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            u = len(sa) + len(sb) - inter
+            j = inter / u if u else 1.0
+            if j >= threshold:
+                out_a.append(int(x))
+                out_b.append(int(y))
+                out_j.append(round(j, 4))
+        return pa.table({"a": pa.array(out_a, pa.int64()),
+                         "b": pa.array(out_b, pa.int64()),
+                         "jaccard": pa.array(out_j, pa.float64())})
+
+    pairs_ds = ray.data.from_pandas(cand[["a", "b"]])
+    out = pairs_ds.map_batches(verify, batch_format="pyarrow").to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    return (out.sort_values(["a", "b"]).reset_index(drop=True)
+            .astype({"a": "int64", "b": "int64", "jaccard": "float64"}))
 
 
 # ---------------------------------------------------------------------------

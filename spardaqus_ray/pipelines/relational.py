@@ -310,10 +310,24 @@ def q12_json_props(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "events", columns=["event_type", "props"])
 
     def extract(t: pa.Table) -> pa.Table:
-        ks = [json.loads(p).get("k") for p in t["props"].to_pylist()]
+        # vectorized fast path: one RE2 kernel pulls "k": <int>; rows the
+        # regex misses (escaped/odd JSON) fall back to per-row json.loads
+        props = t["props"].combine_chunks()
+        m = pc.extract_regex(props, pattern=r'"k"\s*:\s*(?P<k>-?\d+)')
+        ks = pc.struct_field(m, "k")    # null where the regex missed
+        need_fallback = pc.and_(pc.is_valid(props), pc.is_null(ks))
+        if pc.any(need_fallback).as_py():
+            idx = np.flatnonzero(
+                need_fallback.to_numpy(zero_copy_only=False))
+            vals = ks.to_pylist()
+            plist = props.to_pylist()
+            for i in idx:
+                v = json.loads(plist[i]).get("k")
+                vals[i] = None if v is None else str(v)
+            ks = pa.array(vals, pa.string())
         return pa.table({
             "event_type": t["event_type"],
-            "k": pa.array(ks, pa.int64()),
+            "k": pc.cast(ks, pa.int64()),
         })
 
     out = (ds.map_batches(extract, batch_format="pyarrow")

@@ -101,3 +101,42 @@ def test_ann_ivf_full_probe_equals_bruteforce(ray_session):
     brute = ann_bruteforce(SF001)
     full = ann_ivf(SF001, n_centroids=16, nprobe=16)
     pd.testing.assert_frame_equal(brute, full)
+
+
+def test_windows_partition_invariance(ray_session):
+    """sessionize / running_sum / asof_join must produce identical results
+    at any partition count (the keyed-repartition contract)."""
+    from spardaqus_ray.pipelines.windows import (asof_join, running_sum,
+                                                 sessionize)
+
+    rng = np.random.default_rng(11)
+    ev = pd.DataFrame({
+        "k": rng.integers(0, 40, 500),
+        "t": pd.to_datetime("2024-01-01")
+             + pd.to_timedelta(rng.integers(0, 10**6, 500), unit="s"),
+        "eid": np.arange(500),
+        "v": rng.standard_normal(500),
+    })
+    rt = pd.DataFrame({
+        "k": rng.integers(0, 40, 200),
+        "t": pd.to_datetime("2024-01-01")
+             + pd.to_timedelta(rng.integers(0, 10**6, 200), unit="s"),
+        "val": rng.standard_normal(200),
+    })
+
+    def run(np_):
+        s = (sessionize(_ds(ev), "k", "t", 3600 * 10**6, num_partitions=np_)
+             .to_pandas().sort_values("k").reset_index(drop=True))
+        r = (running_sum(_ds(ev), "k", ["t", "eid"], "v", "rs",
+                         num_partitions=np_)
+             .to_pandas().sort_values("eid").reset_index(drop=True))
+        a = (asof_join(_ds(ev), _ds(rt), "k", "k", "t", "t", "val",
+                       out_name="av", payload=["eid"], num_partitions=np_)
+             .to_pandas().sort_values("eid").reset_index(drop=True))
+        return s, r, a
+
+    s3, r3, a3 = run(3)
+    s16, r16, a16 = run(16)
+    pd.testing.assert_frame_equal(s3, s16)
+    pd.testing.assert_frame_equal(r3, r16)
+    pd.testing.assert_frame_equal(a3, a16)
