@@ -51,3 +51,23 @@ def scrub_and_stamp(batch: pa.Table, scrub_enabled: bool = True) -> pa.Table:
     for c in _COUNT_COLS:
         batch = batch.append_column(c, pa.array(counts[c]))
     return batch
+
+
+def pack_structs(batch: pa.Table) -> pa.Table:
+    """Optional output transform closing SURVEY.md §1.2's struct-schema
+    deviation: fold the flat feature columns into a `quality` struct and
+    the scrub counters into a `scrub_counts` struct (field order =
+    rules.QUALITY_FIELDS / _COUNT_COLS). The engine keeps flat columns
+    internally (simpler Arrow kernels + DuckDB comparison); apply this via
+    map_batches right before write when the struct contract is wanted."""
+    from spardaqus_ray import rules
+
+    quality = pa.StructArray.from_arrays(
+        [batch[f].combine_chunks() for f in rules.QUALITY_FIELDS],
+        names=list(rules.QUALITY_FIELDS))
+    scrub = pa.StructArray.from_arrays(
+        [batch[c].combine_chunks() for c in _COUNT_COLS],
+        names=[c.removeprefix("scrub_") for c in _COUNT_COLS])
+    batch = batch.drop_columns(list(rules.QUALITY_FIELDS) + list(_COUNT_COLS))
+    return (batch.append_column("quality", quality)
+            .append_column("scrub_counts", scrub))

@@ -241,3 +241,30 @@ def test_finalize_twice_same_run_raises(tmp_path):
         finalize_partition(part, 3, ck, run_id="runA")
     # a DIFFERENT run recomputing the partition is the normal resume path
     finalize_partition(part, 3, ck, run_id="runB")
+
+
+def test_pack_structs_roundtrip(ray_session, corpus_parquet, cfg, models):
+    """§1.2 struct schema option: flat columns fold into quality /
+    scrub_counts structs losslessly."""
+    import ray.data
+
+    from spardaqus_ray import rules
+    from spardaqus_ray.functions.scrub_stage import pack_structs
+    from spardaqus_ray.pipelines.flagship import annotate
+
+    ds = ray.data.read_parquet(corpus_parquet)
+    flat = annotate(ds, cfg, models)
+    packed = flat.map_batches(pack_structs, batch_format="pyarrow",
+                              zero_copy_batch=True).to_pandas()
+    flat_df = flat.to_pandas()
+    assert "quality" in packed.columns and "scrub_counts" in packed.columns
+    assert "n_bytes" not in packed.columns and "scrub_email" not in packed.columns
+    a = packed.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    b = flat_df.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    for i in (0, len(a) // 2, len(a) - 1):
+        q = a.loc[i, "quality"]
+        for f in rules.QUALITY_FIELDS:
+            assert q[f] == b.loc[i, f], (i, f)
+        sc = a.loc[i, "scrub_counts"]
+        for c in ("email", "ip", "key", "tox"):
+            assert sc[c] == b.loc[i, f"scrub_{c}"], (i, c)
