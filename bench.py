@@ -195,7 +195,7 @@ def run_scaling(lo: int = 8, hi: int = 32, rounds: int | None = None) -> dict:
     r_hi = min(obs[hi], key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
-    return {
+    out = {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
@@ -203,8 +203,16 @@ def run_scaling(lo: int = 8, hi: int = 32, rounds: int | None = None) -> dict:
         "sec_lo": t_lo, "sec_hi": t_hi,
         "files_per_sec_lo": r_lo["files_per_sec"],
         "files_per_sec_hi": r_hi["files_per_sec"],
+        "rounds": rounds,
         "sf": SF_DIR,
     }
+    if rounds < 2:
+        # single-sample ratio on a +-40%-noise host — the thorough
+        # interleaved best-of-3 number lives in `--scaling` / BASELINE.md
+        out["note"] = ("single quick round embedded in the default bench; "
+                       "see bench.py --scaling (best-of-3 both pairs) and "
+                       "BASELINE.md for the headline scaling numbers")
+    return out
 
 
 if __name__ == "__main__":

@@ -285,17 +285,14 @@ WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
 # --------------------------------------------------------------------------
 
 def q11_events_hourly(sf_dir: str) -> pd.DataFrame:
+    """Tumbling hourly window via the generic windows.tumbling_agg."""
+    from spardaqus_ray.pipelines.windows import tumbling_agg
+
     ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
-
-    def trunc(t: pa.Table) -> pa.Table:
-        return t.append_column("hour", pc.floor_temporal(t["ts"], unit="hour"))
-
-    out = (ds.map_batches(trunc, batch_format="pyarrow", zero_copy_batch=True)
-           .drop_columns(["ts"])
-           .groupby(["hour", "event_type"])
-           .aggregate(Count(alias_name="n_events"),
-                      Sum("value", alias_name="sum_value"))
-           .to_pandas())
+    out = tumbling_agg(ds, ts="ts", every_us=3_600_000_000,
+                       aggs=[Count(alias_name="n_events"),
+                             Sum("value", alias_name="sum_value")],
+                       keys=["event_type"], window_name="hour").to_pandas()
     return _r4(out, ["sum_value"])
 
 

@@ -84,6 +84,29 @@ def sessionize(ds: ray.data.Dataset, key: str, ts: str, gap_us: int,
                           zero_copy_batch=True, batch_size=None)
 
 
+def tumbling_agg(ds: ray.data.Dataset, ts: str, every_us: int, aggs,
+                 keys: list[str] | None = None,
+                 window_name: str = "window") -> ray.data.Dataset:
+    """Tumbling-window aggregate over a bounded event table (streaming
+    windows as bounded groupby — SURVEY.md §2.8 note): floor ts to
+    every_us-wide windows, then ONE grouped aggregate on
+    (window, *keys). Window assignment is a stateless vectorized map;
+    the only exchange is the groupby's."""
+    keys = list(keys or [])
+
+    def win(t: pa.Table) -> pa.Table:
+        tt = _ts_us(t[ts])
+        w = (tt // every_us) * every_us
+        cols = {window_name: pa.array(w.astype("datetime64[us]"))}
+        for c in t.column_names:
+            if c != ts:
+                cols[c] = t[c]
+        return pa.table(cols)
+
+    return (ds.map_batches(win, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby([window_name] + keys).aggregate(*aggs))
+
+
 def running_sum(ds: ray.data.Dataset, key: str, order: list[str], value: str,
                 out_name: str = "running_sum",
                 num_partitions: int = 16) -> ray.data.Dataset:

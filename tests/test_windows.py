@@ -140,3 +140,33 @@ def test_windows_partition_invariance(ray_session):
     pd.testing.assert_frame_equal(s3, s16)
     pd.testing.assert_frame_equal(r3, r16)
     pd.testing.assert_frame_equal(a3, a16)
+
+
+def test_tumbling_agg_generic(ray_session):
+    """Generic tumbling windows: 15-minute buckets, keyed + unkeyed,
+    cross-checked against a pandas resample-style computation."""
+    from ray.data.aggregate import Count, Sum
+
+    from spardaqus_ray.pipelines.windows import tumbling_agg
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "ts": pd.to_datetime("2024-05-01")
+              + pd.to_timedelta(rng.integers(0, 86400, 1000), unit="s"),
+        "kind": rng.choice(["x", "y"], 1000),
+        "v": rng.standard_normal(1000),
+    })
+    out = (tumbling_agg(_ds(df), ts="ts", every_us=15 * 60 * 10**6,
+                        aggs=[Count(alias_name="n"),
+                              Sum("v", alias_name="sv")],
+                        keys=["kind"], window_name="w")
+           .to_pandas().sort_values(["w", "kind"]).reset_index(drop=True))
+    exp = df.copy()
+    exp["w"] = exp["ts"].dt.floor("15min")
+    exp = (exp.groupby(["w", "kind"])
+           .agg(n=("v", "size"), sv=("v", "sum")).reset_index()
+           .sort_values(["w", "kind"]).reset_index(drop=True))
+    assert (out["w"] == exp["w"]).all()
+    assert (out["kind"] == exp["kind"]).all()
+    assert (out["n"] == exp["n"]).all()
+    assert np.allclose(out["sv"], exp["sv"])
