@@ -356,7 +356,9 @@ def components_from_pairs(pairs: pd.DataFrame) -> pd.DataFrame:
     return out.astype({"doc_id": "int64", "group_id": "int64"})
 
 
-def components_from_pairs_distributed(pairs) -> pd.DataFrame:
+def components_from_pairs_distributed(pairs,
+                                      num_partitions: int | None = None
+                                      ) -> pd.DataFrame:
     """The documented scale fallback: min-label propagation as repeated
     Dataset shuffles — labels never sit in one process; each round is
     (edges x2 directions) -> groupby(node).min(neighbor-label) -> merge
@@ -367,8 +369,18 @@ def components_from_pairs_distributed(pairs) -> pd.DataFrame:
     born-distributed path from minhash_lsh_pairs_ds: the pair set never
     touches the driver; duplicate (a,b) rows across LSH bands are harmless
     because min aggregation is idempotent)."""
+    import ray
     import ray.data
     from ray.data.aggregate import Min
+
+    if num_partitions is None:
+        # the whole point of this path is >5M-pair inputs: scale the
+        # per-round join/groupby exchange to the cluster, don't bottleneck
+        # it into a constant partition count
+        try:
+            num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            num_partitions = 8
 
     if isinstance(pairs, pd.DataFrame):
         edges = ray.data.from_pandas(pd.DataFrame({
@@ -397,7 +409,7 @@ def components_from_pairs_distributed(pairs) -> pd.DataFrame:
         # neighbor messages: v receives label[u] for every edge (u,v)
         ensure_hash_shuffle(edges)
         ensure_hash_shuffle(labels)
-        msgs = (edges.join(labels, "inner", num_partitions=8, on=("u",))
+        msgs = (edges.join(labels, "inner", num_partitions=num_partitions, on=("u",))
                 .map_batches(lambda t: pa.table({"u": t["v"],
                                                  "label": t["label"]}),
                              batch_format="pyarrow"))
@@ -413,7 +425,7 @@ def components_from_pairs_distributed(pairs) -> pd.DataFrame:
         delta = (labels.map_batches(
                     lambda t: pa.table({"u": t["u"], "old": t["label"]}),
                     batch_format="pyarrow")
-                 .join(new_labels, "inner", num_partitions=8, on=("u",))
+                 .join(new_labels, "inner", num_partitions=num_partitions, on=("u",))
                  .map_batches(lambda t: pa.table({"changed": pa.array(
                      (t["old"].combine_chunks().to_numpy(zero_copy_only=False)
                       != t["label"].combine_chunks().to_numpy(zero_copy_only=False))
@@ -452,7 +464,10 @@ def neardup_groups_ds(sf_dir: str, jaccard_threshold: float = 0.7,
     label-propagation loop directly — no driver collection of pairs at any
     point (the true 100-TB composition; equal labeling to neardup_groups
     is pinned by pytest)."""
-    pairs_ds = minhash_lsh_pairs_ds(sf_dir, jaccard_threshold, table)
+    # materialize ONCE: count() and the components loop would otherwise
+    # each re-execute the whole LSH plan (Datasets are lazy)
+    pairs_ds = minhash_lsh_pairs_ds(sf_dir, jaccard_threshold,
+                                    table).materialize()
     if pairs_ds.count() == 0:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                              "group_id": pd.Series([], dtype="int64")})
@@ -678,6 +693,23 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.98) -> pd.DataFram
             mat = np.stack(g["vec"].to_numpy())
             order = np.argsort(ids)
             ids, mat = ids[order], mat[order]
+            # star-collapse BIT-IDENTICAL unit vectors to the min-id rep
+            # (cosine 1.0) BEFORE capping — same shape as minhash/simhash,
+            # so a mega-bucket of exact-dup embeddings never loses members
+            # to the cap
+            uniq, inv = np.unique(mat, axis=0, return_inverse=True)
+            if len(uniq) < len(ids):
+                rep_ids = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+                np.minimum.at(rep_ids, inv, ids)
+                members = ids != rep_ids[inv]
+                for i in np.flatnonzero(members):
+                    out_a.append(int(rep_ids[inv[i]]))
+                    out_b.append(int(ids[i]))
+                    out_c.append(1.0)
+                keep = ~members
+                ids, mat = ids[keep], mat[keep]
+            if len(ids) < 2:
+                continue
             if len(ids) > BUCKET_CAP:
                 dropped_buckets += 1
                 ids, mat = ids[:BUCKET_CAP], mat[:BUCKET_CAP]

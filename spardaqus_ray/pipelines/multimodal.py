@@ -201,7 +201,7 @@ class FrameSampler:
 
 def media_frame_stats(sf_dir: str) -> pd.DataFrame:
     """Rows-only driver check: resize images, frame-sample videos, count
-    frames + distinct frame payloads per media_id bucket (mod 5)."""
+    sampled frames per media_id bucket (mod 5)."""
     from ray.data.aggregate import Count
 
     ds = synth_binary_table(sf_dir)

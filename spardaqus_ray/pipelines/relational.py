@@ -307,11 +307,15 @@ def q12_json_props(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "events", columns=["event_type", "props"])
 
     def extract(t: pa.Table) -> pa.Table:
-        # vectorized fast path: one RE2 kernel pulls "k": <int>; rows the
-        # regex misses (escaped/odd JSON) fall back to per-row json.loads
+        # vectorized fast path: one RE2 kernel, ANCHORED to the exact flat
+        # shape {"k": <int>, ...} (top-level, first key) so it can never
+        # silently mis-read nested/escaped/float cases — anything else
+        # falls back to per-row json.loads (true JSON-path semantics,
+        # matching the DuckDB oracle)
         props = t["props"].combine_chunks()
-        m = pc.extract_regex(props, pattern=r'"k"\s*:\s*(?P<k>-?\d+)')
-        ks = pc.struct_field(m, "k")    # null where the regex missed
+        m = pc.extract_regex(
+            props, pattern=r'^\{\s*"k"\s*:\s*(?P<k>-?\d+)\s*[,}]')
+        ks = pc.struct_field(m, "k")    # null where the fast path missed
         need_fallback = pc.and_(pc.is_valid(props), pc.is_null(ks))
         if pc.any(need_fallback).as_py():
             idx = np.flatnonzero(

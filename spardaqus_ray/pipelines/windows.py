@@ -95,9 +95,14 @@ def tumbling_agg(ds: ray.data.Dataset, ts: str, every_us: int, aggs,
     keys = list(keys or [])
 
     def win(t: pa.Table) -> pa.Table:
+        temporal = pa.types.is_temporal(t.schema.field(ts).type)
         tt = _ts_us(t[ts])
         w = (tt // every_us) * every_us
-        cols = {window_name: pa.array(w.astype("datetime64[us]"))}
+        # numeric ts columns keep numeric window starts — only temporal
+        # inputs become timestamps (reinterpreting an integer sequence as
+        # microseconds-since-1970 would be silently wrong)
+        cols = {window_name: pa.array(w.astype("datetime64[us]") if temporal
+                                      else w)}
         for c in t.column_names:
             if c != ts:
                 cols[c] = t[c]

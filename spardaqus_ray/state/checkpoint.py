@@ -75,14 +75,18 @@ def check_job_signature(checkpoint_dir: str, signature: str) -> None:
     os.makedirs(mdir, exist_ok=True)
     jpath = os.path.join(mdir, "job.json")
     if os.path.exists(jpath):
-        with open(jpath) as f:
-            recorded = json.load(f).get("input_signature")
+        try:
+            with open(jpath) as f:
+                recorded = json.load(f).get("input_signature")
+        except (json.JSONDecodeError, OSError):
+            recorded = None   # torn/foreign job file -> treated as mismatch
         if recorded != signature:
             raise ValueError(
                 f"checkpoint dir {checkpoint_dir!r} was written for a "
-                f"DIFFERENT input (recorded signature {recorded[:12]}..., "
-                f"current {signature[:12]}...); refusing to resume. "
-                f"Clear the checkpoint dir to reprocess the new input.")
+                f"DIFFERENT input (recorded signature "
+                f"{str(recorded)[:12]}..., current {signature[:12]}...); "
+                f"refusing to resume. Clear the checkpoint dir to "
+                f"reprocess the new input.")
     else:
         tmp = jpath + ".tmp"
         with open(tmp, "w") as f:
@@ -118,25 +122,25 @@ def finalize_partition(part: pa.Table, part_id: int, checkpoint_dir: str,
     every row of the partition, already fully annotated. Returns the
     metrics/checkpoint row (tiny — the only thing sent back downstream).
 
-    Guard (ADVICE r1): a manifest for part_id written by the SAME run_id
+    Guard (ADVICE r1): a second finalize of part_id within the SAME run_id
     means this partition arrived split across blocks — the one-block-per-
     partition assumption of the hash shuffle broke. Overwriting would be
-    silent data loss on resume, so fail loudly instead."""
+    silent data loss on resume, so fail loudly instead. The guard is an
+    ATOMIC O_EXCL claim file taken BEFORE any data is written (a plain
+    manifest-exists check is check-then-write: two concurrent tasks both
+    pass it and race on the part file)."""
     if run_id is not None:
-        prev = os.path.join(manifest_dir(checkpoint_dir),
-                            f"part-{part_id:05d}.done.json")
-        if os.path.exists(prev):
-            try:
-                with open(prev) as f:
-                    prev_run = json.load(f).get("run_id")
-            except (json.JSONDecodeError, ValueError):
-                prev_run = None
-            if prev_run == run_id:
-                raise RuntimeError(
-                    f"partition {part_id} finalized twice within run "
-                    f"{run_id}: the partition arrived split across blocks "
-                    f"(one-block-per-partition assumption violated); "
-                    f"refusing to overwrite a partial part file")
+        mdir = manifest_dir(checkpoint_dir)
+        os.makedirs(mdir, exist_ok=True)
+        claim = os.path.join(mdir, f"part-{part_id:05d}.claim.{run_id}")
+        try:
+            os.close(os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+        except FileExistsError:
+            raise RuntimeError(
+                f"partition {part_id} finalized twice within run "
+                f"{run_id}: the partition arrived split across blocks "
+                f"(one-block-per-partition assumption violated); "
+                f"refusing to overwrite a partial part file") from None
     idx = pa.compute.sort_indices(
         part, sort_keys=[("repo", "ascending"), ("path", "ascending"),
                          ("commit", "ascending")]
