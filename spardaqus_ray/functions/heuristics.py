@@ -269,8 +269,12 @@ def apply_heuristic_rules(
     if lang_thresholds and "lang" in batch.column_names:
         langs = batch["lang"]
         for lg in lang_thresholds:
-            m = pc.equal(langs, lg).combine_chunks().to_numpy(
-                zero_copy_only=False)
+            # fill_null(False): a null lang row takes the GLOBAL threshold
+            # (and without it the mask is an object array with None holes
+            # that cannot index thr_arr)
+            m = (pc.fill_null(pc.equal(langs, lg), False)
+                 .combine_chunks().to_numpy(zero_copy_only=False)
+                 .astype(bool))
             if m.any():
                 lang_masks[lg] = m
     for rule_id, feat, op, thr_key in rules.HEURISTIC_RULES:

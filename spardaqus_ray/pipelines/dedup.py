@@ -39,6 +39,32 @@ log = logging.getLogger(__name__)
 # cap smallest doc_ids and LOG the drop (no silent truncation).
 BUCKET_CAP = 256
 
+
+def _star_collapse(ids: np.ndarray, sigs: np.ndarray):
+    """Collapse rows with IDENTICAL signatures to their min-id
+    representative. `sigs` is (m,) or (m, k). Returns (star_a, star_b,
+    rep_ids, rep_sigs): star pairs connect each member to its rep
+    (a < b by construction: rep is the group min), reps are what the
+    bucket then cross-compares. The shared core of all three LSH verify
+    paths — one implementation, one set of semantics."""
+    if sigs.ndim == 1:
+        uniq, inv = np.unique(sigs, return_inverse=True)
+    else:
+        uniq, inv = np.unique(sigs, axis=0, return_inverse=True)
+    rep_ids = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+    np.minimum.at(rep_ids, inv, ids)
+    members = ids != rep_ids[inv]
+    return rep_ids[inv][members], ids[members], rep_ids, uniq
+
+
+def _cap_bucket(rep_ids: np.ndarray, sigs: np.ndarray):
+    """Apply BUCKET_CAP to the DISTINCT representatives of one bucket,
+    keeping the cap smallest doc_ids. Returns (rep_ids, sigs, capped)."""
+    if len(rep_ids) <= BUCKET_CAP:
+        return rep_ids, sigs, False
+    order = np.argsort(rep_ids)[:BUCKET_CAP]
+    return rep_ids[order], sigs[order], True
+
 # ---------------------------------------------------------------------------
 # exact dedup (SQL-checkable: GROUP BY text)
 # ---------------------------------------------------------------------------
@@ -199,24 +225,17 @@ def minhash_lsh_pairs_ds(sf_dir: str, jaccard_threshold: float = 0.7,
             sigs = np.stack(g["sig"].to_numpy())
             # 1) collapse identical signatures -> star pairs to the min-id
             # representative (exact-dup mega-groups cost m-1, not m^2/2)
-            uniq, inv = np.unique(sigs, axis=0, return_inverse=True)
-            rep_ids = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
-            np.minimum.at(rep_ids, inv, ids)
-            members = ids != rep_ids[inv]
-            for i in np.flatnonzero(members):
-                out_a.append(int(rep_ids[inv[i]]))
-                out_b.append(int(ids[i]))
-                out_j.append(1.0)
-            u = len(uniq)
-            if u < 2:
+            sa, sb, rep_ids, uniq = _star_collapse(ids, sigs)
+            out_a.extend(sa.tolist())
+            out_b.extend(sb.tolist())
+            out_j.extend([1.0] * len(sa))
+            if len(uniq) < 2:
                 continue
             # 2) cap: only the cap smallest-id distinct signatures are
             # cross-compared; log the truncation (never silent)
-            if u > BUCKET_CAP:
-                dropped_buckets += 1
-                order = np.argsort(rep_ids)[:BUCKET_CAP]
-                uniq, rep_ids = uniq[order], rep_ids[order]
-                u = BUCKET_CAP
+            rep_ids, uniq, capped = _cap_bucket(rep_ids, uniq)
+            dropped_buckets += capped
+            u = len(uniq)
             # 3) one stacked broadcast compare for the whole bucket
             est = (uniq[:, None, :] == uniq[None, :, :]).mean(axis=2)
             ii, jj = np.triu_indices(u, k=1)
@@ -265,7 +284,15 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6,
     candidate ids' shingle sets (sorted uint64 arrays) are broadcast once
     via ray.put, and the verify runs as map_batches over the candidate-
     pair Dataset (numpy sorted-array intersection per pair — no driver
-    pair loop). Driver traffic = the qualifying pairs only."""
+    pair loop). Driver traffic = the qualifying pairs only.
+
+    Pair-set shape NOTE: candidates inherit minhash_lsh_pairs' STAR
+    collapse — docs with identical minhash signatures are represented by
+    their min-id rep, so member-member and member-vs-other pairs of an
+    identity group are not re-verified individually (the rep stands for
+    the group; its exact Jaccard vs others approximates every member's,
+    exact for true duplicates). Consumers needing the full clique should
+    expand the est_jaccard==1.0 stars first."""
     import ray
     import ray.data
 
@@ -449,13 +476,20 @@ def neardup_groups(sf_dir: str, jaccard_threshold: float = 0.7,
     propagation loop (same labeling, pinned by an equivalence test).
     Returns (doc_id, group_id=min doc_id of the component) for every doc
     in a component of size >= 2."""
-    pairs = minhash_lsh_pairs(sf_dir, jaccard_threshold, table)
-    if len(pairs) == 0:
+    # size the pair set BEFORE any driver collection (count on the
+    # materialized Dataset) — collecting first and then "going
+    # distributed" would defeat the threshold's purpose
+    pairs_ds = minhash_lsh_pairs_ds(sf_dir, jaccard_threshold,
+                                    table).materialize()
+    n = pairs_ds.count()
+    if n == 0:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                              "group_id": pd.Series([], dtype="int64")})
-    if len(pairs) > COMPONENTS_DISTRIBUTED_THRESHOLD:
-        return components_from_pairs_distributed(pairs)
-    return components_from_pairs(pairs)
+    if n > COMPONENTS_DISTRIBUTED_THRESHOLD:
+        return components_from_pairs_distributed(pairs_ds)
+    # small pair set: collect (union-find tolerates duplicate cross-band
+    # edges, no dedup needed) and label exactly on the driver
+    return components_from_pairs(pairs_ds.to_pandas())
 
 
 def neardup_groups_ds(sf_dir: str, jaccard_threshold: float = 0.7,
@@ -531,22 +565,15 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3,
             ids = g["doc_id"].to_numpy()
             hs = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
             # collapse identical fingerprints -> star pairs (hamming 0)
-            uniq, inv = np.unique(hs, return_inverse=True)
-            rep_ids = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
-            np.minimum.at(rep_ids, inv, ids)
-            members = ids != rep_ids[inv]
-            for i in np.flatnonzero(members):
-                out_a.append(int(rep_ids[inv[i]]))
-                out_b.append(int(ids[i]))
-                out_h.append(0)
-            u = len(uniq)
-            if u < 2:
+            sa, sb, rep_ids, uniq = _star_collapse(ids, hs)
+            out_a.extend(sa.tolist())
+            out_b.extend(sb.tolist())
+            out_h.extend([0] * len(sa))
+            if len(uniq) < 2:
                 continue
-            if u > BUCKET_CAP:
-                dropped_buckets += 1
-                order = np.argsort(rep_ids)[:BUCKET_CAP]
-                uniq, rep_ids = uniq[order], rep_ids[order]
-                u = BUCKET_CAP
+            rep_ids, uniq, capped = _cap_bucket(rep_ids, uniq)
+            dropped_buckets += capped
+            u = len(uniq)
             # vectorized popcount of the whole XOR matrix (unpackbits on
             # the uint8 view — no per-element Python bin())
             xor = uniq[:, None] ^ uniq[None, :]
@@ -599,6 +626,9 @@ def embedding_cosine_pairs_exact(sf_dir: str, threshold: float = 0.4,
     ds = read_table(sf_dir, table, columns=["vec_id", "embedding"])
 
     def load(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "vec": pa.array([], pa.list_(pa.float64()))})
         arr = np.asarray(t["embedding"].combine_chunks().flatten(),
                          np.float64).reshape(t.num_rows, -1)
         unit = arr / np.maximum(np.linalg.norm(arr, axis=1, keepdims=True), 1e-12)
@@ -609,6 +639,10 @@ def embedding_cosine_pairs_exact(sf_dir: str, threshold: float = 0.4,
     # the exact path (see docstring); the LSH variant has no such pull
     full = ds.map_batches(load, batch_format="pyarrow",
                           zero_copy_batch=True).to_pandas()
+    if len(full) == 0:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "cosine": pd.Series([], dtype="float64")})
     ids_all = full["vec_id"].to_numpy(np.int64)
     mat_all = np.stack(full["vec"].to_numpy())
     order = np.argsort(ids_all)
@@ -616,6 +650,10 @@ def embedding_cosine_pairs_exact(sf_dir: str, threshold: float = 0.4,
     ref = ray.put((ids_all, mat_all))
 
     def probe(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
         r_ids, r_mat = ray.get(ref)
         arr = np.asarray(t["embedding"].combine_chunks().flatten(),
                          np.float64).reshape(t.num_rows, -1)
@@ -691,33 +729,25 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.98) -> pd.DataFram
                 continue
             ids = g["vec_id"].to_numpy()
             mat = np.stack(g["vec"].to_numpy())
-            order = np.argsort(ids)
-            ids, mat = ids[order], mat[order]
             # star-collapse BIT-IDENTICAL unit vectors to the min-id rep
             # (cosine 1.0) BEFORE capping — same shape as minhash/simhash,
             # so a mega-bucket of exact-dup embeddings never loses members
             # to the cap
-            uniq, inv = np.unique(mat, axis=0, return_inverse=True)
-            if len(uniq) < len(ids):
-                rep_ids = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
-                np.minimum.at(rep_ids, inv, ids)
-                members = ids != rep_ids[inv]
-                for i in np.flatnonzero(members):
-                    out_a.append(int(rep_ids[inv[i]]))
-                    out_b.append(int(ids[i]))
-                    out_c.append(1.0)
-                keep = ~members
-                ids, mat = ids[keep], mat[keep]
-            if len(ids) < 2:
+            sa, sb, rep_ids, uniq = _star_collapse(ids, mat)
+            out_a.extend(sa.tolist())
+            out_b.extend(sb.tolist())
+            out_c.extend([1.0] * len(sa))
+            if len(uniq) < 2:
                 continue
-            if len(ids) > BUCKET_CAP:
-                dropped_buckets += 1
-                ids, mat = ids[:BUCKET_CAP], mat[:BUCKET_CAP]
-            cos = mat @ mat.T
-            ii, jj = np.triu_indices(len(ids), k=1)
-            hit = (cos[ii, jj] >= threshold) & (ids[ii] != ids[jj])
-            out_a.extend(ids[ii[hit]].tolist())
-            out_b.extend(ids[jj[hit]].tolist())
+            rep_ids, uniq, capped = _cap_bucket(rep_ids, uniq)
+            dropped_buckets += capped
+            cos = uniq @ uniq.T
+            ii, jj = np.triu_indices(len(rep_ids), k=1)
+            hit = cos[ii, jj] >= threshold
+            a = np.minimum(rep_ids[ii[hit]], rep_ids[jj[hit]])
+            b = np.maximum(rep_ids[ii[hit]], rep_ids[jj[hit]])
+            out_a.extend(a.tolist())
+            out_b.extend(b.tolist())
             out_c.extend(np.round(cos[ii, jj][hit], 4).tolist())
         if dropped_buckets:
             log.warning("embedding LSH: %d buckets exceeded BUCKET_CAP=%d "

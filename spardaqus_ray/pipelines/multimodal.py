@@ -204,12 +204,17 @@ def media_frame_stats(sf_dir: str) -> pd.DataFrame:
     sampled frames per media_id bucket (mod 5)."""
     from ray.data.aggregate import Count
 
+    # chained actor pools: fixed pools RESERVE their CPUs even idle, so a
+    # 2+2 chain deadlocks a <=4-CPU session (round-1 measured gotcha) —
+    # 1 actor x 0.5 CPU per stage keeps the chain runnable anywhere;
+    # scale concurrency with the cluster in real deployments
     ds = synth_binary_table(sf_dir)
     ds = ds.map_batches(MediaResizer, batch_format="pyarrow",
-                        zero_copy_batch=True, batch_size=64, concurrency=2)
+                        zero_copy_batch=True, batch_size=64, concurrency=1,
+                        num_cpus=0.5)
     frames = ds.map_batches(FrameSampler, batch_format="pyarrow",
                             zero_copy_batch=True, batch_size=64,
-                            concurrency=2)
+                            concurrency=1, num_cpus=0.5)
 
     def bucket(t: pa.Table) -> pa.Table:
         b = np.asarray(t["media_id"].to_pylist(), np.int64) % 5

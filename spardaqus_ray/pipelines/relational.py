@@ -320,15 +320,19 @@ def q12_json_props(sf_dir: str) -> pd.DataFrame:
         if pc.any(need_fallback).as_py():
             idx = np.flatnonzero(
                 need_fallback.to_numpy(zero_copy_only=False))
-            vals = ks.to_pylist()
+            # merge as NUMBERS, not strings: json may carry integral
+            # floats (12.0) that an int64-from-string cast would reject
+            vals = pc.cast(ks, pa.int64()).to_pylist()
             plist = props.to_pylist()
             for i in idx:
                 v = json.loads(plist[i]).get("k")
-                vals[i] = None if v is None else str(v)
-            ks = pa.array(vals, pa.string())
+                vals[i] = None if v is None else int(v)
+            k_arr = pa.array(vals, pa.int64())
+        else:
+            k_arr = pc.cast(ks, pa.int64())
         return pa.table({
             "event_type": t["event_type"],
-            "k": pc.cast(ks, pa.int64()),
+            "k": k_arr,
         })
 
     out = (ds.map_batches(extract, batch_format="pyarrow")

@@ -32,7 +32,13 @@ def _np(col: pa.ChunkedArray) -> np.ndarray:
 
 
 def _ts_us(col: pa.ChunkedArray) -> np.ndarray:
-    """Timestamp-ish column -> int64 microseconds (numeric passes through)."""
+    """Timestamp-ish column -> int64 microseconds (numeric passes
+    through). ALL temporal Arrow types (date32/64, second/ms/ns and
+    tz-aware timestamps) are normalized via one Arrow cast first —
+    without it date32/tz columns surface as object arrays that cannot
+    be cast to int64."""
+    if pa.types.is_temporal(col.type):
+        col = col.cast(pa.timestamp("us"))
     arr = np.asarray(col.to_pandas())
     if np.issubdtype(arr.dtype, np.datetime64):
         return arr.astype("datetime64[us]").astype(np.int64)

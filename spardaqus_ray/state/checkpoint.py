@@ -122,25 +122,38 @@ def finalize_partition(part: pa.Table, part_id: int, checkpoint_dir: str,
     every row of the partition, already fully annotated. Returns the
     metrics/checkpoint row (tiny — the only thing sent back downstream).
 
-    Guard (ADVICE r1): a second finalize of part_id within the SAME run_id
-    means this partition arrived split across blocks — the one-block-per-
-    partition assumption of the hash shuffle broke. Overwriting would be
-    silent data loss on resume, so fail loudly instead. The guard is an
-    ATOMIC O_EXCL claim file taken BEFORE any data is written (a plain
-    manifest-exists check is check-then-write: two concurrent tasks both
-    pass it and race on the part file)."""
-    if run_id is not None:
-        mdir = manifest_dir(checkpoint_dir)
-        os.makedirs(mdir, exist_ok=True)
-        claim = os.path.join(mdir, f"part-{part_id:05d}.claim.{run_id}")
+    Split-partition guard (ADVICE r1), CONTENT-based so it stays
+    compatible with Ray's at-least-once task execution: a RETRY of this
+    partition carries the same rows (output is a pure sorted function of
+    them) and must be allowed to overwrite with identical bytes; only a
+    finalize of the SAME part_id in the SAME run with DIFFERENT rows
+    means the partition arrived split across blocks — that raises instead
+    of silently losing rows. Enforced twice: against any manifest already
+    present before writing, and by re-reading the manifest after the
+    atomic replace (catches the concurrent-writer race: the loser of the
+    last-write sees the winner's differing fingerprint and raises)."""
+    fingerprint = partition_fingerprint(
+        part["raw_sha256"].to_pylist(), part.num_rows)
+    mpath = os.path.join(manifest_dir(checkpoint_dir),
+                         f"part-{part_id:05d}.done.json")
+
+    def _split_check() -> None:
+        if run_id is None or not os.path.exists(mpath):
+            return
         try:
-            os.close(os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
-        except FileExistsError:
+            with open(mpath) as f:
+                prev = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            return  # torn manifest -> rewrite is the correct recovery
+        if (prev.get("run_id") == run_id
+                and prev.get("input_fingerprint") != fingerprint):
             raise RuntimeError(
-                f"partition {part_id} finalized twice within run "
-                f"{run_id}: the partition arrived split across blocks "
-                f"(one-block-per-partition assumption violated); "
-                f"refusing to overwrite a partial part file") from None
+                f"partition {part_id} finalized twice within run {run_id} "
+                f"with DIFFERENT rows: the partition arrived split across "
+                f"blocks (one-block-per-partition assumption violated); "
+                f"refusing to overwrite")
+
+    _split_check()
     idx = pa.compute.sort_indices(
         part, sort_keys=[("repo", "ascending"), ("path", "ascending"),
                          ("commit", "ascending")]
@@ -148,7 +161,9 @@ def finalize_partition(part: pa.Table, part_id: int, checkpoint_dir: str,
     part = part.take(idx)
     fname = f"part-{part_id:05d}.parquet"
     fpath = os.path.join(checkpoint_dir, fname)
-    tmp = fpath + ".tmp"
+    # per-attempt tmp names: concurrent attempts must never interleave
+    # writes into one tmp file (each replace is then atomic and whole)
+    tmp = f"{fpath}.tmp.{os.getpid()}"
     pq.write_table(part, tmp, row_group_size=64 * 1024)
     os.replace(tmp, fpath)
 
@@ -167,17 +182,17 @@ def finalize_partition(part: pa.Table, part_id: int, checkpoint_dir: str,
                 part["scrub_key"].to_pylist(), part["scrub_tox"].to_pylist())]
         ) > 0).sum()),
         "scrub_matches": scrub_total,
-        "input_fingerprint": partition_fingerprint(
-            part["raw_sha256"].to_pylist(), part.num_rows),
+        "input_fingerprint": fingerprint,
         "output_file": fname,
         "run_id": run_id,
         "completed_at": time.time(),
     }
-    mdir = manifest_dir(checkpoint_dir)
-    os.makedirs(mdir, exist_ok=True)
-    mpath = os.path.join(mdir, f"part-{part_id:05d}.done.json")
-    tmpm = mpath + ".tmp"
+    os.makedirs(manifest_dir(checkpoint_dir), exist_ok=True)
+    tmpm = f"{mpath}.tmp.{os.getpid()}"
     with open(tmpm, "w") as f:
         json.dump(row, f)
     os.replace(tmpm, mpath)
+    # post-write check: if a concurrent same-run attempt with DIFFERENT
+    # rows won the manifest race, the loser detects it here and raises
+    _split_check()
     return row

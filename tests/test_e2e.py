@@ -220,27 +220,34 @@ def test_resume_refuses_changed_input(ray_session, corpus_parquet, cfg,
         run_flagship(inp, ck, cfg, models)
 
 
-def test_finalize_twice_same_run_raises(tmp_path):
-    """Split-partition guard (ADVICE r1): a second finalize of the same
-    part_id within one run_id must raise, never overwrite."""
+def test_finalize_split_partition_guard(tmp_path):
+    """Split-partition guard (ADVICE r1), retry-compatible: re-finalizing
+    the SAME rows within one run_id is an idempotent Ray task retry and
+    must succeed; DIFFERENT rows for the same part_id in the same run
+    (a partition split across blocks) must raise."""
     import pyarrow as pa
 
     from spardaqus_ray.state.checkpoint import finalize_partition
 
-    part = pa.table({
-        "repo": ["r"], "path": ["p"], "commit": ["c"],
-        "raw_sha256": ["ab" * 32], "keep": [True],
-        "scrub_email": [0], "scrub_ip": [0], "scrub_key": [0],
-        "scrub_tox": [0],
-    })
+    def mk(sha):
+        return pa.table({
+            "repo": ["r"], "path": ["p"], "commit": ["c"],
+            "raw_sha256": [sha * 32], "keep": [True],
+            "scrub_email": [0], "scrub_ip": [0], "scrub_key": [0],
+            "scrub_tox": [0],
+        })
+
     ck = str(tmp_path / "ck")
     import os
     os.makedirs(ck)
-    finalize_partition(part, 3, ck, run_id="runA")
-    with pytest.raises(RuntimeError, match="finalized twice"):
-        finalize_partition(part, 3, ck, run_id="runA")
+    finalize_partition(mk("ab"), 3, ck, run_id="runA")
+    # identical rows, same run -> idempotent retry, allowed
+    finalize_partition(mk("ab"), 3, ck, run_id="runA")
+    # different rows, same run -> split partition, refused
+    with pytest.raises(RuntimeError, match="DIFFERENT rows"):
+        finalize_partition(mk("cd"), 3, ck, run_id="runA")
     # a DIFFERENT run recomputing the partition is the normal resume path
-    finalize_partition(part, 3, ck, run_id="runB")
+    finalize_partition(mk("cd"), 3, ck, run_id="runB")
 
 
 def test_pack_structs_roundtrip(ray_session, corpus_parquet, cfg, models):
