@@ -150,3 +150,34 @@ def test_per_language_thresholds_differential():
         cfg.lang_thresholds)
     assert out2["keep"].to_pylist() == [True, False]
     assert out2["drop_reason"].to_pylist() == ["", "heur.max_line_len"]
+
+
+def test_null_lang_takes_global_threshold():
+    """A null lang row must not crash the vectorized per-language masks
+    and must be judged by the GLOBAL thresholds."""
+    from spardaqus_ray.config import EngineConfig
+
+    import random
+
+    rng = random.Random(9)
+
+    def words(n):
+        return " ".join("".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
+                                for _ in range(rng.randint(3, 9)))
+                        for _ in range(n))
+
+    long_line = words(250)
+    assert 1000 < len(long_line) <= 2500
+    body = long_line + "\n" + "\n".join(words(5) for _ in range(80))
+    t = pa.table({"repo": ["r"] * 3, "path": ["a", "b", "c"],
+                  "commit": ["c"] * 3,
+                  "lang": pa.array(["md", None, "py"], pa.string()),
+                  "content": [body] * 3})
+    cfg = EngineConfig()
+    out = apply_heuristic_rules(
+        compute_features(normalize_batch(t)), cfg.thresholds,
+        cfg.lang_thresholds)
+    # md keeps (override), null + py drop on the global max_line_len
+    assert out["keep"].to_pylist() == [True, False, False]
+    assert out["drop_reason"].to_pylist() == ["", "heur.max_line_len",
+                                              "heur.max_line_len"]
