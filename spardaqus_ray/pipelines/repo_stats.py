@@ -18,9 +18,13 @@ from spardaqus_ray.sources.code_parquet import read_table
 # ---------------------------------------------------------------------------
 
 def repo_stats(annotated: ray.data.Dataset) -> ray.data.Dataset:
-    proj = annotated.select_columns(
-        ["repo", "keep", "ppl", "alnum_ratio", "dup_line_frac",
-         "scrub_email", "scrub_ip", "scrub_key", "scrub_tox"])
+    # ppl exists only when a scorer stage ran (langid/ppl enabled) — a
+    # scorer-less pipeline (e.g. `run --no-langid --no-ppl --repo-drop`)
+    # still gets repo stats, with a null ppl mean
+    has_ppl = "ppl" in annotated.schema().names
+    cols = ["repo", "keep", "alnum_ratio", "dup_line_frac",
+            "scrub_email", "scrub_ip", "scrub_key", "scrub_tox"]
+    proj = annotated.select_columns(cols + (["ppl"] if has_ppl else []))
 
     def prep(t: pa.Table) -> pa.Table:
         keep = t["keep"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -31,7 +35,8 @@ def repo_stats(annotated: ray.data.Dataset) -> ray.data.Dataset:
             "repo": t["repo"],
             "kept": pa.array(keep.astype(np.int64)),
             "scrub_matches": pa.array(scrubbed),
-            "ppl": t["ppl"], "alnum_ratio": t["alnum_ratio"],
+            "ppl": t["ppl"] if has_ppl else pa.nulls(t.num_rows, pa.float64()),
+            "alnum_ratio": t["alnum_ratio"],
             "dup_line_frac": t["dup_line_frac"],
         })
 

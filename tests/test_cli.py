@@ -1,0 +1,55 @@
+"""CLI entry-point smoke (SURVEY.md §3.2): python -m spardaqus_ray.run in a
+fresh process owns its Ray session, honors flags, prints one JSON summary
+line, and resumes as a no-op."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.mark.skipif(os.environ.get("GRAFT_SKIP_SUBPROCESS") == "1",
+                    reason="subprocess tests disabled")
+def test_cli_run_and_resume(tmp_path):
+    from spardaqus_ray.synth import generate_corpus
+
+    tbl, _ = generate_corpus(300, seed=17)
+    inp = str(tmp_path / "corpus.parquet")
+    pq.write_table(tbl, inp, row_group_size=128)
+    out = str(tmp_path / "out")
+    env = dict(os.environ, RAY_ADDRESS="local")
+
+    def run(extra=()):
+        r = subprocess.run(
+            [sys.executable, "-m", "spardaqus_ray.run",
+             "--input", inp, "--output", out, "--num-partitions", "4",
+             "--no-langid", "--no-ppl", "--num-cpus", "4", *extra],
+            capture_output=True, text=True, timeout=300, env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    s1 = run()
+    assert s1["partitions"] == 4
+    assert s1["input_rows"] == 300
+    assert s1["kept"] + s1["dropped"] == 300
+    assert len([f for f in os.listdir(out) if f.endswith(".parquet")]) == 4
+
+    # resume: everything done -> zero partitions recomputed, same files
+    s2 = run()
+    assert s2["partitions"] == 0 and s2["input_rows"] == 0
+
+    # --repo-drop flag accepted end-to-end
+    out2 = str(tmp_path / "out2")
+    r3 = subprocess.run(
+        [sys.executable, "-m", "spardaqus_ray.run",
+         "--input", inp, "--output", out2, "--num-partitions", "4",
+         "--no-langid", "--no-ppl", "--repo-drop", "--num-cpus", "4"],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    s3 = json.loads(r3.stdout.strip().splitlines()[-1])
+    assert s3["partitions"] == 4
