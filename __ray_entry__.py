@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_nation_supplier_left": relational.q21_nation_supplier_left,
         "q22_median_price_by_segment": relational.q22_median_price_by_segment,
         "q23_top_orders_per_segment": relational.q23_top_orders_per_segment,
+        "q24_events_hopping": relational.q24_events_hopping,
         # --- dedup family (exact is SQL-checkable; rest rows-only) ---
         "dedup_exact_docs": dedup.exact_dedup_docs,
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
@@ -116,4 +117,5 @@ def oracle_sql() -> dict[str, str]:
         "q21_nation_supplier_left": relational.Q21_SQL,
         "q22_median_price_by_segment": relational.Q22_SQL,
         "q23_top_orders_per_segment": relational.Q23_SQL,
+        "q24_events_hopping": relational.Q24_SQL,
     }

@@ -692,3 +692,29 @@ FROM (
   FROM orders JOIN customer ON o_custkey = c_custkey)
 WHERE rn <= 3
 """
+
+
+def q24_events_hopping(sf_dir: str) -> pd.DataFrame:
+    """Hopping-window event counts (30-minute windows every 10 minutes)
+    via the generic windows.hopping_agg — each event explodes into 3
+    windows inside map_batches, then one grouped aggregate."""
+    from ray.data.aggregate import Count
+
+    from spardaqus_ray.pipelines.windows import hopping_agg
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
+    out = (hopping_agg(ds, ts="ts", size_us=1_800_000_000,
+                       hop_us=600_000_000,
+                       aggs=[Count(alias_name="n_events")],
+                       keys=["event_type"], window_name="w")
+           .to_pandas())
+    return out.sort_values(["w", "event_type"]).reset_index(drop=True)
+
+
+Q24_SQL = """
+SELECT make_timestamp(CAST((epoch_us(ts) // 600000000) * 600000000
+                           - j * 600000000 AS BIGINT)) AS w,
+       event_type, COUNT(*) AS n_events
+FROM events CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS j) js
+GROUP BY w, event_type
+"""

@@ -118,6 +118,42 @@ def tumbling_agg(ds: ray.data.Dataset, ts: str, every_us: int, aggs,
             .groupby([window_name] + keys).aggregate(*aggs))
 
 
+def hopping_agg(ds: ray.data.Dataset, ts: str, size_us: int, hop_us: int,
+                aggs, keys: list[str] | None = None,
+                window_name: str = "window") -> ray.data.Dataset:
+    """HOPPING (sliding) window aggregate: windows of width size_us start
+    every hop_us; an event at t belongs to every window whose
+    [start, start+size) interval contains it (size_us % hop_us == 0 ⇒
+    exactly size/hop windows). The per-event window EXPLODE happens
+    inside map_batches (np.repeat — rows never touch the driver), then
+    one grouped aggregate on (window_start, *keys). A tumbling window is
+    the hop == size special case (see tumbling_agg)."""
+    if size_us % hop_us:
+        raise ValueError("size_us must be a multiple of hop_us")
+    n_win = size_us // hop_us
+    keys = list(keys or [])
+
+    def explode(t: pa.Table) -> pa.Table:
+        temporal = pa.types.is_temporal(t.schema.field(ts).type)
+        tt = _ts_us(t[ts])
+        last = (tt // hop_us) * hop_us          # newest window containing t
+        # window starts: last, last-hop, ..., last-(n_win-1)*hop
+        starts = (last[:, None]
+                  - (np.arange(n_win, dtype=np.int64) * hop_us)[None, :]
+                  ).reshape(-1)
+        idx = pa.array(np.repeat(np.arange(t.num_rows, dtype=np.int64), n_win))
+        cols = {window_name: pa.array(
+            starts.astype("datetime64[us]") if temporal else starts)}
+        for c in t.column_names:
+            if c != ts:
+                cols[c] = t[c].take(idx)
+        return pa.table(cols)
+
+    return (ds.map_batches(explode, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby([window_name] + keys).aggregate(*aggs))
+
+
 def running_sum(ds: ray.data.Dataset, key: str, order: list[str], value: str,
                 out_name: str = "running_sum",
                 num_partitions: int = 16) -> ray.data.Dataset:

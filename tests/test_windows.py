@@ -170,3 +170,41 @@ def test_tumbling_agg_generic(ray_session):
     assert (out["kind"] == exp["kind"]).all()
     assert (out["n"] == exp["n"]).all()
     assert np.allclose(out["sv"], exp["sv"])
+
+
+def test_hopping_agg_generic(ray_session):
+    """Hopping windows (size=30min, hop=10min): every event lands in
+    exactly 3 windows; counts cross-checked against a brute-force pandas
+    expansion."""
+    from ray.data.aggregate import Count
+
+    from spardaqus_ray.pipelines.windows import hopping_agg
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame({
+        "ts": pd.to_datetime("2024-07-01")
+              + pd.to_timedelta(rng.integers(0, 6 * 3600, 400), unit="s"),
+        "kind": rng.choice(["a", "b"], 400),
+    })
+    size, hop = 30 * 60 * 10**6, 10 * 60 * 10**6
+    out = (hopping_agg(_ds(df), ts="ts", size_us=size, hop_us=hop,
+                       aggs=[Count(alias_name="n")], keys=["kind"],
+                       window_name="w")
+           .to_pandas().sort_values(["w", "kind"]).reset_index(drop=True))
+    # brute force: expand each event into its 3 windows
+    rows = []
+    for _, r in df.iterrows():
+        us = int(r["ts"].value // 1000)  # ns -> us
+        last = (us // hop) * hop
+        for j in range(size // hop):
+            rows.append((pd.Timestamp((last - j * hop) * 1000), r["kind"]))
+    exp = (pd.DataFrame(rows, columns=["w", "kind"])
+           .groupby(["w", "kind"]).size().rename("n").reset_index()
+           .sort_values(["w", "kind"]).reset_index(drop=True))
+    assert len(out) == len(exp)
+    assert (out["w"] == exp["w"]).all()
+    assert (out["kind"] == exp["kind"]).all()
+    assert (out["n"] == exp["n"]).all()
+
+    with pytest.raises(ValueError, match="multiple"):
+        hopping_agg(_ds(df), ts="ts", size_us=25, hop_us=10, aggs=[])
