@@ -223,12 +223,15 @@ def run_flagship(input_paths, checkpoint_dir: str, cfg: EngineConfig,
     from spardaqus_ray.sources.code_parquet import read_code_parquet
     from spardaqus_ray.state.checkpoint import (check_job_signature,
                                                 completed_partitions,
+                                                config_signature,
                                                 finalize_partition,
                                                 input_signature)
 
     os.makedirs(checkpoint_dir, exist_ok=True)
-    # C1: refuse to resume against a checkpoint recorded for different input
-    check_job_signature(checkpoint_dir, input_signature(input_paths))
+    # C1: refuse to resume against a checkpoint recorded for a different
+    # INPUT or a different ENGINE CONFIG (either mix is silent label skew)
+    check_job_signature(checkpoint_dir, input_signature(input_paths),
+                        config_signature(cfg))
     run_id = uuid.uuid4().hex
     done = completed_partitions(checkpoint_dir)
 

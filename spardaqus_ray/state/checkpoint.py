@@ -37,10 +37,17 @@ import pyarrow.parquet as pq
 
 
 def partition_fingerprint(raw_shas: list[str], n_rows: int) -> str:
-    acc = np.zeros(32, np.uint8)
-    for h in raw_shas:
-        acc ^= np.frombuffer(bytes.fromhex(h), np.uint8)
-    return f"{bytes(acc).hex()}:{n_rows}"
+    """Order-insensitive, MULTISET-sensitive digest: wraparound SUM of the
+    sha words (not XOR — xor cancels even multiplicities, so a partition
+    of two identical rows would fingerprint as zero regardless of
+    content; this corpus is full of duplicates by design)."""
+    acc = np.zeros(4, np.uint64)
+    if raw_shas:
+        raw = np.frombuffer(bytes.fromhex("".join(raw_shas)),
+                            np.uint8).reshape(len(raw_shas), 32)
+        with np.errstate(over="ignore"):
+            acc = raw.view(np.uint64).sum(axis=0, dtype=np.uint64)
+    return f"{acc.tobytes().hex()}:{n_rows}"
 
 
 def manifest_dir(checkpoint_dir: str) -> str:
@@ -66,20 +73,51 @@ def input_signature(input_paths) -> str:
     return h.hexdigest()
 
 
-def check_job_signature(checkpoint_dir: str, signature: str) -> None:
-    """Verify (or record) the job-level input signature. A resume against a
-    checkpoint dir whose recorded signature differs FAILS LOUDLY — silently
-    mixing partitions of two different inputs is the one unrecoverable
-    outcome (ADVICE r1: the fingerprint was written but never verified)."""
+# EngineConfig fields that change neither row labels nor the partition
+# function — a resume may freely vary these (different pool sizing,
+# batch size, or dedup physical plan; plan equivalence is test-pinned).
+# Everything else (thresholds, toggles, langs, num_partitions, skew
+# params, repo-drop params) DOES change labels or which part_id a row
+# maps to, so it participates in the resume signature.
+_PHYSICAL_ONLY_FIELDS = frozenset({
+    "model_batch_size", "model_concurrency", "model_num_cpus",
+    "dedup_mode", "dedup_broadcast_max", "dedup_broadcast_max_bytes",
+    "checkpoint_dir",
+})
+
+
+def config_signature(cfg) -> str:
+    """Deterministic digest of an EngineConfig's SEMANTIC fields
+    (sorted-key JSON, physical-only knobs excluded). Part of the job
+    signature — resuming a checkpoint under changed thresholds/toggles
+    or a changed partition function would silently mix partitions
+    labeled/placed by two different configs."""
+    import dataclasses
+
+    d = {k: v for k, v in dataclasses.asdict(cfg).items()
+         if k not in _PHYSICAL_ONLY_FIELDS}
+    payload = json.dumps(d, sort_keys=True, default=str)
+    return hashlib.sha256(payload.encode()).hexdigest()
+
+
+def check_job_signature(checkpoint_dir: str, signature: str,
+                        cfg_signature: str | None = None) -> None:
+    """Verify (or record) the job-level input + config signatures. A
+    resume against a checkpoint dir whose recorded signatures differ
+    FAILS LOUDLY — silently mixing partitions of two different inputs OR
+    two different configs is the one unrecoverable outcome (ADVICE r1:
+    the fingerprint was written but never verified)."""
     mdir = manifest_dir(checkpoint_dir)
     os.makedirs(mdir, exist_ok=True)
     jpath = os.path.join(mdir, "job.json")
     if os.path.exists(jpath):
         try:
             with open(jpath) as f:
-                recorded = json.load(f).get("input_signature")
+                rec = json.load(f)
         except (json.JSONDecodeError, OSError):
-            recorded = None   # torn/foreign job file -> treated as mismatch
+            rec = {}   # torn/foreign job file -> treated as mismatch
+        recorded = rec.get("input_signature")
+        rec_cfg = rec.get("config_signature")
         if recorded != signature:
             raise ValueError(
                 f"checkpoint dir {checkpoint_dir!r} was written for a "
@@ -87,10 +125,19 @@ def check_job_signature(checkpoint_dir: str, signature: str) -> None:
                 f"{str(recorded)[:12]}..., current {signature[:12]}...); "
                 f"refusing to resume. Clear the checkpoint dir to "
                 f"reprocess the new input.")
+        if cfg_signature is not None and rec_cfg != cfg_signature:
+            raise ValueError(
+                f"checkpoint dir {checkpoint_dir!r} was written under a "
+                f"DIFFERENT engine config (recorded "
+                f"{str(rec_cfg)[:12]}..., current {cfg_signature[:12]}...); "
+                f"resuming would mix partitions labeled by two configs. "
+                f"Clear the checkpoint dir to relabel under the new "
+                f"config.")
     else:
-        tmp = jpath + ".tmp"
+        tmp = f"{jpath}.tmp.{os.getpid()}"
         with open(tmp, "w") as f:
             json.dump({"input_signature": signature,
+                       "config_signature": cfg_signature,
                        "created_at": time.time()}, f)
         os.replace(tmp, jpath)
 
@@ -111,8 +158,8 @@ def completed_partitions(checkpoint_dir: str) -> set[int]:
                 m = json.load(f)
             if os.path.exists(os.path.join(checkpoint_dir, m["output_file"])):
                 done.add(int(m["part_id"]))
-        except (json.JSONDecodeError, KeyError, ValueError):
-            continue  # torn manifest -> treat as not done
+        except (json.JSONDecodeError, KeyError, ValueError, OSError):
+            continue  # torn/vanished manifest -> treat as not done
     return done
 
 
@@ -128,32 +175,40 @@ def finalize_partition(part: pa.Table, part_id: int, checkpoint_dir: str,
     them) and must be allowed to overwrite with identical bytes; only a
     finalize of the SAME part_id in the SAME run with DIFFERENT rows
     means the partition arrived split across blocks — that raises instead
-    of silently losing rows. Enforced twice: against any manifest already
-    present before writing, and by re-reading the manifest after the
-    atomic replace (catches the concurrent-writer race: the loser of the
-    last-write sees the winner's differing fingerprint and raises)."""
+    of silently losing rows. RACE-FREE enforcement: the FIRST attempt of
+    a (run, part) atomically publishes its row fingerprint via os.link
+    (exclusive: link fails if the target exists, and the target appears
+    fully written); every later attempt — sequential or concurrent —
+    reads the published fingerprint and raises iff its own differs. A
+    plain pre/post manifest check cannot close this window: two attempts
+    serialized as X-fully-finishes-then-Y both see only their own
+    manifest."""
     fingerprint = partition_fingerprint(
         part["raw_sha256"].to_pylist(), part.num_rows)
     mpath = os.path.join(manifest_dir(checkpoint_dir),
                          f"part-{part_id:05d}.done.json")
-
-    def _split_check() -> None:
-        if run_id is None or not os.path.exists(mpath):
-            return
+    if run_id is not None:
+        mdir = manifest_dir(checkpoint_dir)
+        os.makedirs(mdir, exist_ok=True)
+        fp_claim = os.path.join(mdir, f"part-{part_id:05d}.fp.{run_id}")
+        tmp_claim = f"{fp_claim}.tmp.{os.getpid()}"
+        with open(tmp_claim, "w") as f:
+            f.write(fingerprint)
         try:
-            with open(mpath) as f:
-                prev = json.load(f)
-        except (json.JSONDecodeError, OSError):
-            return  # torn manifest -> rewrite is the correct recovery
-        if (prev.get("run_id") == run_id
-                and prev.get("input_fingerprint") != fingerprint):
-            raise RuntimeError(
-                f"partition {part_id} finalized twice within run {run_id} "
-                f"with DIFFERENT rows: the partition arrived split across "
-                f"blocks (one-block-per-partition assumption violated); "
-                f"refusing to overwrite")
-
-    _split_check()
+            os.link(tmp_claim, fp_claim)   # atomic publish-if-absent
+        except FileExistsError:
+            with open(fp_claim) as f:
+                published = f.read()
+            if published != fingerprint:
+                raise RuntimeError(
+                    f"partition {part_id} finalized twice within run "
+                    f"{run_id} with DIFFERENT rows: the partition arrived "
+                    f"split across blocks (one-block-per-partition "
+                    f"assumption violated); refusing to overwrite"
+                ) from None
+            # identical rows -> idempotent Ray retry, proceed
+        finally:
+            os.remove(tmp_claim)
     idx = pa.compute.sort_indices(
         part, sort_keys=[("repo", "ascending"), ("path", "ascending"),
                          ("commit", "ascending")]
@@ -168,20 +223,17 @@ def finalize_partition(part: pa.Table, part_id: int, checkpoint_dir: str,
     os.replace(tmp, fpath)
 
     keep = part["keep"].combine_chunks().to_numpy(zero_copy_only=False)
-    scrub_total = 0
+    scrub_rowsum = np.zeros(part.num_rows, np.int64)
     for c in ("scrub_email", "scrub_ip", "scrub_key", "scrub_tox"):
-        scrub_total += int(pa.compute.sum(part[c]).as_py() or 0)
+        scrub_rowsum += part[c].combine_chunks().to_numpy(
+            zero_copy_only=False)
     row = {
         "part_id": part_id,
         "input_rows": part.num_rows,
         "kept": int(keep.sum()),
         "dropped": int((~keep).sum()),
-        "scrubbed": int((np.asarray(
-            [a + b + c + d for a, b, c, d in zip(
-                part["scrub_email"].to_pylist(), part["scrub_ip"].to_pylist(),
-                part["scrub_key"].to_pylist(), part["scrub_tox"].to_pylist())]
-        ) > 0).sum()),
-        "scrub_matches": scrub_total,
+        "scrubbed": int((scrub_rowsum > 0).sum()),
+        "scrub_matches": int(scrub_rowsum.sum()),
         "input_fingerprint": fingerprint,
         "output_file": fname,
         "run_id": run_id,
@@ -192,7 +244,4 @@ def finalize_partition(part: pa.Table, part_id: int, checkpoint_dir: str,
     with open(tmpm, "w") as f:
         json.dump(row, f)
     os.replace(tmpm, mpath)
-    # post-write check: if a concurrent same-run attempt with DIFFERENT
-    # rows won the manifest race, the loser detects it here and raises
-    _split_check()
     return row

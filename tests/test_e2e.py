@@ -275,3 +275,20 @@ def test_pack_structs_roundtrip(ray_session, corpus_parquet, cfg, models):
         sc = a.loc[i, "scrub_counts"]
         for c in ("email", "ip", "key", "tox"):
             assert sc[c] == b.loc[i, f"scrub_{c}"], (i, c)
+
+
+def test_resume_refuses_changed_config(ray_session, corpus_parquet, cfg,
+                                       models, tmp_path):
+    """Resuming a checkpoint under a CHANGED engine config must fail
+    loudly — the completed partitions were labeled under the old one."""
+    import shutil
+
+    from spardaqus_ray.pipelines.flagship import run_flagship
+
+    inp = str(tmp_path / "corpus.parquet")
+    shutil.copy(corpus_parquet, inp)
+    ck = str(tmp_path / "ck_cfg")
+    run_flagship(inp, ck, cfg, models)
+    changed = cfg.with_(thresholds={**cfg.thresholds, "max_line_len": 500})
+    with pytest.raises(ValueError, match="DIFFERENT engine config"):
+        run_flagship(inp, ck, changed, models)

@@ -50,8 +50,11 @@ def _compare(name, ray_df, sql_df):
         assert (ak == "f") == (bk == "f"), \
             (name, c, f"dtype mismatch: ray={a[c].dtype} oracle={b[c].dtype}")
         if ak == "f":
-            assert (a[c].astype(float).round(4).fillna(-1)
-                    == b[c].astype(float).round(4).fillna(-1)).all(), (name, c)
+            av = a[c].astype(float).round(4)
+            bv = b[c].astype(float).round(4)
+            # NaN-aware: null==null passes, null vs any real value fails
+            # (a fillna sentinel would equate NaN with that value)
+            assert ((av.isna() & bv.isna()) | (av == bv)).all(), (name, c)
         else:
             av, bv = a[c], b[c]
             try:

@@ -97,9 +97,15 @@ def test_cli_run_and_resume(ray_session, tmp_path):
     rc = main(["--input", inp, "--output", out, "--num-partitions", "4"])
     assert rc == 0
     assert len([f for f in os.listdir(out) if f.endswith(".parquet")]) == 4
-    # resume: nothing to do
-    rc = main(["--input", inp, "--output", out])
+    # resume with the SAME partitioning: nothing to do
+    rc = main(["--input", inp, "--output", out, "--num-partitions", "4"])
     assert rc == 0
+    # resuming with a DIFFERENT partition count must refuse: completed
+    # part_ids were computed mod 4 and would mis-skip rows under mod 8
+    import pytest
+
+    with pytest.raises(ValueError, match="DIFFERENT engine config"):
+        main(["--input", inp, "--output", out])
 
 
 def test_approx_median_accuracy(ray_session):
