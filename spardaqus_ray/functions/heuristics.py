@@ -48,14 +48,18 @@ for _c in rules.ASCII_WHITESPACE:
 def normalize_batch(batch: pa.Table) -> pa.Table:
     """M1: BOM/NUL strip + newline normalization on the `content` column,
     entirely with pyarrow.compute kernels (vectorized C++, no Python rows).
-    Must agree with rules.normalize_text (asserted in tests)."""
+    Must agree with rules.normalize_text EXACTLY, including step ORDER
+    (BOM on the original string, then NUL removal, then CRLF/CR): e.g.
+    '\\x00\\ufeffx' keeps its BOM (not leading yet when checked) and
+    '\\r\\x00\\n' collapses to '\\n' (NUL removal creates the CRLF) —
+    both orders asserted in tests."""
     col = batch["content"]
-    col = pc.replace_substring(col, pattern="\r\n", replacement="\n")
-    col = pc.replace_substring(col, pattern="\r", replacement="\n")
-    col = pc.replace_substring(col, pattern="\x00", replacement="")
     bom = pc.starts_with(col, pattern="﻿")
     if pc.any(bom).as_py():
         col = pc.if_else(bom, pc.utf8_slice_codeunits(col, start=1), col)
+    col = pc.replace_substring(col, pattern="\x00", replacement="")
+    col = pc.replace_substring(col, pattern="\r\n", replacement="\n")
+    col = pc.replace_substring(col, pattern="\r", replacement="\n")
     return batch.set_column(batch.schema.get_field_index("content"), "content", col)
 
 

@@ -41,6 +41,11 @@ _IPV4 = r"(?<![\w.])(?:\d{1,3}\.){3}\d{1,3}(?![\w.])"
 _IPV6 = r"(?<![\w:])(?:[0-9A-Fa-f]{1,4}:){2,7}[0-9A-Fa-f]{1,4}(?![\w:])"
 _TOX = r"\b(?i:" + "|".join(rules.TOXICITY_WORDS) + r")\b"
 
+# re.ASCII: case-insensitive groups fold ASCII letters ONLY (spec: the
+# wordlists/markers are ASCII; Unicode case-folds like U+212A KELVIN->k
+# must NOT match — they would also defeat the byte-level prefilters),
+# and \b/\d/\w are ASCII classes, consistent with the byte-based feature
+# definitions in rules.py.
 SCRUB_RE = re.compile(
     "|".join(
         f"(?P<{name}>{pat})"
@@ -54,12 +59,13 @@ SCRUB_RE = re.compile(
             ("ipv6", _IPV6),
             ("tox", _TOX),
         ]
-    )
+    ),
+    re.ASCII,
 )
 
 # Standalone toxicity matcher for the tox_hits FEATURE (counted during
 # scoring on all rows, before the scrub which runs only on kept rows).
-TOX_RE = re.compile(_TOX)
+TOX_RE = re.compile(_TOX, re.ASCII)
 
 _COUNT_KEYS = ("email", "ip", "key", "tox")
 
@@ -152,7 +158,11 @@ def scrub_candidates(buf, offsets) -> "np.ndarray":
         p = low_b.find(lit)
         while p != -1:
             cand[int(np.searchsorted(offsets, p, side="right")) - 1] = True
-            p = low_b.find(lit, p + len(lit))
+            # advance by ONE, not len(lit): a boundary-spanning occurrence
+            # must not swallow a real occurrence starting inside it (e.g.
+            # row0 ending 'AKI' + row1 starting 'AKIA...' — stepping by 4
+            # would mark only row0 and leave row1's real key unscrubbed)
+            p = low_b.find(lit, p + 1)
     # IPv4-ish: digit '.' digit trigrams, >=2 per row
     dig = (buf >= 48) & (buf <= 57)
     if len(buf) >= 3:

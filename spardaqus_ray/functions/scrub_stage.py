@@ -29,9 +29,12 @@ def scrub_and_stamp(batch: pa.Table, scrub_enabled: bool = True) -> pa.Table:
             # ~15% of rows that could possibly match
             buf, offsets = _flat_utf8(batch["content"])
             cand = scrub_candidates(buf, offsets)
-            contents = batch["content"].to_pylist()
+            sel = np.flatnonzero(keep & cand)
+            # materialize Python strings ONLY when candidates exist —
+            # the common no-candidate batch pays zero per-row conversion
+            contents = batch["content"].to_pylist() if sel.size else None
             changed = False
-            for i in np.flatnonzero(keep & cand):
+            for i in sel:
                 s = contents[i]
                 if SCRUB_RE.search(s) is None:
                     continue

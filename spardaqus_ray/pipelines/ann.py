@@ -99,6 +99,10 @@ SELECT query_id, vec_id, cosine FROM scored WHERE rn <= {k}
 def _train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 8,
                      seed: int = 99) -> np.ndarray:
     rng = np.random.default_rng(seed)
+    # tiny tables: clamp rather than crash (choice(replace=False) cannot
+    # draw more centroids than sample rows); IVF then degrades gracefully
+    # toward brute force
+    n_centroids = min(n_centroids, len(sample))
     c = sample[rng.choice(len(sample), n_centroids, replace=False)].copy()
     for _ in range(iters):
         assign = (sample @ c.T).argmax(axis=1)

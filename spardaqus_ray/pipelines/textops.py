@@ -83,7 +83,6 @@ def langid_agreement(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "documents", columns=["lang", "text"])
 
     def detect(t: pa.Table) -> pa.Table:
-        from spardaqus_ray.functions.heuristics import _flat_utf8
         from spardaqus_ray.stages.scorers import _heads_buffer
 
         mask = np.ones(t.num_rows, bool)

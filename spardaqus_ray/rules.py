@@ -108,7 +108,10 @@ AUTOGEN_PATTERNS = [
     r"@generated",
     r"lockfile",
 ]
-AUTOGEN_RE = re.compile("|".join(AUTOGEN_PATTERNS), re.IGNORECASE)
+# re.ASCII: markers are ASCII and case-insensitivity folds ASCII letters
+# only (a Unicode case-fold like U+212A KELVIN->k must not match — byte-
+# level prefilters in the pipeline search the ASCII-lowercased buffer)
+AUTOGEN_RE = re.compile("|".join(AUTOGEN_PATTERNS), re.IGNORECASE | re.ASCII)
 
 # Word-boundary toxicity list (small, deliberately mild; pattern-list style
 # per BASELINE.json:6 "PII/toxicity-scrub"). Extensible via config.

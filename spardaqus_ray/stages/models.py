@@ -101,6 +101,12 @@ class LangIdModel:
                                 minlength=n)
                 np.divide(s, per_row, out=means[:, li], where=per_row > 0)
             counts = per_row
+        else:
+            # buffer shorter than one trigram: NO row has any trigram —
+            # counts must be zero so every row gets ("", 0.0) like
+            # score_text, not byte lengths (a 2-byte row would otherwise
+            # read as non-empty and get (langs[0], 1/n_langs))
+            counts = np.zeros(n)
         out_lang, out_conf = self._conf(means)
         # rows with no trigrams: ("", 0.0)
         empty = counts < 1

@@ -293,8 +293,7 @@ def training_texts(lang: str, n_samples: int = 200, seed: int = 1337) -> list[st
     """Deterministic per-language training corpus for the self-trained
     langid / perplexity models (SURVEY.md §2.4 A3). Derived from the same
     per-language grammars the clean stratum uses — no external data."""
-    rng = np.random.default_rng(seed + hash(lang) % 10000)
-    # hash() is salted per process for str — use a stable lang index instead
+    # hash(str) is salted per process — seed from the stable lang index
     rng = np.random.default_rng(seed * 1000 + LANGS.index(lang))
     return [_mk_clean(rng, lang, int(np.clip(rng.lognormal(3.0, 0.7), 5, 200)))
             for _ in range(n_samples)]

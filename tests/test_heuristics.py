@@ -181,3 +181,13 @@ def test_null_lang_takes_global_threshold():
     assert out["keep"].to_pylist() == [True, False, False]
     assert out["drop_reason"].to_pylist() == ["", "heur.max_line_len",
                                               "heur.max_line_len"]
+
+
+def test_normalize_order_edge_cases():
+    """Step ORDER of normalization matches the scalar spec: BOM checked
+    on the ORIGINAL string; NUL removal may create a CRLF that then
+    collapses."""
+    for raw in ("\x00﻿hello", "\r\x00\n", "﻿\r\nx", "a\rb\r\nc\x00"):
+        t = pa.table({"content": [raw]})
+        got = normalize_batch(t)["content"][0].as_py()
+        assert got == rules.normalize_text(raw), repr(raw)

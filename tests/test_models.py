@@ -64,3 +64,16 @@ def test_model_build_deterministic():
     assert m1.langs == m2.langs
     assert np.array_equal(m1.langid.logp, m2.langid.logp)
     assert m1.ppl_threshold == m2.ppl_threshold
+
+
+def test_langid_short_buffer_batch_matches_scalar(models):
+    """A batch whose WHOLE buffer is under one trigram (1-2 byte rows)
+    must score ('', 0.0) like score_text — not (langs[0], 1/n)."""
+    import numpy as np
+
+    buf = np.frombuffer(b"ab", np.uint8)
+    offsets = np.array([0, 2], np.int64)
+    langs, confs = models.langid.score_block(buf, offsets)
+    assert langs == [""]
+    assert confs[0] == 0.0
+    assert models.langid.score_text("ab") == ("", 0.0)

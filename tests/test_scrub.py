@@ -96,3 +96,45 @@ def test_prefilter_superset_on_corpus(corpus):
     for i, s in enumerate(tbl["content"].to_pylist()):
         if SCRUB_RE.search(s) is not None:
             assert cand[i], i
+
+
+def test_prefilter_boundary_spanning_literal():
+    """A literal occurrence spanning a row boundary must not swallow a
+    real occurrence starting inside it (find must advance by 1)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from spardaqus_ray.functions.heuristics import _flat_utf8
+    from spardaqus_ray.functions.scrub import SCRUB_RE, scrub_candidates
+
+    key = "AKIA" + "A1B2C3D4E5F6G7H8"          # valid AWS key shape
+    col = pa.chunked_array([pa.array(["x = AKI", key + " in row"])])
+    buf, offsets = _flat_utf8(col)
+    cand = scrub_candidates(buf, offsets)
+    assert SCRUB_RE.search(key) is not None
+    assert cand[1], "row with a real key must be a candidate"
+
+
+def test_unicode_casefold_agreement():
+    """Spec: case-insensitivity is ASCII-only (re.ASCII) — a Unicode
+    case-fold (U+212A KELVIN -> k) matches in NEITHER harness, so the
+    byte-level prefilter stays a strict superset."""
+    import numpy as np
+    import pyarrow as pa
+
+    from spardaqus_ray import rules
+    from spardaqus_ray.functions.heuristics import compute_features, normalize_batch
+    from spardaqus_ray.functions.scrub import TOX_RE, count_tox
+    from tests.reference_impl import features_row
+
+    kelvin = "this fucK bug"       # NOT a match under ASCII folding
+    plain = "this FUCK bug"             # IS a match (ASCII fold)
+    assert count_tox(kelvin) == 0
+    assert count_tox(plain) == 1
+    assert rules.AUTOGEN_RE.search("locKfile") is None
+    assert rules.AUTOGEN_RE.search("LOCKFILE") is not None
+    # pipeline features agree with the per-row oracle on both strings
+    t = pa.table({"content": [kelvin, plain]})
+    out = compute_features(normalize_batch(t))
+    for i, s in enumerate((kelvin, plain)):
+        assert out["tox_hits"][i].as_py() == features_row(s)["tox_hits"]
