@@ -37,28 +37,79 @@ def repo_hash(repo: str) -> int:
     return zlib.crc32(repo.encode("utf-8"))
 
 
+def _build_crc_table() -> np.ndarray:
+    """Standard CRC-32 (IEEE 802.3, poly 0xEDB88320) byte table — the same
+    polynomial zlib.crc32 uses, so crc32_segments is bit-identical to it."""
+    t = np.arange(256, dtype=np.uint32)
+    for _ in range(8):
+        t = np.where(t & 1, (t >> 1) ^ np.uint32(0xEDB88320), t >> 1)
+    return t
+
+
+_CRC_TABLE = _build_crc_table()
+
+
+def crc32_segments(buf: np.ndarray, starts: np.ndarray,
+                   lengths: np.ndarray) -> np.ndarray:
+    """Vectorized zlib.crc32 of `len(starts)` variable-length byte slices
+    buf[starts[i] : starts[i]+lengths[i]] -> (n,) uint32.
+
+    The table-driven CRC update is applied one BYTE POSITION at a time
+    across all still-active segments; segments are processed in
+    descending-length order so the active set is always a prefix and total
+    work is O(sum(lengths)) numpy ops (not O(n * max_len)). This replaces
+    per-word / per-stripe Python `zlib.crc32` loops on hot paths
+    (minhash/simhash tokenizer, fingerprints, partition keys)."""
+    n = len(starts)
+    out = np.full(n, 0xFFFFFFFF, np.uint32)
+    if n == 0:
+        return out
+    order = np.argsort(-lengths, kind="stable")
+    s_start = starts[order].astype(np.int64)
+    s_len = lengths[order].astype(np.int64)
+    max_len = int(s_len[0])
+    crc = np.full(n, 0xFFFFFFFF, np.uint32)
+    neg_len = -s_len  # ascending, for searchsorted
+    for p in range(max_len):
+        k = int(np.searchsorted(neg_len, -p, side="left"))  # count len > p
+        if k == 0:
+            break
+        b = buf[s_start[:k] + p]
+        crc[:k] = _CRC_TABLE[(crc[:k] ^ b) & np.uint32(0xFF)] ^ (crc[:k] >> np.uint32(8))
+    out[order] = crc
+    return out ^ np.uint32(0xFFFFFFFF)
+
+
+def crc32_column(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """(n,) uint32 zlib.crc32 of each string's UTF-8 bytes — zero-copy over
+    the flat Arrow buffer via crc32_segments."""
+    buf, offsets = _flat_utf8(col)
+    return crc32_segments(buf, offsets[:-1], np.diff(offsets))
+
+
 def add_partition_key(batch: pa.Table, num_partitions: int,
                       salted_repos: frozenset[str], salt_k: int) -> pa.Table:
     """part_id = crc32(repo) % P; repos in the skew-census salt set spread
     over salt_k consecutive partitions via a path-derived salt
     (deterministic: same row -> same part_id on any rerun)."""
-    repos = batch["repo"].to_pylist()
-    # hash each distinct repo once per batch (few distinct repos per block)
-    memo: dict[str, int] = {}
-    part = np.empty(batch.num_rows, np.int32)
-    need_salt = np.zeros(batch.num_rows, bool)
-    for i, r in enumerate(repos):
-        h = memo.get(r)
-        if h is None:
-            h = memo[r] = repo_hash(r)
-        part[i] = h % num_partitions
-        if r in salted_repos:
-            need_salt[i] = True
-    if need_salt.any():
-        paths = batch["path"].to_pylist()
-        for i in np.flatnonzero(need_salt):
-            salt = zlib.crc32(paths[i].encode("utf-8")) % salt_k
-            part[i] = (part[i] + salt) % num_partitions
+    import pyarrow.compute as pc
+
+    repo_col = batch["repo"].combine_chunks() if isinstance(
+        batch["repo"], pa.ChunkedArray) else batch["repo"]
+    # hash each DISTINCT repo once (vectorized crc32 over the flat
+    # buffer), then broadcast back via index_in/take — no per-row Python
+    uniq = pc.unique(repo_col)
+    uh = crc32_column(uniq).astype(np.int64)
+    idx = pc.index_in(repo_col, value_set=uniq).to_numpy(zero_copy_only=False)
+    part = (uh[idx.astype(np.int64)] % num_partitions).astype(np.int32)
+    if salted_repos:
+        mask = pc.is_in(repo_col, value_set=pa.array(sorted(salted_repos),
+                                                     pa.string()))
+        pos = np.nonzero(mask.to_numpy(zero_copy_only=False))[0]
+        if pos.size:
+            paths = pc.take(batch["path"], pa.array(pos))
+            salt = crc32_column(paths).astype(np.int64) % salt_k
+            part[pos] = ((part[pos] + salt) % num_partitions).astype(np.int32)
     return batch.append_column("part_id", pa.array(part, pa.int32()))
 
 

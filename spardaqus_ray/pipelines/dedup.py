@@ -15,20 +15,34 @@ Scale notes (the partitioning assumption each op relies on):
 
 Hash family: h_j(x) = a_j*x + b_j in uint64 wraparound arithmetic (odd
 a_j) — deterministic, numpy-native, no object-int math. Word hashing is
-crc32 (stable across processes; builtin hash() is salted).
+crc32 (stable across processes; builtin hash() is salted), computed by
+the VECTORIZED crc32_segments kernel over the flat Arrow UTF-8 buffer —
+no per-word Python loop anywhere in the signature path.
+
+Tokenization semantics (shared by minhash, simhash and the n-gram
+verify): utf8proc lowercase (pyarrow utf8_lower), then whitespace-run
+segmentation done IN NUMPY over the flat UTF-8 buffer against Python's
+exact str.split() whitespace set (ASCII \\t\\n\\v\\f\\r space \\x1c-\\x1f
+plus the Unicode spaces). This matches `text.lower().split()`
+word-for-word (pinned by pytest); lowercase can differ from Python only
+on exotica like U+0130 İ (utf8proc maps to plain `i`, Python adds a
+combining dot). pc.utf8_split_whitespace is deliberately NOT used: it
+was observed (Ray 2.49 workers, pyarrow 16.1) nondeterministically
+emitting the final token of a batch WITH its trailing whitespace.
 """
 
 from __future__ import annotations
 
 import logging
-import zlib
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
+from spardaqus_ray.functions.hashing import crc32_segments
 from spardaqus_ray.sources.code_parquet import read_table
-from spardaqus_ray.util import ensure_hash_shuffle
+from spardaqus_ray.util import default_partitions, ensure_hash_shuffle
 
 log = logging.getLogger(__name__)
 
@@ -82,7 +96,7 @@ def exact_dedup_docs(sf_dir: str) -> pd.DataFrame:
         return pa.table({"doc_id": t["doc_id"], "sha": sha256_column(t["text"])})
 
     ds = ds.map_batches(digest, batch_format="pyarrow")
-    ds = ds.repartition(8, keys=["sha"])
+    ds = ds.repartition(default_partitions(), keys=["sha"])
 
     def first_per_sha(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
@@ -114,52 +128,185 @@ _B = _rng.integers(0, 2**63, size=N_PERM, dtype=np.int64).astype(np.uint64)
 _C1, _C2, _C3 = np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F), np.uint64(0x165667B19E3779F9)
 
 
+def _as_string_array(texts) -> pa.Array:
+    if isinstance(texts, pa.ChunkedArray):
+        return texts.combine_chunks()
+    if isinstance(texts, pa.Array):
+        return texts
+    return pa.array(list(texts), pa.string())
+
+
+# Python str.split() whitespace, UTF-8 encoded. 1-byte codepoints as a
+# 256-entry lookup table; multi-byte sequences matched positionally below.
+_WS1 = np.zeros(256, bool)
+_WS1[[0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x1C, 0x1D, 0x1E, 0x1F, 0x20]] = True
+# (lead, trail...) UTF-8 byte patterns of the multi-byte Unicode spaces:
+# U+0085 U+00A0 (C2 xx), U+1680 (E1 9A 80), U+2000-200A U+2028 U+2029
+# U+202F (E2 80 xx), U+205F (E2 81 9F), U+3000 (E3 80 80)
+
+
+def _whitespace_mask(buf: np.ndarray) -> np.ndarray:
+    """(len(buf),) bool — True for every byte belonging to a Python
+    str.split() whitespace character in valid UTF-8."""
+    ws = _WS1[buf]
+    if buf.size >= 2:
+        b0, b1 = buf[:-1], buf[1:]
+        two = (b0 == 0xC2) & ((b1 == 0x85) | (b1 == 0xA0))
+        if two.any():
+            idx = np.nonzero(two)[0]
+            ws[idx] = True
+            ws[idx + 1] = True
+    if buf.size >= 3:
+        b0, b1, b2 = buf[:-2], buf[1:-1], buf[2:]
+        three = (((b0 == 0xE1) & (b1 == 0x9A) & (b2 == 0x80))
+                 | ((b0 == 0xE2) & (b1 == 0x80)
+                    & (((b2 >= 0x80) & (b2 <= 0x8A))
+                       | (b2 == 0xA8) | (b2 == 0xA9) | (b2 == 0xAF)))
+                 | ((b0 == 0xE2) & (b1 == 0x81) & (b2 == 0x9F))
+                 | ((b0 == 0xE3) & (b1 == 0x80) & (b2 == 0x80)))
+        if three.any():
+            idx = np.nonzero(three)[0]
+            ws[idx] = True
+            ws[idx + 1] = True
+            ws[idx + 2] = True
+    return ws
+
+
+def words_block(texts) -> tuple[np.ndarray, np.ndarray]:
+    """(flat uint64 word hashes in doc order, int64 per-doc word counts)
+    for a batch of texts (list[str] or Arrow string array). Fully
+    vectorized: ONE utf8_lower pass, then numpy whitespace-run
+    segmentation directly on the flat UTF-8 buffer and the
+    crc32_segments kernel over the word slices — zero per-word Python
+    and NO utf8_split_whitespace (that kernel was observed returning a
+    trailing-whitespace-inclusive final token nondeterministically
+    inside Ray workers; segmenting the buffer ourselves is deterministic
+    and skips the token-values copy entirely). Matches Python
+    `text.lower().split()` word-for-word (pinned by pytest)."""
+    col = _as_string_array(texts)
+    n = len(col)
+    if n == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    if col.null_count:
+        col = col.fill_null("")
+    low = pc.utf8_lower(col)
+    low = low.combine_chunks() if isinstance(low, pa.ChunkedArray) else low
+    off_dtype = np.int64 if pa.types.is_large_string(low.type) else np.int32
+    itemsize = np.dtype(off_dtype).itemsize
+    doc_off = np.frombuffer(low.buffers()[1], off_dtype, n + 1,
+                            low.offset * itemsize).astype(np.int64)
+    data_buf = low.buffers()[2]
+    buf = (np.frombuffer(data_buf, np.uint8, count=len(data_buf))
+           if data_buf is not None else np.empty(0, np.uint8))
+    lo, hi = int(doc_off[0]), int(doc_off[-1])
+    if hi == lo:
+        return np.empty(0, np.uint64), np.zeros(n, np.int64)
+    tok = ~_whitespace_mask(buf[lo:hi])
+    # word boundaries: a token byte whose predecessor is non-token OR a
+    # document start; symmetric for ends (successor / document end)
+    prev = np.empty_like(tok)
+    prev[0] = False
+    prev[1:] = tok[:-1]
+    nxt = np.empty_like(tok)
+    nxt[-1] = False
+    nxt[:-1] = tok[1:]
+    bounds = doc_off[1:-1] - lo          # interior doc boundaries
+    prev[bounds[bounds < tok.size]] = False
+    ends_at = bounds - 1
+    nxt[ends_at[ends_at >= 0]] = False
+    starts = np.nonzero(tok & ~prev)[0]
+    ends = np.nonzero(tok & ~nxt)[0] + 1
+    w = crc32_segments(buf[lo:hi], starts, ends - starts).astype(np.uint64)
+    counts = np.diff(np.searchsorted(starts, doc_off - lo)).astype(np.int64)
+    return w, counts
+
+
 def _word_hashes(text: str) -> np.ndarray:
-    return np.array([zlib.crc32(w.encode()) for w in text.lower().split()],
-                    np.uint64)
+    """Scalar view of words_block (one semantics for every caller)."""
+    return words_block([text])[0]
+
+
+def shingle_hashes_block(texts, k: int = SHINGLE_K
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """(flat uint64 shingle hashes in doc order, int64 per-doc shingle
+    counts). Docs with >=k words get their w-k+1 rolling k-gram hashes;
+    docs with 1..k-1 words one whole-doc hash; empty docs none. All
+    segments computed flat with grouped-arange gathers — no per-doc
+    Python loop."""
+    w, counts = words_block(texts)
+    doc_off = np.concatenate(([0], np.cumsum(counts)))
+    sc = np.where(counts == 0, 0,
+                  np.where(counts < k, 1, counts - k + 1)).astype(np.int64)
+    out_off = np.concatenate(([0], np.cumsum(sc)))
+    out = np.empty(out_off[-1], np.uint64)
+    long = counts >= k
+    if long.any():
+        reps = sc[long]
+        total = int(reps.sum())
+        rep_off = np.concatenate(([0], np.cumsum(reps)))[:-1]
+        roff = np.arange(total) - np.repeat(rep_off, reps)
+        idx = np.repeat(doc_off[:-1][long], reps) + roff
+        with np.errstate(over="ignore"):
+            h = w[idx] * _C1
+            h += w[idx + 1] * _C2
+            for j in range(2, k):
+                h += w[idx + j] * (_C3 + np.uint64(j))
+            h *= _C1
+            h ^= h >> np.uint64(29)
+        out[np.repeat(out_off[:-1][long], reps) + roff] = h
+    short = (counts > 0) & (counts < k)
+    if short.any():
+        # whole-doc hash = wraparound sum of w*_C1 over the doc — modular
+        # prefix-sum differences give the exact same uint64 sums
+        with np.errstate(over="ignore"):
+            pcs = np.concatenate(([np.uint64(0)],
+                                  np.cumsum(w * _C1, dtype=np.uint64)))
+            out[out_off[:-1][short]] = (pcs[doc_off[1:][short]]
+                                        - pcs[doc_off[:-1][short]])
+    return out, sc
 
 
 def shingle_hashes(text: str, k: int = SHINGLE_K) -> np.ndarray:
-    """uint64 hashes of word k-gram shingles — vectorized combine of
-    per-word crc32s (distinct odd constants per position)."""
-    w = _word_hashes(text)
-    if len(w) == 0:
-        return w
-    if len(w) < k:
-        return np.array([(w * _C1).sum(dtype=np.uint64)], np.uint64)
-    with np.errstate(over="ignore"):
-        h = w[: len(w) - k + 1] * _C1
-        h += w[1: len(w) - k + 2] * _C2
-        if k >= 3:
-            for j in range(2, k):
-                h += w[j: len(w) - k + 1 + j] * (_C3 + np.uint64(j))
-        h *= _C1
-        h ^= h >> np.uint64(29)
-    return h
+    """uint64 hashes of word k-gram shingles (scalar view of
+    shingle_hashes_block)."""
+    return shingle_hashes_block([text], k)[0]
 
 
-def minhash_block(texts: list[str], k: int = SHINGLE_K) -> np.ndarray:
-    """(n_docs, N_PERM) uint64 signatures. All shingles of the batch are
-    permuted in one (n_shingles, N_PERM) matrix; per-doc minima via ONE
-    np.minimum.reduceat along axis 0 (docs are contiguous)."""
-    n = len(texts)
+_PERM_CHUNK = 1 << 20  # shingles per permute chunk (8 MB tmp per pass)
+
+
+def minhash_block(texts, k: int = SHINGLE_K) -> np.ndarray:
+    """(n_docs, N_PERM) uint64 signatures, PERM-TRANSPOSED: one pass over
+    the flat shingle array per permutation (multiply + add into a reused
+    tmp that stays cache-resident, then np.minimum.reduceat) instead of
+    one (n_shingles, N_PERM) matrix that round-trips RAM — measured ~5x
+    faster than the matrix layout at Ray batch sizes. Batches beyond
+    _PERM_CHUNK shingles are chunked with a boundary-doc min-merge."""
+    flat, sc = shingle_hashes_block(texts, k)
+    n = len(sc)
     sig = np.full((n, N_PERM), np.iinfo(np.uint64).max, np.uint64)
-    parts, starts, docs = [], [], []
-    pos = 0
-    for i, t in enumerate(texts):
-        h = shingle_hashes(t, k)
-        if len(h):
-            parts.append(h)
-            starts.append(pos)
-            docs.append(i)
-            pos += len(h)
-    if not parts:
+    total = flat.size
+    if total == 0:
         return sig
-    x = np.concatenate(parts)
-    with np.errstate(over="ignore"):
-        m = x[:, None] * _A[None, :] + _B[None, :]   # (n_shingles, N_PERM)
-    mins = np.minimum.reduceat(m, np.asarray(starts), axis=0)
-    sig[np.asarray(docs)] = mins
+    nz = sc > 0
+    offs = np.concatenate(([0], np.cumsum(sc[nz])))  # nz-doc shingle offsets
+    res = sig[nz]  # copy (fancy index) — scattered back at the end
+    tmp = np.empty(min(total, _PERM_CHUNK), np.uint64)
+    for c0 in range(0, total, _PERM_CHUNK):
+        c1 = min(c0 + _PERM_CHUNK, total)
+        chunk = flat[c0:c1]
+        t = tmp[: c1 - c0]
+        d0 = int(np.searchsorted(offs, c0, side="right")) - 1
+        d1 = int(np.searchsorted(offs, c1, side="left"))
+        seg = np.maximum(offs[d0:d1], c0) - c0  # strictly increasing
+        mins = np.empty((d1 - d0, N_PERM), np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(N_PERM):
+                np.multiply(chunk, _A[j], out=t)
+                t += _B[j]
+                mins[:, j] = np.minimum.reduceat(t, seg)
+        np.minimum(res[d0:d1], mins, out=res[d0:d1])
+    sig[nz] = res
     return sig
 
 
@@ -198,11 +345,10 @@ def minhash_lsh_pairs_ds(sf_dir: str, jaccard_threshold: float = 0.7,
     ensure_hash_shuffle(ds)
 
     def emit(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
         ids = np.asarray(t["doc_id"].to_pylist(), np.int64)
-        sig = minhash_block(texts)
+        sig = minhash_block(t["text"])
         keys = band_keys(sig)
-        n = len(texts)
+        n = t.num_rows
         return pa.table({
             "doc_id": pa.array(np.repeat(ids, N_BANDS)),
             "band": pa.array(np.tile(np.arange(N_BANDS, dtype=np.int32), n)),
@@ -212,7 +358,7 @@ def minhash_lsh_pairs_ds(sf_dir: str, jaccard_threshold: float = 0.7,
         })
 
     bands = ds.map_batches(emit, batch_format="pyarrow")
-    bands = bands.repartition(8, keys=["band", "bkey"])
+    bands = bands.repartition(default_partitions(), keys=["band", "bkey"])
 
     def pairs_in_bucket(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
@@ -307,10 +453,13 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6,
 
     def shingle_sets(t: pa.Table) -> pa.Table:
         t = t.filter(pa.compute.is_in(t["doc_id"], value_set=need_arr))
+        flat, sc = shingle_hashes_block(t["text"])
+        off = np.concatenate(([0], np.cumsum(sc)))
         return pa.table({
             "doc_id": t["doc_id"],
-            "sh": pa.array([np.unique(shingle_hashes(s)).view(np.int64).tolist()
-                            for s in t["text"].to_pylist()],
+            "sh": pa.array([np.unique(flat[off[i]: off[i + 1]])
+                            .view(np.int64).tolist()
+                            for i in range(len(sc))],
                            pa.list_(pa.int64())),
         })
 
@@ -508,22 +657,37 @@ def neardup_groups_ds(sf_dir: str, jaccard_threshold: float = 0.7,
     return components_from_pairs_distributed(pairs_ds)
 
 
-def simhash_block(texts: list[str]) -> np.ndarray:
-    """(n,) uint64 simhash over word-level crc32 features (vectorized
-    bit-count accumulation per doc)."""
-    out = np.zeros(len(texts), np.uint64)
+def simhash_block(texts) -> np.ndarray:
+    """(n,) uint64 simhash over word-level crc32 features — ONE flat pass
+    for the whole batch: vectorized tokenizer (words_block), then per-doc
+    per-bit sums via 64 contiguous 1-D np.add.reduceat passes over the
+    flat word-hash array (an unpackbits (n_words, 64) matrix with a 2-D
+    reduceat or column cumsum is 40-100x slower — both walk the matrix
+    with doc- or column-strided access). Empty docs hash to 0."""
+    w, counts = words_block(texts)
+    n = len(counts)
+    out = np.zeros(n, np.uint64)
+    if w.size == 0:
+        return out
+    with np.errstate(over="ignore"):
+        h = w * _C1 + _C2
+        h ^= h >> np.uint64(31)
+        h *= _C3
+    # reduceat (i,i) segments return a[i] instead of 0 — exclude empty
+    # docs from the segment list and scatter results back via nz
+    nz = counts > 0
+    doc_start = np.concatenate(([0], np.cumsum(counts[nz])))[:-1]
+    ones = np.empty((doc_start.size, 64), np.uint64)
+    one = np.uint64(1)
+    tmp = np.empty_like(h)
+    for j in range(64):
+        np.right_shift(h, np.uint64(j), out=tmp)
+        tmp &= one
+        ones[:, j] = np.add.reduceat(tmp, doc_start)
+    v = 2 * ones.astype(np.int64) - counts[nz, None]
     bits = np.arange(64, dtype=np.uint64)
-    for i, t in enumerate(texts):
-        w = _word_hashes(t)
-        if len(w) == 0:
-            continue
-        with np.errstate(over="ignore"):
-            h = w * _C1 + _C2
-            h ^= h >> np.uint64(31)
-            h *= _C3
-        m = ((h[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int32)
-        v = (2 * m - 1).sum(axis=0)
-        out[i] = np.uint64(((v > 0).astype(np.uint64) << bits).sum(dtype=np.uint64))
+    out[nz] = ((v > 0).astype(np.uint64) << bits[None, :]).sum(
+        axis=1, dtype=np.uint64)
     return out
 
 
@@ -539,7 +703,7 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3,
     ensure_hash_shuffle(ds)
 
     def emit(t: pa.Table) -> pa.Table:
-        sh = simhash_block(t["text"].to_pylist())
+        sh = simhash_block(t["text"])
         ids = np.asarray(t["doc_id"].to_pylist(), np.int64)
         n = len(ids)
         bands = np.empty((n, 4), np.int64)
@@ -553,7 +717,7 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3,
         })
 
     bands = ds.map_batches(emit, batch_format="pyarrow")
-    bands = bands.repartition(8, keys=["band", "bkey"])
+    bands = bands.repartition(default_partitions(), keys=["band", "bkey"])
 
     def verify(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
@@ -608,7 +772,17 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3,
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 
-def embedding_cosine_pairs_exact(sf_dir: str, threshold: float = 0.4,
+# One constant drives BOTH the Ray default and the generated SQL oracle
+# below — a caller passing another threshold diverges from the
+# registered oracle loudly (different row counts), not silently.
+# Float-boundary note: pairs exactly AT the threshold are computed
+# independently (numpy matmul vs DuckDB list_cosine_similarity) and
+# could flip; the fixture has no such boundary pair.
+EMB_COSINE_THRESHOLD = 0.4
+
+
+def embedding_cosine_pairs_exact(sf_dir: str,
+                                 threshold: float = EMB_COSINE_THRESHOLD,
                                  table: str = "embeddings") -> pd.DataFrame:
     """EXACT embedding near-dup pairs: cosine(a,b) >= threshold, a < b —
     blocked brute force. The full unit-normalized matrix is broadcast ONCE
@@ -682,8 +856,9 @@ SELECT x.vec_id AS a, y.vec_id AS b,
 FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
 WHERE list_cosine_similarity(
           list_transform(x.embedding, v -> CAST(v AS DOUBLE)),
-          list_transform(y.embedding, v -> CAST(v AS DOUBLE))) >= 0.4
-"""
+          list_transform(y.embedding, v -> CAST(v AS DOUBLE)))
+      >= {EMB_COSINE_THRESHOLD}
+""".replace("{EMB_COSINE_THRESHOLD}", repr(EMB_COSINE_THRESHOLD))
 
 
 def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.98) -> pd.DataFrame:
@@ -718,7 +893,7 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.98) -> pd.DataFram
         return pa.concat_tables(tabs)
 
     bands = ds.map_batches(emit, batch_format="pyarrow")
-    bands = bands.repartition(8, keys=["band", "bkey"])
+    bands = bands.repartition(default_partitions(), keys=["band", "bkey"])
 
     def verify(t: pa.Table) -> pa.Table:
         df = t.to_pandas()

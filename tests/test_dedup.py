@@ -275,3 +275,52 @@ def test_neardup_groups_ds_fully_distributed_equivalence(ray_session):
     b = neardup_groups_ds(SF001)
     pd.testing.assert_frame_equal(a.reset_index(drop=True),
                                   b.reset_index(drop=True))
+
+
+def test_words_block_matches_python_tokenizer():
+    """Pin the vectorized tokenizer (utf8_lower + utf8_split_whitespace +
+    crc32_segments) to the semantics it replaced: per-word
+    zlib.crc32(w.encode()) over text.lower().split(). Checked on every
+    fixture document plus edge cases (empty, whitespace-only, tabs/
+    newlines/NBSP runs, unicode accents, leading/trailing space)."""
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    from spardaqus_ray.pipelines.dedup import words_block
+
+    texts = pq.read_table(
+        f"{SF001}/documents.parquet", columns=["text"])["text"].to_pylist()
+    texts += ["", "   ", "\t\n x \r\n y z ", "Café CAFÉ",
+              "a", " lead", "trail ", "x " * 3,
+              # full Python whitespace set: file/group/record/unit
+              # separators, NEL, NBSP, ogham, em/thin spaces, line/para
+              # separators, narrow nbsp, math space, ideographic space
+              "a\x1cb\x1dc\x1ed\x1fe", "nb\u00a0sp", "nel\u0085nel",
+              "og\u1680ham", "en\u2002em\u2003thin\u2009",
+              "\u2028line\u2029para", "nn\u202fbsp", "mm\u205fsp",
+              "ideo\u3000graphic", "\u65e5\u672c \u8a9e \u30c6\u30b9\u30c8"]
+    w, counts = words_block(texts)
+    assert counts.sum() == w.size
+    off = np.concatenate(([0], np.cumsum(counts)))
+    for i, t in enumerate(texts):
+        expect = [zlib.crc32(x.encode()) for x in t.lower().split()]
+        got = w[off[i]:off[i + 1]].tolist()
+        assert got == expect, (i, t[:50])
+
+
+def test_shingle_hashes_block_matches_scalar():
+    """Flat block shingling must equal the per-doc scalar path on mixed
+    lengths: empty docs emit nothing, 1..k-1-word docs one whole-doc
+    hash, longer docs w-k+1 rolling hashes."""
+    from spardaqus_ray.pipelines.dedup import (SHINGLE_K, shingle_hashes,
+                                               shingle_hashes_block)
+
+    texts = ["", "one", "two words", "three words here",
+             " ".join(f"w{i}" for i in range(SHINGLE_K - 1)),
+             " ".join(f"w{i}" for i in range(SHINGLE_K)),
+             " ".join(f"w{i % 7}" for i in range(50)), "  ", "solo"]
+    flat, sc = shingle_hashes_block(texts)
+    off = np.concatenate(([0], np.cumsum(sc)))
+    for i, t in enumerate(texts):
+        assert flat[off[i]:off[i + 1]].tolist() == shingle_hashes(t).tolist(), i
