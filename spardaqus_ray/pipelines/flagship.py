@@ -120,11 +120,9 @@ def _dup_winner_map(ds: ray.data.Dataset, cfg: EngineConfig) -> dict[str, str] |
     def keys_only(t: pa.Table) -> pa.Table:
         t2 = normalize_batch(t.select(["repo", "path", "commit", "content"]))
         t2 = stamp_raw_sha256(t2)
-        composite = [f"{r}\x00{p}\x00{c}" for r, p, c in zip(
-            t2["repo"].to_pylist(), t2["path"].to_pylist(),
-            t2["commit"].to_pylist())]
-        return pa.table({"raw_sha256": t2["raw_sha256"],
-                         "k": pa.array(composite, pa.string())})
+        composite = pa.compute.binary_join_element_wise(
+            t2["repo"], t2["path"], t2["commit"], "\x00")
+        return pa.table({"raw_sha256": t2["raw_sha256"], "k": composite})
 
     agg = (ds.map_batches(keys_only, batch_format="pyarrow", zero_copy_batch=True)
            .groupby("raw_sha256")

@@ -27,7 +27,7 @@ import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from spardaqus_ray.sources.code_parquet import read_table
-from spardaqus_ray.util import ensure_hash_shuffle
+from spardaqus_ray.util import default_partitions, ensure_hash_shuffle
 
 
 def _r4(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
@@ -85,7 +85,7 @@ def q2_revenue_by_mktsegment(sf_dir: str) -> pd.DataFrame:
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     ensure_hash_shuffle(orders)
     ensure_hash_shuffle(cust)
-    joined = orders.join(cust, "inner", num_partitions=8,
+    joined = orders.join(cust, "inner", num_partitions=default_partitions(),
                          on=("o_custkey",), right_on=("c_custkey",))
     out = joined.groupby("c_mktsegment").aggregate(
         Sum("o_totalprice", alias_name="revenue"),
@@ -575,7 +575,7 @@ def q21_nation_supplier_left(sf_dir: str) -> pd.DataFrame:
                       columns=["s_suppkey", "s_nationkey", "s_acctbal"])
     ensure_hash_shuffle(nation)
     ensure_hash_shuffle(supp)
-    joined = nation.join(supp, "left_outer", num_partitions=4,
+    joined = nation.join(supp, "left_outer", num_partitions=default_partitions(),
                          on=("n_nationkey",), right_on=("s_nationkey",))
 
     def prep(t: pa.Table) -> pa.Table:
@@ -599,12 +599,53 @@ GROUP BY n_name
 """
 
 
-def _seg_lookup(sf_dir: str) -> tuple[pa.Array, pa.Array]:
-    """Broadcast c_custkey -> c_mktsegment lookup arrays (index_in/take)."""
+# Broadcast the customer->segment lookup only while the dimension is
+# small; over this cap (bytes of the customer parquet on disk) fall back
+# to the q2-style hash join so a 15M-row dimension never rides a task
+# closure. Same cap-and-fallback shape as G4's dedup broadcast plan.
+SEG_BROADCAST_MAX_BYTES = 256 << 20
+
+
+def _seg_lookup(sf_dir: str) -> tuple[pa.Array, pa.Array] | None:
+    """Broadcast c_custkey -> c_mktsegment lookup arrays (index_in/take),
+    or None when the dimension exceeds SEG_BROADCAST_MAX_BYTES (callers
+    must then attach the segment via _attach_segment's join path)."""
+    import glob
+    import os
+
+    paths = (glob.glob(os.path.join(sf_dir, "customer.parquet"))
+             or glob.glob(os.path.join(sf_dir, "customer", "*.parquet")))
+    if paths and sum(os.path.getsize(p) for p in paths) > SEG_BROADCAST_MAX_BYTES:
+        return None
     cust = read_table(sf_dir, "customer",
                       columns=["c_custkey", "c_mktsegment"]).to_pandas()
     return (pa.array(cust["c_custkey"], pa.int64()),
             pa.array(cust["c_mktsegment"], pa.string()))
+
+
+def _attach_segment(ds: "ray.data.Dataset", sf_dir: str,
+                    keep: list[str]) -> "ray.data.Dataset":
+    """Attach c_mktsegment to an orders-side dataset keyed by o_custkey:
+    broadcast index_in/take under the byte cap, hash join above it (both
+    plans pinned equivalent by pytest)."""
+    lookup = _seg_lookup(sf_dir)
+    if lookup is not None:
+        keys, segs = lookup
+
+        def add_seg(t: pa.Table) -> pa.Table:
+            idx = pc.index_in(t["o_custkey"], value_set=keys)
+            cols = {"c_mktsegment": pc.take(segs, idx)}
+            cols.update({c: t[c] for c in keep})
+            return pa.table(cols)
+
+        return ds.map_batches(add_seg, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    ensure_hash_shuffle(ds)
+    ensure_hash_shuffle(cust)
+    joined = ds.join(cust, "inner", num_partitions=default_partitions(),
+                     on=("o_custkey",), right_on=("c_custkey",))
+    return joined.select_columns(["c_mktsegment", *keep])
 
 
 def q22_median_price_by_segment(sf_dir: str) -> pd.DataFrame:
@@ -615,17 +656,10 @@ def q22_median_price_by_segment(sf_dir: str) -> pd.DataFrame:
     interpolation = PERCENTILE_CONT). Exact quantiles need each group's
     values co-located; the 100-TB path is the mergeable bottom-k-sample
     sketch (repo_stats.approx_median_price) — documented trade."""
-    keys, segs = _seg_lookup(sf_dir)
     ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-
-    def add_seg(t: pa.Table) -> pa.Table:
-        idx = pc.index_in(t["o_custkey"], value_set=keys)
-        return pa.table({"c_mktsegment": pc.take(segs, idx),
-                         "o_totalprice": t["o_totalprice"]})
-
-    ds = ds.map_batches(add_seg, batch_format="pyarrow", zero_copy_batch=True)
+    ds = _attach_segment(ds, sf_dir, keep=["o_totalprice"])
     ensure_hash_shuffle(ds)
-    ds = ds.repartition(4, keys=["c_mktsegment"])
+    ds = ds.repartition(default_partitions(), keys=["c_mktsegment"])
 
     def med_block(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -658,16 +692,12 @@ def q23_top_orders_per_segment(sf_dir: str, k: int = 3) -> pd.DataFrame:
     keeps at most k rows per segment — the only rows that can survive) ->
     tiny global reduce on the driver. No shuffle at all; driver traffic is
     #blocks x #segments x k rows."""
-    keys, segs = _seg_lookup(sf_dir)
     ds = read_table(sf_dir, "orders",
                     columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    ds = _attach_segment(ds, sf_dir, keep=["o_orderkey", "o_totalprice"])
 
     def local_topk(t: pa.Table) -> pa.Table:
-        idx = pc.index_in(t["o_custkey"], value_set=keys)
-        t = pa.table({"c_mktsegment": pc.take(segs, idx),
-                      "o_orderkey": t["o_orderkey"],
-                      "o_totalprice": t["o_totalprice"]})
-        df = t.to_pandas()
+        df = t.select(["c_mktsegment", "o_orderkey", "o_totalprice"]).to_pandas()
         df = df.sort_values(["c_mktsegment", "o_totalprice", "o_orderkey"],
                             ascending=[True, False, True], kind="mergesort")
         return pa.Table.from_pandas(
@@ -711,8 +741,10 @@ def q24_events_hopping(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["w", "event_type"]).reset_index(drop=True)
 
 
+# FLOOR(x/6e8) not integer //: DuckDB // truncates toward zero while
+# hopping_agg's numpy // floors — they diverge on pre-1970 timestamps.
 Q24_SQL = """
-SELECT make_timestamp(CAST((epoch_us(ts) // 600000000) * 600000000
+SELECT make_timestamp(CAST(FLOOR(epoch_us(ts) / 600000000.0) * 600000000
                            - j * 600000000 AS BIGINT)) AS w,
        event_type, COUNT(*) AS n_events
 FROM events CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS j) js

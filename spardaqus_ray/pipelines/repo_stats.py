@@ -87,9 +87,11 @@ def repo_level_drop(annotated: ray.data.Dataset, min_kept_frac: float = 0.25,
     if not bad:
         return annotated
 
+    bad_arr = pa.array(sorted(bad), pa.string())
+
     def mark(t: pa.Table) -> pa.Table:
-        repos = t["repo"].to_pylist()
-        hit = np.array([r in bad for r in repos], bool)
+        hit = pa.compute.is_in(t["repo"], value_set=bad_arr).to_numpy(
+            zero_copy_only=False).astype(bool)
         if not hit.any():
             return t
         keep = t["keep"].combine_chunks().to_numpy(zero_copy_only=False) & ~hit
@@ -163,26 +165,34 @@ def approx_median_price(sf_dir: str, sample_k: int = 512) -> pd.DataFrame:
     sample whose union/re-truncation is associative, so the driver reduce
     sees #batches x k rows, never the data. Accuracy vs the exact median
     is pinned by pytest (~1/sqrt(k) relative rank error)."""
-    from spardaqus_ray.pipelines.relational import _seg_lookup
+    from spardaqus_ray.pipelines.relational import _attach_segment
 
-    keys, segs = _seg_lookup(sf_dir)
     ds = read_table(sf_dir, "orders",
                     columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    ds = _attach_segment(ds, sf_dir, keep=["o_orderkey", "o_totalprice"])
+    sketch_schema = pa.schema([("c_mktsegment", pa.string()),
+                               ("hashes", pa.list_(pa.int64())),
+                               ("prices", pa.list_(pa.float64()))])
 
     def sketch(t: pa.Table) -> pa.Table:
-        idx = pa.compute.index_in(t["o_custkey"], value_set=keys)
-        seg = np.asarray(pa.compute.take(segs, idx).to_pylist(), object)
+        seg = np.asarray(t["c_mktsegment"].to_pylist(), object)
         okey = t["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
         price = t["o_totalprice"].combine_chunks().to_numpy(zero_copy_only=False)
         h = _kmv_hash(okey.astype(np.uint64))
+        # null segments (custkey missing from the dimension) carry no
+        # group; drop them BEFORE np.unique (None is unorderable vs str)
+        known = np.array([s is not None for s in seg], bool)
+        seg, okey, price, h = seg[known], okey[known], price[known], h[known]
         rows = []
-        for s in np.unique(seg):
+        for s in np.unique(seg) if seg.size else []:
             m = seg == s
             order = np.argsort(h[m], kind="stable")[:sample_k]
             rows.append({"c_mktsegment": str(s),
                          "hashes": h[m][order].view(np.int64).tolist(),
                          "prices": price[m][order].tolist()})
-        return pa.Table.from_pylist(rows)
+        # empty batches still need the full schema (a zero-COLUMN table
+        # breaks downstream schema unification)
+        return pa.Table.from_pylist(rows, schema=sketch_schema)
 
     sketches = ds.map_batches(sketch, batch_format="pyarrow").take_all()
     merged: dict[str, tuple[np.ndarray, np.ndarray]] = {}

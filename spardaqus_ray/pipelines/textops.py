@@ -35,8 +35,11 @@ def models_from_documents(sf_dir: str) -> Models:
     """Self-train langid + LM models from a BOUNDED sample of the (lang,
     text) pairs of the documents fixture — deterministic function of the
     input table (no external data). The sample is row-hash selected
-    (partition-order independent) and capped at MODEL_SAMPLE_DOCS, so the
-    driver pull stays O(sample) no matter the corpus size."""
+    (partition-order independent), EXPECTED size ~MODEL_SAMPLE_DOCS (the
+    hash threshold is probabilistic, not a hard cap), so the driver pull
+    stays O(sample) no matter the corpus size. Corpora <= the sample size
+    train on every row; larger ones on the sampled subset — trained
+    models (hence langid/ppl labels) depend only on the input table."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
     n = ds.count()  # parquet metadata — no data read
     if n > MODEL_SAMPLE_DOCS:
@@ -141,15 +144,26 @@ def fingerprint_docs(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fp(t: pa.Table) -> pa.Table:
-        outs = []
-        for s in t["text"].to_pylist():
-            b = s.encode("utf-8")
-            acc = zlib.crc32(b[:64])
-            for off in range(0, max(1, len(b) - 16), 64):
-                acc ^= zlib.crc32(b[off: off + 16])
-            outs.append(f"{acc:08x}")
+        from spardaqus_ray.functions.heuristics import _flat_utf8
+        from spardaqus_ray.functions.hashing import crc32_segments
+
+        # one crc32_segments pass over ALL stripes of the batch (the
+        # head-64 seed + every 16-byte stripe at 64-byte steps), xor-
+        # folded per doc with reduceat — no per-row/stripe Python loop
+        buf, off = _flat_utf8(t["text"])
+        starts = off[:-1].astype(np.int64)
+        lens = np.diff(off).astype(np.int64)
+        head = crc32_segments(buf, starts, np.minimum(lens, 64))
+        nstr = (np.maximum(lens - 16, 1) + 63) // 64
+        rep_off = np.concatenate(([0], np.cumsum(nstr)))
+        roff = np.arange(rep_off[-1]) - np.repeat(rep_off[:-1], nstr)
+        sstart = np.repeat(starts, nstr) + 64 * roff
+        slen = np.minimum(16, np.repeat(lens, nstr) - 64 * roff)
+        stripe = crc32_segments(buf, sstart, np.maximum(slen, 0))
+        acc = head ^ np.bitwise_xor.reduceat(stripe, rep_off[:-1])
+        outs = np.char.mod("%08x", acc)
         return pa.table({"doc_id": t["doc_id"],
-                         "fingerprint": pa.array(outs, pa.string())})
+                         "fingerprint": pa.array(outs.tolist(), pa.string())})
 
     return (ds.map_batches(fp, batch_format="pyarrow").to_pandas()
             .sort_values("doc_id").reset_index(drop=True))

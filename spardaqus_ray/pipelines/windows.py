@@ -45,9 +45,12 @@ def _ts_us(col: pa.ChunkedArray) -> np.ndarray:
     return arr.astype(np.int64)
 
 
-def _keyed(ds: ray.data.Dataset, key: str, num_partitions: int) -> ray.data.Dataset:
+def _keyed(ds: ray.data.Dataset, key: str,
+           num_partitions: int | None) -> ray.data.Dataset:
     ensure_hash_shuffle(ds)
-    return ds.repartition(num_partitions, keys=[key])
+    from spardaqus_ray.util import default_partitions
+
+    return ds.repartition(num_partitions or default_partitions(), keys=[key])
 
 
 def _segments(key_sorted: np.ndarray) -> np.ndarray:
@@ -60,7 +63,7 @@ def _segments(key_sorted: np.ndarray) -> np.ndarray:
 
 
 def sessionize(ds: ray.data.Dataset, key: str, ts: str, gap_us: int,
-               num_partitions: int = 16) -> ray.data.Dataset:
+               num_partitions: int | None = None) -> ray.data.Dataset:
     """Per-key gap-window sessionization over a bounded event table:
     rows sorted by ts within key; a gap > gap_us opens a new session.
     Returns one row per key: (key, n_events, n_sessions)."""
@@ -156,7 +159,7 @@ def hopping_agg(ds: ray.data.Dataset, ts: str, size_us: int, hop_us: int,
 
 def running_sum(ds: ray.data.Dataset, key: str, order: list[str], value: str,
                 out_name: str = "running_sum",
-                num_partitions: int = 16) -> ray.data.Dataset:
+                num_partitions: int | None = None) -> ray.data.Dataset:
     """Per-row running SUM(value) OVER (PARTITION BY key ORDER BY order):
     one hash repartition + per-block keyed cython cumsum. Accumulation is
     per-key sequential left-to-right float64 — identical order to a SQL
@@ -185,7 +188,7 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
               left_on: str, right_on: str, left_ts: str, right_ts: str,
               right_value: str, out_name: str = "asof_value",
               payload: list[str] | None = None,
-              num_partitions: int = 16) -> ray.data.Dataset:
+              num_partitions: int | None = None) -> ray.data.Dataset:
     """As-of join: each left row picks the right row of the same key with
     the greatest right_ts <= left_ts, emitting right_value as out_name
     (left rows with no such right row are dropped, matching the inner

@@ -3,6 +3,22 @@
 from __future__ import annotations
 
 
+def default_partitions(minimum: int = 8) -> int:
+    """Shuffle width scaled to the cluster: max(minimum, total CPUs).
+    Library paths use this instead of hard-coded repartition(8/4) so the
+    exchange doesn't serialize on a handful of partitions at 100x the
+    cores (mirrors components_from_pairs_distributed's sizing). Explicit
+    num_partitions arguments from callers still win."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return max(minimum, int(ray.cluster_resources().get("CPU", 0)))
+    except Exception:
+        pass
+    return minimum
+
+
 def ensure_hash_shuffle(ds=None) -> None:
     """Key-based `Dataset.repartition(keys=...)` and `Dataset.join` require
     DataContext.shuffle_strategy = HASH_SHUFFLE (Ray 2.49). Ray snapshots

@@ -126,3 +126,23 @@ def test_approx_median_accuracy(ray_session):
         e = exact.loc[seg, "median_price"]
         a = approx.loc[seg, "approx_median_price"]
         assert abs(a - e) / e < 0.15, (seg, e, a)
+
+
+def test_segment_attach_plans_equivalent(ray_session, monkeypatch):
+    """q22/q23/approx_median attach c_mktsegment via broadcast under the
+    byte cap and via hash join above it — both plans must produce
+    identical results (the G4 cap-and-fallback pattern applied to the
+    dimension lookup)."""
+    import pandas as pd
+
+    from spardaqus_ray.pipelines import relational
+
+    q22_b = relational.q22_median_price_by_segment(SF001)
+    q23_b = relational.q23_top_orders_per_segment(SF001)
+    monkeypatch.setattr(relational, "SEG_BROADCAST_MAX_BYTES", 0)
+    assert relational._seg_lookup(SF001) is None  # cap actually trips
+    q22_j = relational.q22_median_price_by_segment(SF001)
+    q23_j = relational.q23_top_orders_per_segment(SF001)
+    pd.testing.assert_frame_equal(q22_b, q22_j)
+    pd.testing.assert_frame_equal(q23_b.reset_index(drop=True),
+                                  q23_j.reset_index(drop=True))
