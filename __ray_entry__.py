@@ -63,7 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup.simhash_pairs,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_embedding_cosine": dedup.embedding_cosine_pairs_exact,
-        "dedup_embedding_lsh": dedup.embedding_neardup_pairs,
+        "dedup_embedding_lsh": dedup.embedding_neardup_pairs_moderate,
         "dedup_neardup_groups": dedup.neardup_groups,
         # --- similarity search ---
         "ann_bruteforce": ann.ann_bruteforce,

@@ -46,6 +46,11 @@ class EngineConfig:
     langid_enabled: bool = True
     ppl_enabled: bool = True
     scrub_enabled: bool = True
+    # S3 output contract (SURVEY.md §1.2): fold the flat feature columns
+    # into `quality` / `scrub_counts` structs at write time. SEMANTIC
+    # (changes written bytes) — part of the resume config signature, so
+    # flipping it against an existing checkpoint refuses loudly.
+    struct_output: bool = True
     # G5: repos whose kept fraction < repo_drop_min_kept_frac (with at
     # least repo_drop_min_files files) lose ALL rows (repo.lowquality)
     repo_drop_enabled: bool = False

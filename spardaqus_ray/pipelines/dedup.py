@@ -861,17 +861,25 @@ WHERE list_cosine_similarity(
 """.replace("{EMB_COSINE_THRESHOLD}", repr(EMB_COSINE_THRESHOLD))
 
 
-def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.98) -> pd.DataFrame:
+def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.98,
+                            n_tables: int = 4, bits: int = 16) -> pd.DataFrame:
     """Pairs of embeddings with cosine >= threshold. Candidates via
-    random-hyperplane LSH buckets (16-bit sign sketch over 4 rotations),
-    verified by exact cosine inside buckets — no all-pairs matmul. The
-    SCALE path of embedding_cosine_pairs_exact for high thresholds
-    (recall of a cos>=0.98 pair across the 4 tables is near-certain;
-    equivalence vs the exact path at fixture scale pinned by pytest)."""
+    random-hyperplane LSH buckets (`bits`-bit sign sketch over `n_tables`
+    rotations), verified by EXACT cosine inside buckets — no all-pairs
+    matmul, so the output is always a subset of
+    embedding_cosine_pairs_exact(threshold) (pinned by pytest).
+
+    Parameter trade (collision prob per table = p^bits with
+    p = 1 - theta/pi): the default 4x16 targets high thresholds
+    (cos>=0.98 -> near-certain recall, tiny buckets — the 100-TB scale
+    path); moderate thresholds need coarser buckets — 16x4 gives ~95%
+    recall at cos~0.5 at the price of buckets of N/2^bits vectors
+    (fixture-scale / driver-query config, see
+    embedding_neardup_pairs_moderate)."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     ensure_hash_shuffle(ds)
     rng = np.random.default_rng(777)
-    planes = rng.standard_normal((4, 16, 64)).astype(np.float32)  # 4 tables
+    planes = rng.standard_normal((n_tables, bits, 64)).astype(np.float32)
 
     def emit(t: pa.Table) -> pa.Table:
         arr = np.asarray(t["embedding"].combine_chunks().flatten(),
@@ -880,9 +888,9 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.98) -> pd.DataFram
         unit = arr / np.maximum(norm, 1e-12)
         ids = np.asarray(t["vec_id"].to_pylist(), np.int64)
         tabs = []
-        for b in range(4):
-            signs = (unit @ planes[b].T) > 0              # (n,16)
-            key = (signs.astype(np.int64) << np.arange(16)).sum(axis=1)
+        for b in range(n_tables):
+            signs = (unit @ planes[b].T) > 0              # (n, bits)
+            key = (signs.astype(np.int64) << np.arange(bits)).sum(axis=1)
             tabs.append(pa.table({
                 "vec_id": pa.array(ids),
                 "band": pa.array(np.full(len(ids), b, np.int32)),
@@ -940,3 +948,23 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.98) -> pd.DataFram
                              "cosine": pd.Series([], dtype="float64")})
     return (pairs.drop_duplicates(["a", "b"])
             .sort_values(["a", "b"]).reset_index(drop=True))
+
+
+# Driver-query config: moderate threshold + coarse buckets so the row is
+# non-vacuous on the fixtures (their max off-diagonal cosine is ~0.51 —
+# at the scale-path default tau=0.98 the output is legitimately empty).
+EMB_LSH_MODERATE_THRESHOLD = 0.45
+EMB_LSH_MODERATE_TABLES = 16
+EMB_LSH_MODERATE_BITS = 4
+
+
+def embedding_neardup_pairs_moderate(sf_dir: str) -> pd.DataFrame:
+    """The driver-visible embedding-LSH row: tau=0.45 with 16 tables x
+    4-bit sketches (~95% per-pair recall at cos~0.5) and exact in-bucket
+    cosine verification — every emitted pair is provably in
+    embedding_cosine_pairs_exact(0.45)'s output (subset pinned by
+    pytest). The 4x16 high-threshold config remains the scale default."""
+    return embedding_neardup_pairs(sf_dir,
+                                   threshold=EMB_LSH_MODERATE_THRESHOLD,
+                                   n_tables=EMB_LSH_MODERATE_TABLES,
+                                   bits=EMB_LSH_MODERATE_BITS)

@@ -267,6 +267,14 @@ def run_flagship(input_paths, checkpoint_dir: str, cfg: EngineConfig,
         # a block holds exactly the rows of >=1 whole partitions
         for pid in pa.compute.unique(batch["part_id"]).to_pylist():
             part = batch.filter(pa.compute.equal(batch["part_id"], pid))
+            if cfg.struct_output:
+                # §1.2 output contract: struct-pack at the write boundary
+                # (internally the engine stays flat — simpler kernels);
+                # packing after the part_id shuffle keeps struct columns
+                # out of the exchange
+                from spardaqus_ray.functions.scrub_stage import pack_structs
+
+                part = pack_structs(part)
             rows.append(finalize_partition(part, int(pid), checkpoint_dir,
                                            run_id=run_id))
         return pa.Table.from_pylist(rows)

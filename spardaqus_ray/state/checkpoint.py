@@ -140,6 +140,29 @@ def check_job_signature(checkpoint_dir: str, signature: str,
                        "config_signature": cfg_signature,
                        "created_at": time.time()}, f)
         os.replace(tmp, jpath)
+    gc_stale_claims(checkpoint_dir)
+
+
+def gc_stale_claims(checkpoint_dir: str) -> int:
+    """Hygiene: remove per-run fingerprint claim files (part-NNNNN.fp.*)
+    and orphaned .tmp files left by PRIOR runs. Claims exist only to
+    detect same-run split-partition double-finalize; once a run is over
+    they are dead weight (completed_partitions ignores them), and a
+    manifest dir otherwise grows one file per partition per resume
+    attempt forever. Called at job start AFTER check_job_signature
+    passes — no concurrent run shares this dir. Returns #files removed."""
+    mdir = manifest_dir(checkpoint_dir)
+    removed = 0
+    if not os.path.isdir(mdir):
+        return removed
+    for name in os.listdir(mdir):
+        if ".fp." in name or ".tmp." in name:
+            try:
+                os.remove(os.path.join(mdir, name))
+                removed += 1
+            except OSError:
+                pass
+    return removed
 
 
 def completed_partitions(checkpoint_dir: str) -> set[int]:
@@ -224,9 +247,16 @@ def finalize_partition(part: pa.Table, part_id: int, checkpoint_dir: str,
 
     keep = part["keep"].combine_chunks().to_numpy(zero_copy_only=False)
     scrub_rowsum = np.zeros(part.num_rows, np.int64)
-    for c in ("scrub_email", "scrub_ip", "scrub_key", "scrub_tox"):
-        scrub_rowsum += part[c].combine_chunks().to_numpy(
-            zero_copy_only=False)
+    if "scrub_counts" in part.column_names:
+        # struct output contract (cfg.struct_output): counters live in
+        # the scrub_counts struct
+        sc = part["scrub_counts"].combine_chunks()
+        for f in sc.type:
+            scrub_rowsum += np.asarray(sc.field(f.name), np.int64)
+    else:
+        for c in ("scrub_email", "scrub_ip", "scrub_key", "scrub_tox"):
+            scrub_rowsum += part[c].combine_chunks().to_numpy(
+                zero_copy_only=False)
     row = {
         "part_id": part_id,
         "input_rows": part.num_rows,

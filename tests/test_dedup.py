@@ -324,3 +324,29 @@ def test_shingle_hashes_block_matches_scalar():
     off = np.concatenate(([0], np.cumsum(sc)))
     for i, t in enumerate(texts):
         assert flat[off[i]:off[i + 1]].tolist() == shingle_hashes(t).tolist(), i
+
+
+def test_embedding_lsh_moderate_nonvacuous_subset(ray_session):
+    """The driver-visible LSH row (tau=0.45, 16x4 sketches) must emit
+    rows on the sf0.01 fixture (the scale-default tau=0.98 is vacuously
+    empty there) and be an exact subset of the brute-force oracle at the
+    same threshold — LSH may only LOSE pairs to bucketing, never invent
+    or mis-score one (in-bucket verification is exact cosine)."""
+    import os
+
+    from spardaqus_ray.pipelines.dedup import (
+        EMB_LSH_MODERATE_THRESHOLD, embedding_cosine_pairs_exact,
+        embedding_neardup_pairs_moderate)
+    from tests.conftest import SF01
+
+    if not os.path.isdir(SF01):
+        pytest.skip("no sf0.01 fixture")
+    lsh = embedding_neardup_pairs_moderate(SF01)
+    exact = embedding_cosine_pairs_exact(
+        SF01, threshold=EMB_LSH_MODERATE_THRESHOLD)
+    assert len(lsh) > 0
+    le = dict(zip(zip(lsh["a"], lsh["b"]), lsh["cosine"]))
+    ee = dict(zip(zip(exact["a"], exact["b"]), exact["cosine"]))
+    assert set(le) <= set(ee)
+    for k, v in le.items():
+        assert abs(v - ee[k]) < 1e-6, k

@@ -292,3 +292,21 @@ def test_resume_refuses_changed_config(ray_session, corpus_parquet, cfg,
     changed = cfg.with_(thresholds={**cfg.thresholds, "max_line_len": 500})
     with pytest.raises(ValueError, match="DIFFERENT engine config"):
         run_flagship(inp, ck, changed, models)
+
+
+def test_stale_claim_gc(ray_session, corpus_parquet, cfg, models, tmp_path):
+    """Per-run fp claim files from prior runs are swept at job start —
+    the manifest dir must not grow unboundedly across resume attempts."""
+    import glob
+
+    from spardaqus_ray.pipelines.flagship import run_flagship
+
+    ck = str(tmp_path / "ck")
+    run_flagship(corpus_parquet, ck, cfg, models)
+    claims = glob.glob(os.path.join(ck, "_manifest", "*.fp.*"))
+    assert claims  # first run leaves its own claims behind
+    run_flagship(corpus_parquet, ck, cfg, models)  # no-op resume
+    after = glob.glob(os.path.join(ck, "_manifest", "*.fp.*"))
+    # the resume swept the first run's claims and (being a no-op) wrote
+    # none of its own
+    assert after == []
