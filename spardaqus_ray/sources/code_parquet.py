@@ -37,6 +37,9 @@ def read_code_parquet(paths, columns: list[str] | None = None,
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None,
                **kw) -> ray.data.Dataset:
     """S2: any driver fixture table (TESTDATA.md)."""
+    from spardaqus_ray.util import silence_empty_schema_warning
+
+    silence_empty_schema_warning()
     return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns, **kw)
 
 

@@ -46,3 +46,33 @@ def ensure_hash_shuffle(ds=None) -> None:
         ncpu = 8
     ctx.default_hash_shuffle_parallelism = max(2, ncpu)
     ctx.max_hash_shuffle_aggregators = max(2, ncpu)
+    silence_empty_schema_warning()
+
+
+class _EmptySchemaDivergenceFilter:
+    """Drops exactly ONE benign Ray warning: the streaming executor's
+    "Operator produced a RefBundle with a different schema ... new
+    schema: ." fires whenever an aggregate with more hash partitions
+    than groups emits empty ZERO-COLUMN bundles (Ray-internal; harmless
+    — the empty bundle carries no rows). Real schema divergences (a
+    non-empty differing schema) still log."""
+
+    def filter(self, record) -> bool:  # logging.Filter protocol
+        try:
+            msg = record.getMessage()
+        except Exception:
+            return True
+        return not ("RefBundle with a different schema" in msg
+                    and "new schema: ." in msg)
+
+
+def silence_empty_schema_warning() -> None:
+    """Idempotently install _EmptySchemaDivergenceFilter on the streaming
+    executor's logger (driver-side — that's where the warning logs)."""
+    import logging
+
+    lg = logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state")
+    if not any(isinstance(f, _EmptySchemaDivergenceFilter)
+               for f in lg.filters):
+        lg.addFilter(_EmptySchemaDivergenceFilter())
