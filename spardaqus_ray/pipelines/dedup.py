@@ -42,7 +42,8 @@ import pyarrow.compute as pc
 
 from spardaqus_ray.functions.hashing import crc32_segments
 from spardaqus_ray.sources.code_parquet import read_table
-from spardaqus_ray.util import default_partitions, ensure_hash_shuffle
+from spardaqus_ray.util import (default_partitions, ensure_hash_shuffle,
+                                table_bytes)
 
 log = logging.getLogger(__name__)
 
@@ -96,7 +97,9 @@ def exact_dedup_docs(sf_dir: str) -> pd.DataFrame:
         return pa.table({"doc_id": t["doc_id"], "sha": sha256_column(t["text"])})
 
     ds = ds.map_batches(digest, batch_format="pyarrow")
-    ds = ds.repartition(default_partitions(), keys=["sha"])
+    ds = ds.repartition(
+        default_partitions(size_bytes=table_bytes(sf_dir, "documents")),
+        keys=["sha"])
 
     def first_per_sha(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
@@ -358,7 +361,9 @@ def minhash_lsh_pairs_ds(sf_dir: str, jaccard_threshold: float = 0.7,
         })
 
     bands = ds.map_batches(emit, batch_format="pyarrow")
-    bands = bands.repartition(default_partitions(), keys=["band", "bkey"])
+    bands = bands.repartition(
+        default_partitions(size_bytes=table_bytes(sf_dir, table)),
+        keys=["band", "bkey"])
 
     def pairs_in_bucket(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
@@ -717,7 +722,9 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3,
         })
 
     bands = ds.map_batches(emit, batch_format="pyarrow")
-    bands = bands.repartition(default_partitions(), keys=["band", "bkey"])
+    bands = bands.repartition(
+        default_partitions(size_bytes=table_bytes(sf_dir, table)),
+        keys=["band", "bkey"])
 
     def verify(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
@@ -901,7 +908,9 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.98,
         return pa.concat_tables(tabs)
 
     bands = ds.map_batches(emit, batch_format="pyarrow")
-    bands = bands.repartition(default_partitions(), keys=["band", "bkey"])
+    bands = bands.repartition(
+        default_partitions(size_bytes=table_bytes(sf_dir, "embeddings")),
+        keys=["band", "bkey"])
 
     def verify(t: pa.Table) -> pa.Table:
         df = t.to_pandas()

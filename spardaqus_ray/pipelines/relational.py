@@ -27,7 +27,8 @@ import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from spardaqus_ray.sources.code_parquet import read_table
-from spardaqus_ray.util import default_partitions, ensure_hash_shuffle
+from spardaqus_ray.util import (default_partitions, ensure_hash_shuffle,
+                                table_bytes)
 
 
 def _r4(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
@@ -85,7 +86,9 @@ def q2_revenue_by_mktsegment(sf_dir: str) -> pd.DataFrame:
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     ensure_hash_shuffle(orders)
     ensure_hash_shuffle(cust)
-    joined = orders.join(cust, "inner", num_partitions=default_partitions(),
+    width = default_partitions(
+        size_bytes=table_bytes(sf_dir, "orders", "customer"))
+    joined = orders.join(cust, "inner", num_partitions=width,
                          on=("o_custkey",), right_on=("c_custkey",))
     out = joined.groupby("c_mktsegment").aggregate(
         Sum("o_totalprice", alias_name="revenue"),
@@ -495,7 +498,9 @@ def q18_user_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
 
     ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
     out = sessionize(ds, key="user_id", ts="ts",
-                     gap_us=gap_minutes * 60 * 1_000_000).to_pandas()
+                     gap_us=gap_minutes * 60 * 1_000_000,
+                     num_partitions=default_partitions(
+                         size_bytes=table_bytes(sf_dir, "events"))).to_pandas()
     return out.sort_values("user_id").reset_index(drop=True)
 
 
@@ -524,7 +529,10 @@ def q19_asof_last_order(sf_dir: str) -> pd.DataFrame:
     out = asof_join(ev, od, left_on="user_id", right_on="o_custkey",
                     left_ts="ts", right_ts="o_orderdate",
                     right_value="o_orderdate", out_name="asof_orderdate",
-                    payload=["event_id"]).to_pandas()
+                    payload=["event_id"],
+                    num_partitions=default_partitions(
+                        size_bytes=table_bytes(sf_dir, "events", "orders"))
+                    ).to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
 
 
@@ -549,7 +557,9 @@ def q20_running_revenue(sf_dir: str) -> pd.DataFrame:
                     columns=["o_orderkey", "o_custkey", "o_totalprice",
                              "o_orderdate"])
     out = (running_sum(ds, key="o_custkey", order=["o_orderdate", "o_orderkey"],
-                       value="o_totalprice", out_name="running_rev")
+                       value="o_totalprice", out_name="running_rev",
+                       num_partitions=default_partitions(
+                           size_bytes=table_bytes(sf_dir, "orders")))
            .select_columns(["o_orderkey", "o_custkey", "running_rev"])
            .to_pandas())
     out = out.sort_values("o_orderkey").reset_index(drop=True)
@@ -575,7 +585,9 @@ def q21_nation_supplier_left(sf_dir: str) -> pd.DataFrame:
                       columns=["s_suppkey", "s_nationkey", "s_acctbal"])
     ensure_hash_shuffle(nation)
     ensure_hash_shuffle(supp)
-    joined = nation.join(supp, "left_outer", num_partitions=default_partitions(),
+    width = default_partitions(
+        size_bytes=table_bytes(sf_dir, "nation", "supplier"))
+    joined = nation.join(supp, "left_outer", num_partitions=width,
                          on=("n_nationkey",), right_on=("s_nationkey",))
 
     def prep(t: pa.Table) -> pa.Table:
@@ -643,7 +655,9 @@ def _attach_segment(ds: "ray.data.Dataset", sf_dir: str,
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     ensure_hash_shuffle(ds)
     ensure_hash_shuffle(cust)
-    joined = ds.join(cust, "inner", num_partitions=default_partitions(),
+    width = default_partitions(
+        size_bytes=table_bytes(sf_dir, "orders", "customer"))
+    joined = ds.join(cust, "inner", num_partitions=width,
                      on=("o_custkey",), right_on=("c_custkey",))
     return joined.select_columns(["c_mktsegment", *keep])
 
@@ -659,7 +673,9 @@ def q22_median_price_by_segment(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     ds = _attach_segment(ds, sf_dir, keep=["o_totalprice"])
     ensure_hash_shuffle(ds)
-    ds = ds.repartition(default_partitions(), keys=["c_mktsegment"])
+    ds = ds.repartition(
+        default_partitions(size_bytes=table_bytes(sf_dir, "orders")),
+        keys=["c_mktsegment"])
 
     def med_block(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
