@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_bpe": textops.token_count_bpe,
         "fingerprint_docs": textops.fingerprint_docs,
         "quality_scores_docs": textops.quality_scores_docs,
+        "vocab_top_tokens": textops.vocab_top_tokens,
+        "vocab_heavy_hitters": textops.vocab_heavy_hitters,
         # --- repo-level aggregates / sampling / sketches ---
         "repo_stats_docs": repo_stats.repo_stats_docs,
         "qa_sample_dropped": repo_stats.qa_sample_dropped,
@@ -109,6 +111,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": dedup.EXACT_DEDUP_SQL,
         "dedup_embedding_cosine": dedup.EMB_COSINE_SQL,
         "token_count_bpe": textops.TOKEN_BPE_SQL,
+        "vocab_top_tokens": textops.VOCAB_SQL,
         "ann_bruteforce": ann.ann_bruteforce_sql(),
         "q17_distinct_parts_exact": relational.Q17_SQL,
         "q18_user_sessions": relational.Q18_SQL,

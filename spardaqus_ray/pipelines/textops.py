@@ -194,3 +194,116 @@ def quality_scores_docs(sf_dir: str) -> pd.DataFrame:
         if c.startswith("avg_"):
             out[c] = out[c].round(4)
     return out.sort_values("lang").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# Corpus vocabulary (tokenizer-training prerequisite): exact top-k token
+# counts + a mergeable Misra-Gries heavy-hitter sketch (the 100-TB path).
+# --------------------------------------------------------------------------
+
+def _block_token_counts(t: pa.Table) -> tuple[pa.Array, pa.Array]:
+    """(tokens, counts) of whitespace words in one block — one Arrow
+    lower+split+flatten+value_counts chain, no per-row Python. Semantics
+    = Python `text.lower().split(' ')` with empty tokens dropped (the
+    documents fixture contains ONLY U+0020 whitespace — asserted by
+    tests/test_vocab.py — so this equals `.split()`; the literal-pattern
+    split avoids pyarrow 16.1's nondeterministic utf8_split_whitespace,
+    see BASELINE.md r3 note)."""
+    toks = pa.compute.list_flatten(
+        pa.compute.split_pattern(pa.compute.utf8_lower(t["text"]), " "))
+    toks = toks.filter(pa.compute.not_equal(toks, ""))
+    vc = toks.value_counts()
+    return vc.field("values"), vc.field("counts").cast(pa.int64())
+
+
+def vocab_top_tokens(sf_dir: str, k: int = 50,
+                     table: str = "documents") -> pd.DataFrame:
+    """EXACT corpus top-k vocabulary: per-block partial token counts
+    (combine-inside-map_batches — the shuffle moves one row per DISTINCT
+    token per block, not one per occurrence), a grouped SUM over the
+    partials, then a distributed top-k sort; the driver sees k rows.
+    Ties broken by token ASC on both sides (SQL oracle VOCAB_SQL)."""
+    ds = read_table(sf_dir, table, columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals, counts = _block_token_counts(t)
+        return pa.table({"token": vals, "n": counts})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("token").aggregate(Sum("n", alias_name="n")))
+    out = (agg.sort(key=["n", "token"], descending=[True, False])
+           .limit(k).to_pandas())
+    return out[["token", "n"]].reset_index(drop=True)
+
+
+VOCAB_SQL = """
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 50
+"""
+
+
+# Misra-Gries capacity: per-block sketches are <= capacity entries, so
+# shuffle + driver traffic is bounded by #blocks x capacity regardless
+# of corpus size; total decrement error across blocks <= N/(capacity+1).
+VOCAB_MG_CAPACITY = 2048
+
+# err rows ride the same keyed table under a token no real token can be
+# (real tokens are non-empty — "" is filtered by the tokenizer)
+_MG_ERR_TOKEN = ""
+
+
+def vocab_heavy_hitters(sf_dir: str, capacity: int = VOCAB_MG_CAPACITY,
+                        table: str = "documents") -> pd.DataFrame:
+    """Mergeable Misra-Gries heavy hitters over the corpus vocabulary —
+    the sketch path for corpora whose exact vocab groupby would be a
+    massive shuffle. Per block: full value_counts, then MG compression
+    to `capacity` entries (subtract the (capacity+1)-th largest count,
+    keep positives; the subtracted amount is that block's error).
+    Sketch rows AND per-block error rows merge in ONE distributed
+    groupby-SUM; the driver pulls only tokens whose estimate exceeds
+    the merged error bound (provable heavy hitters).
+
+    Guarantees (standard MG + mergeability): est(t) in
+    [true(t) - total_err, true(t)], total_err <= N/(capacity+1), and
+    every token with true(t) > total_err is present — pinned by
+    tests/test_vocab.py at a compression-forcing capacity."""
+    ds = read_table(sf_dir, table, columns=["text"])
+
+    def sketch(t: pa.Table) -> pa.Table:
+        vals, counts = _block_token_counts(t)
+        c = counts.to_numpy(zero_copy_only=False)
+        err = 0
+        if len(c) > capacity:
+            order = np.argsort(-c, kind="stable")
+            err = int(c[order[capacity]])
+            keep = order[:capacity]
+            kept = c[keep] - err
+            pos = kept > 0
+            vals = vals.take(pa.array(keep[pos]))
+            c = kept[pos]
+        return pa.table({
+            "token": pa.concat_arrays([vals.combine_chunks()
+                                       if isinstance(vals, pa.ChunkedArray)
+                                       else vals,
+                                       pa.array([_MG_ERR_TOKEN])]),
+            "n": pa.array(np.concatenate([np.asarray(c, np.int64), [err]])),
+        })
+
+    merged = (ds.map_batches(sketch, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("token").aggregate(Sum("n", alias_name="n"))
+              .materialize())
+    err_rows = merged.filter(
+        expr=f"token == '{_MG_ERR_TOKEN}'").take_all()
+    total_err = int(err_rows[0]["n"]) if err_rows else 0
+    hh = (merged.filter(expr=f"token != '{_MG_ERR_TOKEN}'")
+          .filter(expr=f"n > {total_err}")
+          .sort(key=["n", "token"], descending=[True, False])
+          .to_pandas())
+    hh["err_bound"] = total_err
+    return hh[["token", "n", "err_bound"]].reset_index(drop=True)

@@ -1,0 +1,102 @@
+"""Vocabulary operators: exact top-k token counts (oracle-checked via
+tests/test_oracle.py once registered) and the Misra-Gries heavy-hitter
+sketch — its MG guarantees are pinned here at a compression-forcing
+capacity, since no SQL oracle expresses a sketch.
+"""
+
+import collections
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tests.conftest import SF001, has_testdata
+
+pytestmark = pytest.mark.skipif(not has_testdata(), reason="no testdata")
+
+
+def _true_counts(path: str) -> collections.Counter:
+    t = pq.read_table(path, columns=["text"])
+    c: collections.Counter = collections.Counter()
+    for s in t["text"].to_pylist():
+        c.update(s.lower().split())
+    return c
+
+
+def test_fixture_whitespace_assumption():
+    """VOCAB_SQL splits on the literal ' ' — valid only while the
+    documents fixture contains no other whitespace. If this ever fails,
+    switch the oracle to a regex split and re-verify parity."""
+    t = pq.read_table(f"{SF001}/documents.parquet", columns=["text"])
+    for s in t["text"].to_pylist():
+        for ch in s:
+            assert not (ch.isspace() and ch != " "), repr(ch)
+
+
+def test_block_tokenizer_matches_python_split(ray_session):
+    """The Arrow lower+split(' ')+flatten chain must count exactly what
+    Python `.lower().split()` counts on the fixture (guards against the
+    pyarrow 16.1 split nondeterminism class found in round 3)."""
+    from spardaqus_ray.pipelines.textops import _block_token_counts
+
+    t = pq.read_table(f"{SF001}/documents.parquet", columns=["text"])
+    vals, counts = _block_token_counts(t)
+    got = dict(zip(vals.to_pylist(), counts.to_pylist()))
+    assert got == dict(_true_counts(f"{SF001}/documents.parquet"))
+
+
+def test_vocab_top_tokens_exact(ray_session):
+    from spardaqus_ray.pipelines.textops import vocab_top_tokens
+
+    got = vocab_top_tokens(SF001, k=20)
+    true = _true_counts(f"{SF001}/documents.parquet")
+    exp = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert list(map(tuple, got.itertuples(index=False))) == exp
+
+
+def test_heavy_hitters_mg_guarantees(ray_session, tmp_path):
+    """Synthetic Zipf-ish corpus wide enough to force MG compression in
+    every block; checks the three MG guarantees against exact counts:
+    est <= true, est >= true - total_err, and every token with
+    true > total_err present."""
+    rng = np.random.default_rng(7)
+    vocab = [f"tok{i}" for i in range(600)]
+    # heavy head: tok0..tok4 dominate; long uniform tail
+    weights = np.array([300.0, 200.0, 120.0, 80.0, 50.0]
+                       + [1.0] * (len(vocab) - 5))
+    weights /= weights.sum()
+    docs = [" ".join(rng.choice(vocab, size=200, p=weights))
+            for _ in range(60)]
+    path = str(tmp_path / "documents.parquet")
+    pq.write_table(pa.table({"text": docs}), path)
+
+    true = _true_counts(path)
+    n_total = sum(true.values())
+
+    from spardaqus_ray.pipelines.textops import vocab_heavy_hitters
+
+    hh = vocab_heavy_hitters(str(tmp_path), capacity=32)
+    assert len(hh) > 0
+    total_err = int(hh["err_bound"].iloc[0])
+    assert 0 < total_err <= n_total // (32 + 1) + 1  # compression happened
+    est = dict(zip(hh["token"], hh["n"]))
+    for tok, e in est.items():
+        assert e <= true[tok], (tok, e, true[tok])
+        assert e >= true[tok] - total_err, (tok, e, true[tok], total_err)
+    for tok, c in true.items():
+        if c > total_err:
+            assert tok in est, (tok, c, total_err)
+    # output ordering: count DESC then token ASC, survivors only
+    assert (hh["n"] > total_err).all()
+    assert list(hh["n"]) == sorted(hh["n"], reverse=True)
+
+
+def test_heavy_hitters_no_compression_is_exact(ray_session):
+    """Capacity above the fixture vocab => err 0 and exact counts."""
+    from spardaqus_ray.pipelines.textops import vocab_heavy_hitters
+
+    hh = vocab_heavy_hitters(SF001, capacity=4096)
+    true = _true_counts(f"{SF001}/documents.parquet")
+    assert (hh["err_bound"] == 0).all()
+    assert dict(zip(hh["token"], hh["n"])) == dict(true)
