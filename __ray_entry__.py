@@ -30,7 +30,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from spardaqus_ray.pipelines import (ann, dedup, multimodal, relational,
-                                         repo_stats, textops)
+                                         repo_stats, stats, textops)
 
     return {
         # --- relational layer (SURVEY.md §2.8 Q1-Q10) ---
@@ -57,8 +57,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_median_price_by_segment": relational.q22_median_price_by_segment,
         "q23_top_orders_per_segment": relational.q23_top_orders_per_segment,
         "q24_events_hopping": relational.q24_events_hopping,
+        "q25_order_rank_in_customer": relational.q25_order_rank_in_customer,
+        "q26_order_price_delta": relational.q26_order_price_delta,
+        "q27_near_orders_histogram": relational.q27_near_orders_histogram,
+        # --- statistical / OLAP aggregates ---
+        "q28_grouped_stats": stats.q28_grouped_stats,
+        "q29_rollup_orders": stats.q29_rollup_orders,
+        "q30_pivot_priority_revenue": stats.q30_pivot_priority_revenue,
+        "doc_length_histogram": stats.doc_length_histogram,
         # --- dedup family (exact is SQL-checkable; rest rows-only) ---
         "dedup_exact_docs": dedup.exact_dedup_docs,
+        "dedup_exact_normalized": dedup.exact_dedup_normalized,
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
         "dedup_simhash": dedup.simhash_pairs,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -89,7 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from spardaqus_ray.pipelines import ann, dedup, relational, textops
+    from spardaqus_ray.pipelines import ann, dedup, relational, stats, textops
 
     return {
         "q1_lineitem_agg": relational.Q1_SQL,
@@ -121,4 +130,12 @@ def oracle_sql() -> dict[str, str]:
         "q22_median_price_by_segment": relational.Q22_SQL,
         "q23_top_orders_per_segment": relational.Q23_SQL,
         "q24_events_hopping": relational.Q24_SQL,
+        "q25_order_rank_in_customer": relational.Q25_SQL,
+        "q26_order_price_delta": relational.Q26_SQL,
+        "q27_near_orders_histogram": relational.Q27_SQL,
+        "q28_grouped_stats": stats.Q28_SQL,
+        "q29_rollup_orders": stats.Q29_SQL,
+        "q30_pivot_priority_revenue": stats.Q30_SQL,
+        "doc_length_histogram": stats.DOC_LEN_HIST_SQL,
+        "dedup_exact_normalized": dedup.NORM_DEDUP_SQL,
     }

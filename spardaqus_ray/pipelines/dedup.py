@@ -115,6 +115,48 @@ EXACT_DEDUP_SQL = ("SELECT MIN(doc_id) AS doc_id FROM documents "
                    "GROUP BY text ORDER BY doc_id")
 
 
+def exact_dedup_normalized(sf_dir: str) -> pd.DataFrame:
+    """Normalized exact dedup: duplicates under lowercase + whitespace
+    collapse (the standard near-exact web-dedup key). The normalization
+    is three Arrow kernels (utf8_lower / RE2 \\s+ collapse / trim) — both
+    pyarrow and DuckDB run RE2, so the oracle's regexp_replace matches
+    byte-for-byte. Groups shuffle as 32-byte sha digests, never text.
+    Returns (doc_id=survivor min id, n_dups=group size)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ensure_hash_shuffle(ds)
+
+    def digest(t: pa.Table) -> pa.Table:
+        from spardaqus_ray.functions.hashing import sha256_column
+
+        norm = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            pc.utf8_lower(t["text"].combine_chunks()), r"\s+", " "))
+        return pa.table({"doc_id": t["doc_id"], "sha": sha256_column(norm)})
+
+    ds = ds.map_batches(digest, batch_format="pyarrow")
+    ds = ds.repartition(
+        default_partitions(size_bytes=table_bytes(sf_dir, "documents")),
+        keys=["sha"])
+
+    def first_per_sha(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = (df.groupby("sha", sort=False)["doc_id"].agg(["min", "size"])
+             .reset_index())
+        return pa.table({"doc_id": pa.array(g["min"], pa.int64()),
+                         "n_dups": pa.array(g["size"], pa.int64())})
+
+    out = (ds.map_batches(first_per_sha, batch_format="pyarrow",
+                          batch_size=None).to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+NORM_DEDUP_SQL = r"""
+SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM documents
+GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # MinHash (batched, vectorized)
 # ---------------------------------------------------------------------------

@@ -766,3 +766,108 @@ SELECT make_timestamp(CAST(FLOOR(epoch_us(ts) / 600000000.0) * 600000000
 FROM events CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS j) js
 GROUP BY w, event_type
 """
+
+
+def q25_order_rank_in_customer(sf_dir: str) -> pd.DataFrame:
+    """Ranked window functions — ROW_NUMBER / RANK / DENSE_RANK per
+    customer ordered by price desc (windows.ranked: one hash repartition
+    + whole-block lexsort + segmented scans). rank/dense_rank peer on
+    o_totalprice alone; the o_orderkey tiebreak only pins row_number —
+    the same two window specs the SQL oracle uses."""
+    from spardaqus_ray.pipelines.windows import ranked
+
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    out = (ranked(ds, key="o_custkey", order=["o_totalprice"],
+                  descending=[True], tiebreak=["o_orderkey"],
+                  row_number="rn", rank="rnk", dense_rank="drnk",
+                  num_partitions=default_partitions(
+                      size_bytes=table_bytes(sf_dir, "orders")))
+           .select_columns(["o_orderkey", "o_custkey", "rn", "rnk", "drnk"])
+           .to_pandas())
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+Q25_SQL = """
+SELECT o_orderkey, o_custkey,
+       ROW_NUMBER() OVER (PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+       RANK() OVER (PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC) AS rnk,
+       DENSE_RANK() OVER (PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC) AS drnk
+FROM orders
+"""
+
+
+def q26_order_price_delta(sf_dir: str) -> pd.DataFrame:
+    """LAG window function: each order's price delta vs the customer's
+    previous order (windows.lag_value — one hash repartition + lexsort +
+    shifted take). First-order-per-customer rows (NULL lag) are filtered
+    on both sides; the delta is ONE subtraction so 4-dp rounding is
+    bit-stable across engines."""
+    from spardaqus_ray.pipelines.windows import lag_value
+
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_custkey", "o_totalprice",
+                             "o_orderdate"])
+    ds = lag_value(ds, key="o_custkey", order=["o_orderdate", "o_orderkey"],
+                   value="o_totalprice", out_name="prev",
+                   num_partitions=default_partitions(
+                       size_bytes=table_bytes(sf_dir, "orders")))
+
+    def delta(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["prev"]))
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "price_delta": pc.round(
+                pc.subtract(t["o_totalprice"], t["prev"]), 4),
+        })
+
+    out = (ds.map_batches(delta, batch_format="pyarrow", zero_copy_batch=True)
+           .to_pandas())
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+Q26_SQL = """
+SELECT o_orderkey, ROUND(o_totalprice - prev, 4) AS price_delta
+FROM (SELECT o_orderkey, o_totalprice,
+             LAG(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS prev
+      FROM orders)
+WHERE prev IS NOT NULL
+"""
+
+
+def q27_near_orders_histogram(sf_dir: str) -> pd.DataFrame:
+    """Range join with equi-prefix (task-brief custom operator): for each
+    order, count same-customer orders within ±30 days (windows.range_count
+    — hash partition on the key, per-block lexsort + two vectorized
+    searchsorted passes; no pairwise work), then histogram the counts.
+    The SQL oracle is the equivalent self interval-join."""
+    from spardaqus_ray.pipelines.windows import range_count
+
+    day_us = 86_400_000_000
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    ds = range_count(ds, key="o_custkey", ts="o_orderdate",
+                     radius_us=30 * day_us, out_name="n_near",
+                     num_partitions=default_partitions(
+                         size_bytes=table_bytes(sf_dir, "orders")))
+    out = (ds.groupby("n_near").aggregate(Count(alias_name="n_orders"))
+           .to_pandas())
+    return out.sort_values("n_near").reset_index(drop=True)
+
+
+Q27_SQL = """
+SELECT n_near, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM (SELECT o1.o_orderkey, CAST(COUNT(o2.o_orderkey) AS BIGINT) AS n_near
+      FROM orders o1 LEFT JOIN orders o2
+        ON o1.o_custkey = o2.o_custkey
+       AND o2.o_orderdate BETWEEN o1.o_orderdate - INTERVAL 30 DAY
+                              AND o1.o_orderdate + INTERVAL 30 DAY
+       AND o2.o_orderkey <> o1.o_orderkey
+      GROUP BY o1.o_orderkey)
+GROUP BY n_near
+ORDER BY n_near
+"""

@@ -1,0 +1,216 @@
+"""Statistical / OLAP aggregate operators (SURVEY.md §2.8 extension set):
+grouped second-moment statistics (STDDEV_SAMP / CORR) via mergeable
+partial sums, GROUP BY ROLLUP, pivoted conditional aggregates, and a
+vectorized histogram — each a driver query with a DuckDB SQL oracle.
+
+Scale shapes:
+  * q28 is the canonical partial-aggregation pattern — every batch
+    collapses to <= n_groups rows of (n, Σx, Σx², Σy, Σy², Σxy) inside
+    map_batches, the only exchange is a groupby over those partials,
+    and the final algebra runs on the driver over n_groups rows.
+  * q29/q30 reduce to ONE finest-level grouped aggregate; rollup
+    super-totals / pivot columns are derived from that (small) result.
+  * the histogram ships <= n_buckets rows per block (np.bincount
+    partials), never the lengths themselves.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data.aggregate import Count, Sum
+
+from spardaqus_ray.sources.code_parquet import read_table
+
+# Fixed offsets near the fixture column scales: subtracting them before
+# the moment sums kills the Σx² vs (Σx)²/n cancellation (both statistics
+# are shift-invariant, so ANY constants are correct — these just keep
+# float64 error well under the 4-dp rounding).
+_X_OFF, _Y_OFF = 25.0, 30000.0
+
+
+def q28_grouped_stats(sf_dir: str) -> pd.DataFrame:
+    """Grouped STDDEV_SAMP(l_extendedprice) + CORR(l_quantity,
+    l_extendedprice) + AVG per l_returnflag via one-pass mergeable
+    moment partials (shift-invariant, offset-stabilized)."""
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["l_quantity"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64) - _X_OFF
+        y = t["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64) - _Y_OFF
+        df = pd.DataFrame({
+            "l_returnflag": t["l_returnflag"].combine_chunks().to_numpy(
+                zero_copy_only=False),
+            "n": np.ones(t.num_rows, np.int64),
+            "sx": x, "sxx": x * x, "sy": y, "syy": y * y, "sxy": x * y,
+        })
+        g = df.groupby("l_returnflag", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("l_returnflag")
+           .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                      Sum("sxx", alias_name="sxx"), Sum("sy", alias_name="sy"),
+                      Sum("syy", alias_name="syy"), Sum("sxy", alias_name="sxy"))
+           .to_pandas())
+    n = agg["n"].astype(float)
+    vy = (agg["syy"] - agg["sy"] ** 2 / n) / (n - 1)
+    vx = (agg["sxx"] - agg["sx"] ** 2 / n) / (n - 1)
+    cov = (agg["sxy"] - agg["sx"] * agg["sy"] / n) / (n - 1)
+    out = pd.DataFrame({
+        "l_returnflag": agg["l_returnflag"],
+        "n_rows": agg["n"].astype("int64"),
+        "avg_price": (agg["sy"] / n + _Y_OFF).round(4),
+        "std_price": np.sqrt(vy).round(4),
+        "qty_price_corr": (cov / np.sqrt(vx * vy)).round(4),
+    })
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+Q28_SQL = """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(AVG(l_extendedprice), 4)          AS avg_price,
+       ROUND(STDDEV_SAMP(l_extendedprice), 4)  AS std_price,
+       ROUND(CORR(l_quantity, l_extendedprice), 4) AS qty_price_corr
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def _orders_by_year_priority(sf_dir: str) -> pd.DataFrame:
+    """Finest-level (year, priority) grouped aggregate — the single
+    distributed exchange behind both the rollup and the pivot."""
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderdate", "o_orderpriority", "o_totalprice"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "yr": pc.year(t["o_orderdate"]).cast(pa.int64()),
+            "priority": t["o_orderpriority"],
+            "o_totalprice": t["o_totalprice"],
+        })
+
+    return (ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["yr", "priority"])
+            .aggregate(Sum("o_totalprice", alias_name="revenue"),
+                       Count(alias_name="n_orders"))
+            .to_pandas())
+
+
+def q29_rollup_orders(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(year, priority): finest level is ONE distributed
+    grouped aggregate; the (year) and () super-aggregate levels are
+    re-aggregated from that small result on the driver (never from the
+    raw rows — the rollup costs one exchange regardless of data size).
+    Rolled-up keys use sentinel values (-1 / 'ALL') to avoid null-
+    representation skew between engines."""
+    fin = _orders_by_year_priority(sf_dir)
+    lvl1 = (fin.groupby("yr", as_index=False)
+            .agg(revenue=("revenue", "sum"), n_orders=("n_orders", "sum")))
+    lvl1["priority"] = "ALL"
+    lvl0 = pd.DataFrame({"yr": [-1], "priority": ["ALL"],
+                         "revenue": [fin["revenue"].sum()],
+                         "n_orders": [fin["n_orders"].sum()]})
+    out = pd.concat([fin, lvl1, lvl0], ignore_index=True)
+    out["revenue"] = out["revenue"].astype(float).round(4)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out = out[["yr", "priority", "revenue", "n_orders"]]
+    return out.sort_values(["yr", "priority"]).reset_index(drop=True)
+
+
+Q29_SQL = """
+SELECT COALESCE(yr, -1) AS yr, COALESCE(o_orderpriority, 'ALL') AS priority,
+       ROUND(SUM(o_totalprice), 4) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderpriority,
+             o_totalprice FROM orders)
+GROUP BY ROLLUP(yr, o_orderpriority)
+"""
+
+
+# Pivot target columns: the fixture's closed priority domain (TESTDATA.md)
+# -> explicit output column names (a pivot needs a known column set).
+_PRIORITY_COLS = [("1-URGENT", "rev_urgent"), ("2-HIGH", "rev_high"),
+                  ("3-MEDIUM", "rev_medium"), ("4-NOT SPECIFIED", "rev_notspec"),
+                  ("5-LOW", "rev_low")]
+
+
+def q30_pivot_priority_revenue(sf_dir: str) -> pd.DataFrame:
+    """Pivoted conditional aggregates: revenue per year spread across the
+    order-priority domain as columns — masked per-class partial sums
+    inside map_batches, then one grouped Sum per class (the standard
+    pivot-as-conditional-aggregation plan; no second exchange)."""
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderdate", "o_orderpriority", "o_totalprice"])
+
+    def masked(t: pa.Table) -> pa.Table:
+        price = t["o_totalprice"]
+        prio = t["o_orderpriority"]
+        cols = {"yr": pc.year(t["o_orderdate"]).cast(pa.int64())}
+        for val, name in _PRIORITY_COLS:
+            cols[name] = pc.if_else(pc.equal(prio, pa.scalar(val)),
+                                    price, pa.scalar(0.0))
+        return pa.table(cols)
+
+    out = (ds.map_batches(masked, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("yr")
+           .aggregate(*[Sum(name, alias_name=name)
+                        for _, name in _PRIORITY_COLS])
+           .to_pandas())
+    for _, name in _PRIORITY_COLS:
+        out[name] = out[name].astype(float).round(4)
+    return out.sort_values("yr").reset_index(drop=True)
+
+
+Q30_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       ROUND(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice
+                      ELSE 0 END), 4) AS rev_urgent,
+       ROUND(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice
+                      ELSE 0 END), 4) AS rev_high,
+       ROUND(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice
+                      ELSE 0 END), 4) AS rev_medium,
+       ROUND(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+                      THEN o_totalprice ELSE 0 END), 4) AS rev_notspec,
+       ROUND(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice
+                      ELSE 0 END), 4) AS rev_low
+FROM orders
+GROUP BY yr
+"""
+
+
+def doc_length_histogram(sf_dir: str, bucket_chars: int = 50) -> pd.DataFrame:
+    """Document-length histogram (text-quality profiling): 50-char
+    buckets over character length. Per-block np.bincount partials ship
+    <= n_buckets rows each; one grouped Sum merges them — the lengths
+    themselves never leave the workers."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lens = pc.utf8_length(pc.drop_null(t["text"].combine_chunks()))
+        b = lens.to_numpy(zero_copy_only=False) // bucket_chars
+        counts = np.bincount(b) if len(b) else np.zeros(0, np.int64)
+        nz = np.flatnonzero(counts)
+        return pa.table({
+            "bucket": pa.array(nz.astype(np.int64) * bucket_chars),
+            "n": pa.array(counts[nz].astype(np.int64)),
+        })
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("bucket").aggregate(Sum("n", alias_name="n_docs"))
+           .to_pandas())
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+DOC_LEN_HIST_SQL = """
+SELECT CAST(length(text) // 50 * 50 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents WHERE text IS NOT NULL
+GROUP BY bucket ORDER BY bucket
+"""

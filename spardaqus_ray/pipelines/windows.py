@@ -22,6 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from spardaqus_ray.util import ensure_hash_shuffle
@@ -179,6 +180,166 @@ def running_sum(ds: ray.data.Dataset, key: str, order: list[str], value: str,
         running = (pd.Series(p).groupby(pd.Series(_np(t[key])), sort=False)
                    .cumsum().to_numpy())
         return t.append_column(out_name, pa.array(running))
+
+    return ds.map_batches(block, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+
+
+def _order_arrays(t: pa.Table, order: list[str],
+                  descending: list[bool] | None) -> list[np.ndarray]:
+    """Order columns as numpy arrays with descending flags applied
+    (numeric/temporal columns negate; other dtypes are not supported
+    descending — callers pass ascending for strings)."""
+    desc = descending or [False] * len(order)
+    out = []
+    for c, d in zip(order, desc):
+        a = (_ts_us(t[c]) if pa.types.is_temporal(t.schema.field(c).type)
+             else _np(t[c]))
+        if d:
+            if not np.issubdtype(a.dtype, np.number):
+                raise ValueError(f"descending order on non-numeric column {c}")
+            a = -a
+        out.append(a)
+    return out
+
+
+def ranked(ds: ray.data.Dataset, key: str, order: list[str],
+           descending: list[bool] | None = None,
+           tiebreak: list[str] | None = None,
+           row_number: str | None = None, rank: str | None = None,
+           dense_rank: str | None = None,
+           num_partitions: int | None = None) -> ray.data.Dataset:
+    """Per-row ROW_NUMBER / RANK / DENSE_RANK OVER (PARTITION BY key
+    ORDER BY order) — same physical plan as the rest of this library:
+    ONE hash repartition on the key, whole-block lexsort, segmented
+    scans (no per-group dispatch).
+
+    SQL peer semantics: rank/dense_rank peers are rows equal on ALL
+    `order` columns; `tiebreak` columns extend the sort (making
+    row_number deterministic under order-ties) WITHOUT affecting peer
+    groups — exactly ROW_NUMBER() OVER (ORDER BY order..., tiebreak...)
+    next to RANK() OVER (ORDER BY order...).
+    Output = input columns + the requested rank columns (int64)."""
+    if not (row_number or rank or dense_rank):
+        raise ValueError("request at least one of row_number/rank/dense_rank")
+    ds = _keyed(ds, key, num_partitions)
+    tiebreak = tiebreak or []
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            for name in (row_number, rank, dense_rank):
+                if name:
+                    t = t.append_column(name, pa.array([], pa.int64()))
+            return t
+        k = _np(t[key])
+        ords = _order_arrays(t, order, descending)
+        ties = _order_arrays(t, tiebreak, None)
+        idx = np.lexsort(tuple(reversed(ties)) + tuple(reversed(ords)) + (k,))
+        t = t.take(pa.array(idx))
+        k = k[idx]
+        n = len(k)
+        pos = np.arange(n, dtype=np.int64)
+        seg_first = np.empty(n, bool)
+        seg_first[0] = True
+        seg_first[1:] = k[1:] != k[:-1]
+        peer_first = seg_first.copy()
+        for a in ords:
+            a = a[idx]
+            peer_first[1:] |= a[1:] != a[:-1]
+        seg_start = np.maximum.accumulate(np.where(seg_first, pos, -1))
+        if row_number:
+            t = t.append_column(row_number, pa.array(pos - seg_start + 1))
+        if rank:
+            peer_start = np.maximum.accumulate(np.where(peer_first, pos, -1))
+            t = t.append_column(rank, pa.array(peer_start - seg_start + 1))
+        if dense_rank:
+            d = np.cumsum(peer_first)
+            t = t.append_column(dense_rank, pa.array(d - d[seg_start] + 1))
+        return t
+
+    return ds.map_batches(block, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+
+
+def lag_value(ds: ray.data.Dataset, key: str, order: list[str], value: str,
+              out_name: str = "lag", offset: int = 1,
+              num_partitions: int | None = None) -> ray.data.Dataset:
+    """Per-row LAG(value, offset) OVER (PARTITION BY key ORDER BY order):
+    one hash repartition + whole-block lexsort + a single shifted take;
+    the first `offset` rows of each key get NULL (SQL default). Output =
+    input columns + out_name."""
+    if offset < 1:
+        raise ValueError("offset must be >= 1")
+    ds = _keyed(ds, key, num_partitions)
+
+    def block(t: pa.Table) -> pa.Table:
+        vt = t.schema.field(value).type
+        if t.num_rows == 0:
+            return t.append_column(out_name, pa.array([], vt))
+        k = _np(t[key])
+        ords = _order_arrays(t, order, None)
+        idx = np.lexsort(tuple(reversed(ords)) + (k,))
+        t = t.take(pa.array(idx))
+        k = k[idx]
+        n = len(k)
+        src = np.arange(n, dtype=np.int64) - offset
+        # a lagged row must exist AND belong to the same key
+        valid = (src >= 0) & (k[np.maximum(src, 0)] == k)
+        lagged = t[value].take(pa.array(np.where(valid, src, 0)))
+        lagged = pc.if_else(pa.array(valid), lagged, pa.nulls(n, vt))
+        return t.append_column(out_name, lagged)
+
+    return ds.map_batches(block, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+
+
+def range_count(ds: ray.data.Dataset, key: str, ts: str, radius_us: int,
+                out_name: str = "n_near",
+                num_partitions: int | None = None) -> ray.data.Dataset:
+    """Equi-key interval self-join, counted: for each row, the number of
+    OTHER rows with the same key whose ts lies in [ts - radius, ts +
+    radius] (inclusive — SQL BETWEEN). The classic range-join-with-
+    equi-prefix: hash-partition on the key, then per block ONE lexsort
+    plus two vectorized searchsorted passes over a collision-free
+    (dense_key_rank * span + t_rel) int64 encoding — no per-pair work,
+    no per-group Python dispatch.
+
+    Partitioning assumption (as the rest of this library): one key's
+    rows fit in one block. Falls back to a per-key searchsorted loop iff
+    the encoding would overflow int64 (≈ block_time_span_us x n_keys >
+    4e18 — unreachable for realistic keys)."""
+    ds = _keyed(ds, key, num_partitions)
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_name, pa.array([], pa.int64()))
+        k = _np(t[key])
+        tt = _ts_us(t[ts])
+        idx = np.lexsort((tt, k))
+        t = t.take(pa.array(idx))
+        k, tt = k[idx], tt[idx]
+        n = len(k)
+        starts = _segments(k)
+        g = np.zeros(n, np.int64)
+        g[starts] = 1
+        g = np.cumsum(g) - 1                       # dense key rank
+        t_rel = tt - tt.min()
+        span = int(t_rel.max()) + 2 * radius_us + 2
+        n_groups = len(starts)
+        if n_groups * span < (1 << 62):
+            enc = g * span + t_rel + radius_us     # keep lo bound >= seg floor
+            lo = np.searchsorted(enc, enc - radius_us, side="left")
+            hi = np.searchsorted(enc, enc + radius_us, side="right")
+            cnt = hi - lo - 1
+        else:                                       # overflow fallback
+            cnt = np.empty(n, np.int64)
+            ends = np.append(starts[1:], n)
+            for s, e in zip(starts, ends):
+                seg = tt[s:e]
+                lo = np.searchsorted(seg, seg - radius_us, side="left")
+                hi = np.searchsorted(seg, seg + radius_us, side="right")
+                cnt[s:e] = hi - lo - 1
+        return t.append_column(out_name, pa.array(cnt))
 
     return ds.map_batches(block, batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=None)

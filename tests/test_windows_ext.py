@@ -1,0 +1,149 @@
+"""Tests for the round-3 window-library extensions (pipelines/windows.py
+ranked / lag_value / range_count) — hand-checkable frames with ties and
+string keys, a brute-force cross-check for range_count (including the
+int64-overflow fallback path), and partition-width invariance. The
+orders-table paths are additionally driver-oracle-checked via q25-q27."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _ds(df):
+    import ray.data
+
+    return ray.data.from_pandas(df)
+
+
+def test_ranked_tie_semantics(ray_session):
+    """Peers tie on the order columns only; tiebreak pins row_number."""
+    from spardaqus_ray.pipelines.windows import ranked
+
+    df = pd.DataFrame({
+        "k": ["a", "a", "a", "a", "b"],
+        "v": [9.0, 9.0, 5.0, 5.0, 1.0],
+        "id": [2, 1, 3, 4, 5],
+    })
+    out = (ranked(_ds(df), key="k", order=["v"], descending=[True],
+                  tiebreak=["id"], row_number="rn", rank="rnk",
+                  dense_rank="drnk", num_partitions=2)
+           .to_pandas().sort_values(["k", "rn"]).reset_index(drop=True))
+    # a: v=9 peers (ids 1,2) then v=5 peers (ids 3,4)
+    assert out["id"].tolist() == [1, 2, 3, 4, 5]
+    assert out["rn"].tolist() == [1, 2, 3, 4, 1]
+    assert out["rnk"].tolist() == [1, 1, 3, 3, 1]
+    assert out["drnk"].tolist() == [1, 1, 2, 2, 1]
+
+
+def test_ranked_matches_pandas_random(ray_session):
+    from spardaqus_ray.pipelines.windows import ranked
+
+    rng = np.random.default_rng(7)
+    n = 500
+    df = pd.DataFrame({
+        "k": rng.integers(0, 20, n),
+        "v": rng.integers(0, 8, n).astype(float),   # many ties
+        "id": np.arange(n),
+    })
+    out = (ranked(_ds(df), key="k", order=["v"], descending=[True],
+                  tiebreak=["id"], row_number="rn", rank="rnk",
+                  dense_rank="drnk", num_partitions=3)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    g = df.sort_values(["k", "v", "id"], ascending=[True, False, True])
+    g = g.assign(rn=g.groupby("k").cumcount() + 1)
+    exp_rnk = df.groupby("k")["v"].rank(method="min", ascending=False)
+    exp_drnk = df.groupby("k")["v"].rank(method="dense", ascending=False)
+    assert out["rn"].tolist() == g.sort_values("id")["rn"].tolist()
+    assert out["rnk"].astype(int).tolist() == exp_rnk.astype(int).tolist()
+    assert out["drnk"].astype(int).tolist() == exp_drnk.astype(int).tolist()
+
+
+def test_lag_value_offsets_and_nulls(ray_session):
+    from spardaqus_ray.pipelines.windows import lag_value
+
+    df = pd.DataFrame({
+        "k": ["a", "a", "a", "b", "b", "c"],
+        "t": [3, 1, 2, 2, 1, 1],
+        "v": [30.0, 10.0, 20.0, 200.0, 100.0, 7.0],
+    })
+    out = (lag_value(_ds(df), key="k", order=["t"], value="v",
+                     out_name="prev", num_partitions=2)
+           .to_pandas().sort_values(["k", "t"]).reset_index(drop=True))
+    assert out["v"].tolist() == [10.0, 20.0, 30.0, 100.0, 200.0, 7.0]
+    prev = out["prev"].tolist()
+    assert np.isnan(prev[0]) and np.isnan(prev[3]) and np.isnan(prev[5])
+    assert prev[1:3] == [10.0, 20.0] and prev[4] == 100.0
+
+    out2 = (lag_value(_ds(df), key="k", order=["t"], value="v",
+                      out_name="prev2", offset=2, num_partitions=2)
+            .to_pandas().sort_values(["k", "t"]).reset_index(drop=True))
+    p2 = out2["prev2"].tolist()
+    assert np.isnan(p2[0]) and np.isnan(p2[1]) and p2[2] == 10.0
+    assert all(np.isnan(x) for x in [p2[3], p2[4], p2[5]])
+
+
+def _brute_range_count(df, radius):
+    out = []
+    for _, r in df.iterrows():
+        m = (df["k"] == r["k"]) & (abs(df["t"] - r["t"]) <= radius)
+        out.append(int(m.sum()) - 1)
+    return out
+
+
+def test_range_count_matches_bruteforce(ray_session):
+    from spardaqus_ray.pipelines.windows import range_count
+
+    rng = np.random.default_rng(11)
+    n = 400
+    df = pd.DataFrame({
+        "k": rng.integers(0, 15, n),
+        "t": rng.integers(0, 1000, n).astype(np.int64),
+        "id": np.arange(n),
+    })
+    out = (range_count(_ds(df), key="k", ts="t", radius_us=25,
+                       out_name="n_near", num_partitions=3)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert out["n_near"].tolist() == _brute_range_count(df, 25)
+
+
+def test_range_count_overflow_fallback(ray_session):
+    """The per-segment fallback (span*groups over the int64 bound) must
+    equal the encoded fast path: scale ts and radius by 2^52 so the
+    window predicate is unchanged but the encoding would overflow."""
+    import spardaqus_ray.pipelines.windows as W
+
+    rng = np.random.default_rng(13)
+    n = 300
+    df = pd.DataFrame({
+        "k": rng.integers(0, 10, n),
+        "t": rng.integers(0, 500, n).astype(np.int64),
+        "id": np.arange(n),
+    })
+    fast = (W.range_count(_ds(df), key="k", ts="t", radius_us=40,
+                          num_partitions=1)
+            .to_pandas().sort_values("id")["n_near"].tolist())
+    big = df.copy()
+    big["t"] = big["t"] * (1 << 52)   # span*groups > 2^62 -> fallback
+    slow = (W.range_count(_ds(big), key="k", ts="t",
+                          radius_us=40 * (1 << 52), num_partitions=1)
+            .to_pandas().sort_values("id")["n_near"].tolist())
+    assert slow == fast == _brute_range_count(df, 40)
+
+
+def test_range_count_partition_invariance(ray_session):
+    from spardaqus_ray.pipelines.windows import range_count
+
+    rng = np.random.default_rng(17)
+    n = 600
+    df = pd.DataFrame({
+        "k": rng.integers(0, 8, n),
+        "t": rng.integers(0, 2000, n).astype(np.int64),
+        "id": np.arange(n),
+    })
+    res = []
+    for width in (1, 2, 5):
+        out = (range_count(_ds(df), key="k", ts="t", radius_us=100,
+                           num_partitions=width)
+               .to_pandas().sort_values("id")["n_near"].tolist())
+        res.append(out)
+    assert res[0] == res[1] == res[2]
