@@ -29,8 +29,9 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from spardaqus_ray.pipelines import (ann, dedup, multimodal, relational,
-                                         repo_stats, stats, textops)
+    from spardaqus_ray.pipelines import (ann, cluster, dedup, multimodal,
+                                         relational, repo_stats, stats,
+                                         textops)
 
     return {
         # --- relational layer (SURVEY.md §2.8 Q1-Q10) ---
@@ -60,10 +61,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q25_order_rank_in_customer": relational.q25_order_rank_in_customer,
         "q26_order_price_delta": relational.q26_order_price_delta,
         "q27_near_orders_histogram": relational.q27_near_orders_histogram,
+        "q31_nations_intersect": relational.q31_nations_intersect,
+        "q32_orders_without_lineitems": relational.q32_orders_without_lineitems,
+        "q33_running_max_price": relational.q33_running_max_price,
         # --- statistical / OLAP aggregates ---
         "q28_grouped_stats": stats.q28_grouped_stats,
         "q29_rollup_orders": stats.q29_rollup_orders,
         "q30_pivot_priority_revenue": stats.q30_pivot_priority_revenue,
+        "q34_cube_orders": stats.q34_cube_orders,
+        "q35_order_price_quartile": relational.q35_order_price_quartile,
         "doc_length_histogram": stats.doc_length_histogram,
         # --- dedup family (exact is SQL-checkable; rest rows-only) ---
         "dedup_exact_docs": dedup.exact_dedup_docs,
@@ -74,9 +80,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_cosine": dedup.embedding_cosine_pairs_exact,
         "dedup_embedding_lsh": dedup.embedding_neardup_pairs_moderate,
         "dedup_neardup_groups": dedup.neardup_groups,
-        # --- similarity search ---
+        # --- similarity search / clustering ---
         "ann_bruteforce": ann.ann_bruteforce,
         "ann_ivf": ann.ann_ivf,
+        "kmeans_embeddings": cluster.kmeans_embeddings,
         # --- text analysis / flagship slices (rows-only unless noted) ---
         "flagship_keep_stats": textops.flagship_keep_stats,
         "langid_agreement": textops.langid_agreement,
@@ -85,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores_docs": textops.quality_scores_docs,
         "vocab_top_tokens": textops.vocab_top_tokens,
         "vocab_heavy_hitters": textops.vocab_heavy_hitters,
+        "tfidf_top_terms": textops.tfidf_top_terms,
         # --- repo-level aggregates / sampling / sketches ---
         "repo_stats_docs": repo_stats.repo_stats_docs,
         "qa_sample_dropped": repo_stats.qa_sample_dropped,
@@ -138,4 +146,10 @@ def oracle_sql() -> dict[str, str]:
         "q30_pivot_priority_revenue": stats.Q30_SQL,
         "doc_length_histogram": stats.DOC_LEN_HIST_SQL,
         "dedup_exact_normalized": dedup.NORM_DEDUP_SQL,
+        "q31_nations_intersect": relational.Q31_SQL,
+        "q32_orders_without_lineitems": relational.Q32_SQL,
+        "q33_running_max_price": relational.Q33_SQL,
+        "tfidf_top_terms": textops.TFIDF_SQL,
+        "q34_cube_orders": stats.Q34_SQL,
+        "q35_order_price_quartile": relational.Q35_SQL,
     }

@@ -155,10 +155,13 @@ def bench_queries() -> dict:
         ("q19_asof_last_order", relational.q19_asof_last_order),
         ("q20_running_revenue", relational.q20_running_revenue),
         ("q21_nation_supplier_left", relational.q21_nation_supplier_left),
+        ("q25_order_rank_in_customer", relational.q25_order_rank_in_customer),
+        ("q27_near_orders_histogram", relational.q27_near_orders_histogram),
         ("dedup_minhash_lsh", dedup.minhash_lsh_pairs),
         ("dedup_embedding_cosine", dedup.embedding_cosine_pairs_exact),
         ("ann_bruteforce", ann.ann_bruteforce),
         ("token_count_bpe", textops.token_count_bpe),
+        ("tfidf_top_terms", textops.tfidf_top_terms),
     ]:
         t0 = time.time()
         fn(SF_DIR)

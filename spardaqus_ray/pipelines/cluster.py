@@ -1,0 +1,106 @@
+"""Distributed k-means over the `embeddings` table (training-data ops:
+embedding clustering for diversity sampling / coarse dedup / IVF index
+building).
+
+Scale shape (the canonical iterative-broadcast pattern): centroids are a
+tiny (k x d) matrix broadcast to every task via the map_batches closure;
+each iteration is ONE streaming pass where every block emits k partial
+rows (cluster_id, count, vector_sum) — the driver reduce sees
+#blocks x k rows regardless of corpus size, updates the centroids, and
+the next pass re-streams the data. No full materialization, no
+all-to-all shuffle; per-iteration cost is a read + a matmul per block.
+At 100 TB you would persist the (bounded) column projection once and
+re-read it per iteration — exactly what this does via the lazy Dataset.
+
+Non-SQL-expressible (iterative): driver check is rows-only; correctness
+is pinned by pytest on planted well-separated clusters
+(tests/test_cluster.py) — every planted group must land in one cluster.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from spardaqus_ray.pipelines.ann import _mat, _unit
+from spardaqus_ray.sources.code_parquet import read_table
+
+# Bounded init sample (same convention as ann_ivf's coarse quantizer).
+INIT_SAMPLE_ROWS = 2048
+
+
+def _init_centroids(sf_dir: str, k: int, seed: int) -> np.ndarray:
+    """Deterministic k-means++-style init on a bounded head sample:
+    first centroid = seeded pick, each next = sample point with maximal
+    distance to its nearest chosen centroid (argmax is deterministic —
+    no RNG beyond the first pick)."""
+    import pyarrow.parquet as pq
+
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding"]).slice(0, INIT_SAMPLE_ROWS)
+    x = _unit(_mat(head)).astype(np.float64)
+    k = min(k, len(x))
+    rng = np.random.default_rng(seed)
+    cents = [x[rng.integers(len(x))]]
+    for _ in range(k - 1):
+        d = 1.0 - np.max(np.stack([x @ c for c in cents]), axis=0)
+        cents.append(x[int(np.argmax(d))])
+    return np.stack(cents)
+
+
+def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5,
+                      seed: int = 7) -> pd.DataFrame:
+    """Spherical k-means (cosine/Lloyd's): returns per-cluster
+    (cluster_id, n_vectors, avg_cosine) after `iters` streaming passes.
+    avg_cosine = mean cosine of members to their final centroid — the
+    per-cluster cohesion diagnostic."""
+    ds = read_table(sf_dir, "embeddings", columns=["embedding"])
+    cents = _init_centroids(sf_dir, k, seed)
+
+    def make_partial(c: np.ndarray, with_cos: bool):
+        def partial(t: pa.Table) -> pa.Table:
+            unit = _unit(_mat(t)).astype(np.float64)
+            cos = unit @ c.T                       # (n, k)
+            assign = cos.argmax(axis=1)
+            n = np.bincount(assign, minlength=len(c)).astype(np.int64)
+            # per-cluster vector sums: one reduceat-style matmul via
+            # one-hot-free indexing (add.at over rows)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, unit)
+            cols = {
+                "c": pa.array(np.arange(len(c), dtype=np.int64)),
+                "n": pa.array(n),
+                "s": pa.array(list(sums), pa.list_(pa.float64())),
+            }
+            if with_cos:
+                csum = np.zeros(len(c))
+                np.add.at(csum, assign, cos[np.arange(len(assign)), assign])
+                cols["cos_sum"] = pa.array(csum)
+            return pa.table(cols)
+        return partial
+
+    for it in range(iters):
+        last = it == iters - 1
+        parts = (ds.map_batches(make_partial(cents, with_cos=last),
+                                batch_format="pyarrow", zero_copy_batch=True)
+                 .to_pandas())                      # #blocks x k rows — tiny
+        g = parts.groupby("c", sort=True)
+        counts = g["n"].sum()
+        sums = np.stack(g["s"].apply(
+            lambda v: np.sum(np.stack([np.asarray(x) for x in v]), axis=0)))
+        if last:
+            cos_sums = g["cos_sum"].sum()
+            break
+        nz = counts.to_numpy() > 0
+        new = cents.copy()
+        new[nz] = _unit(sums[nz])
+        cents = new
+    out = pd.DataFrame({
+        "cluster_id": counts.index.to_numpy(np.int64),
+        "n_vectors": counts.to_numpy(np.int64),
+        "avg_cosine": np.where(counts.to_numpy() > 0,
+                               (cos_sums / counts.replace(0, 1)).to_numpy(),
+                               0.0).round(4),
+    })
+    return out.sort_values("cluster_id").reset_index(drop=True)

@@ -871,3 +871,125 @@ FROM (SELECT o1.o_orderkey, CAST(COUNT(o2.o_orderkey) AS BIGINT) AS n_near
 GROUP BY n_near
 ORDER BY n_near
 """
+
+
+def _set_op(left: "ray.data.Dataset", right: "ray.data.Dataset",
+            left_col: str, right_col: str, how: str,
+            out_name: str) -> pd.DataFrame:
+    """Distributed INTERSECT / EXCEPT (SQL DISTINCT set semantics): tag
+    each side with a presence flag, union, ONE grouped max-per-side —
+    each key then carries (seen_left, seen_right) and the set predicate
+    is a driver-free filter. One exchange, output = distinct keys."""
+    def tag(col, l_flag):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table({
+                out_name: t[col].cast(pa.int64()),
+                "l": pa.array(np.full(n, l_flag, np.int64)),
+                "r": pa.array(np.full(n, 1 - l_flag, np.int64)),
+            })
+        return fn
+
+    u = (left.map_batches(tag(left_col, 1), batch_format="pyarrow",
+                          zero_copy_batch=True)
+         .union(right.map_batches(tag(right_col, 0), batch_format="pyarrow",
+                                  zero_copy_batch=True)))
+    agg = u.groupby(out_name).aggregate(Max("l", alias_name="l"),
+                                        Max("r", alias_name="r"))
+    pred = ("l == 1 and r == 1" if how == "intersect"
+            else "l == 1 and r == 0")
+    out = agg.filter(expr=pred).select_columns([out_name]).to_pandas()
+    if out.empty:  # an all-filtered dataset loses its schema (q5 precedent)
+        out = pd.DataFrame({out_name: pd.Series([], dtype="int64")})
+    return out.sort_values(out_name).reset_index(drop=True)
+
+
+def q31_nations_intersect(sf_dir: str) -> pd.DataFrame:
+    """INTERSECT (distinct set semantics): nations that have BOTH
+    customers and suppliers — tagged union + one grouped presence
+    aggregate; no driver-side set work."""
+    cust = read_table(sf_dir, "customer", columns=["c_nationkey"])
+    supp = read_table(sf_dir, "supplier", columns=["s_nationkey"])
+    return _set_op(cust, supp, "c_nationkey", "s_nationkey", "intersect",
+                   "nationkey")
+
+
+Q31_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+ORDER BY nationkey
+"""
+
+
+def q32_orders_without_lineitems(sf_dir: str) -> pd.DataFrame:
+    """EXCEPT (distinct set semantics) over two BIG tables: orderkeys
+    with no lineitems — same tagged-union + grouped-presence plan as
+    q31; both sides stream, the only exchange is the key groupby."""
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey"])
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey"])
+    return _set_op(orders, li, "o_orderkey", "l_orderkey", "except",
+                   "orderkey")
+
+
+Q32_SQL = """
+SELECT o_orderkey AS orderkey FROM orders
+EXCEPT
+SELECT l_orderkey FROM lineitem
+ORDER BY orderkey
+"""
+
+
+def q33_running_max_price(sf_dir: str) -> pd.DataFrame:
+    """Running MAX window (windows.running_agg how='max'): each order's
+    highest same-customer price so far in (o_orderdate, o_orderkey)
+    order — MAX() OVER (PARTITION BY ... ORDER BY ...)."""
+    from spardaqus_ray.pipelines.windows import running_agg
+
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_custkey", "o_totalprice",
+                             "o_orderdate"])
+    out = (running_agg(ds, key="o_custkey",
+                       order=["o_orderdate", "o_orderkey"],
+                       value="o_totalprice", how="max", out_name="max_so_far",
+                       num_partitions=default_partitions(
+                           size_bytes=table_bytes(sf_dir, "orders")))
+           .select_columns(["o_orderkey", "max_so_far"])
+           .to_pandas())
+    out = out.sort_values("o_orderkey").reset_index(drop=True)
+    return _r4(out, ["max_so_far"])
+
+
+Q33_SQL = """
+SELECT o_orderkey,
+       ROUND(MAX(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 4)
+       AS max_so_far
+FROM orders
+"""
+
+
+def q35_order_price_quartile(sf_dir: str) -> pd.DataFrame:
+    """NTILE(4) window (windows.ntile): price quartile of each order
+    within its customer, deterministic (price desc, orderkey) order —
+    segmented tile arithmetic, no per-group Python."""
+    from spardaqus_ray.pipelines.windows import ntile
+
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    out = (ntile(ds, key="o_custkey", order=["o_totalprice"], n=4,
+                 descending=[True], tiebreak=["o_orderkey"],
+                 out_name="quartile",
+                 num_partitions=default_partitions(
+                     size_bytes=table_bytes(sf_dir, "orders")))
+           .select_columns(["o_orderkey", "quartile"])
+           .to_pandas())
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+Q35_SQL = """
+SELECT o_orderkey,
+       NTILE(4) OVER (PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+FROM orders
+"""

@@ -133,6 +133,38 @@ GROUP BY ROLLUP(yr, o_orderpriority)
 """
 
 
+def q34_cube_orders(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE(year, priority): all four grouping sets derived from
+    the SAME single finest-level exchange as q29 — the by-priority and
+    grand-total levels are re-aggregations of the (small) finest result,
+    so the cube costs one shuffle at any data size."""
+    fin = _orders_by_year_priority(sf_dir)
+    by_yr = (fin.groupby("yr", as_index=False)
+             .agg(revenue=("revenue", "sum"), n_orders=("n_orders", "sum")))
+    by_yr["priority"] = "ALL"
+    by_prio = (fin.groupby("priority", as_index=False)
+               .agg(revenue=("revenue", "sum"), n_orders=("n_orders", "sum")))
+    by_prio["yr"] = -1
+    total = pd.DataFrame({"yr": [-1], "priority": ["ALL"],
+                          "revenue": [fin["revenue"].sum()],
+                          "n_orders": [fin["n_orders"].sum()]})
+    out = pd.concat([fin, by_yr, by_prio, total], ignore_index=True)
+    out["revenue"] = out["revenue"].astype(float).round(4)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out = out[["yr", "priority", "revenue", "n_orders"]]
+    return out.sort_values(["yr", "priority"]).reset_index(drop=True)
+
+
+Q34_SQL = """
+SELECT COALESCE(yr, -1) AS yr, COALESCE(o_orderpriority, 'ALL') AS priority,
+       ROUND(SUM(o_totalprice), 4) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderpriority,
+             o_totalprice FROM orders)
+GROUP BY CUBE(yr, o_orderpriority)
+"""
+
+
 # Pivot target columns: the fixture's closed priority domain (TESTDATA.md)
 # -> explicit output column names (a pivot needs a known column set).
 _PRIORITY_COLS = [("1-URGENT", "rev_urgent"), ("2-HIGH", "rev_high"),

@@ -307,3 +307,88 @@ def vocab_heavy_hitters(sf_dir: str, capacity: int = VOCAB_MG_CAPACITY,
           .to_pandas())
     hh["err_bound"] = total_err
     return hh[["token", "n", "err_bound"]].reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms per source — composes the corpus-vocabulary partial
+# pattern with the generic ranked() window operator.
+# --------------------------------------------------------------------------
+
+def tfidf_top_terms(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Top-k TF-IDF terms per source: tfidf = tf(source, token) *
+    ln(n_sources / df(token)).
+
+    Plan (all exchanges key-bounded, driver sees k x n_sources rows):
+    per-block (source, token) count partials (np.repeat of the source
+    column over the token-list lengths + one cython groupby — shuffle
+    moves one row per DISTINCT (source, token) per block) -> grouped SUM
+    = tf -> grouped COUNT over tf = document frequency (tf rows are
+    unique per (source, token), so Count == distinct sources) -> hash
+    join tf x df on token (vocab-sized table; never broadcast) ->
+    windows.ranked top-k per source. Tokenization matches VOCAB_SQL:
+    lower + single-space split, empties dropped."""
+    import pyarrow.compute as pc
+
+    from spardaqus_ray.pipelines.windows import ranked
+    from spardaqus_ray.util import (default_partitions, ensure_hash_shuffle,
+                                    table_bytes)
+
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+    n_sources = read_table(sf_dir, "documents", columns=["source"]) \
+        .groupby("source").aggregate(Count(alias_name="_n")).count()
+
+    def partial(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(pc.utf8_lower(t["text"].combine_chunks()), " ")
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        toks = pc.list_flatten(lists)
+        src = np.repeat(
+            t["source"].combine_chunks().to_numpy(zero_copy_only=False), lens)
+        keep = pc.not_equal(toks, "").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"source": src[keep],
+                           "token": toks.to_numpy(zero_copy_only=False)[keep]})
+        g = (df.groupby(["source", "token"], sort=False).size()
+             .rename("n").reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    width = default_partitions(size_bytes=table_bytes(sf_dir, "documents"))
+    tf = (ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+          .groupby(["source", "token"]).aggregate(Sum("n", alias_name="tf")))
+    dfreq = tf.groupby("token").aggregate(Count(alias_name="df"))
+    ensure_hash_shuffle(tf)
+    joined = tf.join(dfreq, "inner", num_partitions=width,
+                     on=("token",), right_on=("token",))
+
+    def score(t: pa.Table) -> pa.Table:
+        idf = np.log(float(n_sources)
+                     / t["df"].combine_chunks().to_numpy(zero_copy_only=False))
+        tfv = t["tf"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({"source": t["source"], "token": t["token"],
+                         "tfidf": pa.array(tfv * idf)})
+
+    scored = joined.map_batches(score, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    top = (ranked(scored, key="source", order=["tfidf"], descending=[True],
+                  tiebreak=["token"], row_number="rn", num_partitions=width)
+           .filter(expr=f"rn <= {k}")
+           .to_pandas())
+    top["tfidf"] = top["tfidf"].astype(float).round(4)
+    return (top[["source", "token", "tfidf", "rn"]]
+            .sort_values(["source", "rn"]).reset_index(drop=True))
+
+
+TFIDF_SQL = """
+WITH tf AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents)
+  WHERE token <> '' GROUP BY source, token),
+dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+ns AS (SELECT CAST(COUNT(DISTINCT source) AS DOUBLE) AS n FROM documents)
+SELECT source, token, ROUND(tfidf, 4) AS tfidf, rn FROM (
+  SELECT tf.source, tf.token, tf.tf * ln((SELECT n FROM ns) / dfreq.df) AS tfidf,
+         ROW_NUMBER() OVER (PARTITION BY tf.source
+             ORDER BY tf.tf * ln((SELECT n FROM ns) / dfreq.df) DESC,
+                      tf.token) AS rn
+  FROM tf JOIN dfreq USING (token))
+WHERE rn <= 5
+"""

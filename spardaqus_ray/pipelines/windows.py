@@ -158,14 +158,20 @@ def hopping_agg(ds: ray.data.Dataset, ts: str, size_us: int, hop_us: int,
             .groupby([window_name] + keys).aggregate(*aggs))
 
 
-def running_sum(ds: ray.data.Dataset, key: str, order: list[str], value: str,
-                out_name: str = "running_sum",
+_RUNNING_HOW = {"sum": "cumsum", "min": "cummin", "max": "cummax"}
+
+
+def running_agg(ds: ray.data.Dataset, key: str, order: list[str], value: str,
+                how: str = "sum", out_name: str | None = None,
                 num_partitions: int | None = None) -> ray.data.Dataset:
-    """Per-row running SUM(value) OVER (PARTITION BY key ORDER BY order):
-    one hash repartition + per-block keyed cython cumsum. Accumulation is
-    per-key sequential left-to-right float64 — identical order to a SQL
-    window, so rounded comparisons are bit-stable. Output = all input
-    columns + out_name."""
+    """Per-row running AGG(value) OVER (PARTITION BY key ORDER BY order)
+    for how in {sum, min, max, mean}: one hash repartition + per-block
+    keyed cython cumulative scan. Accumulation is per-key sequential
+    left-to-right float64 — identical order to a SQL window, so rounded
+    comparisons are bit-stable. Output = all input columns + out_name."""
+    if how not in ("sum", "min", "max", "mean"):
+        raise ValueError(f"unsupported running agg: {how}")
+    out_name = out_name or f"running_{how}"
     ds = _keyed(ds, key, num_partitions)
 
     def block(t: pa.Table) -> pa.Table:
@@ -177,12 +183,24 @@ def running_sum(ds: ray.data.Dataset, key: str, order: list[str], value: str,
         idx = np.lexsort(tuple(reversed(cols)) + (k,))
         t = t.take(pa.array(idx))
         p = _np(t[value]).astype(np.float64)
-        running = (pd.Series(p).groupby(pd.Series(_np(t[key])), sort=False)
-                   .cumsum().to_numpy())
+        g = pd.Series(p).groupby(pd.Series(_np(t[key])), sort=False)
+        if how == "mean":
+            running = (g.cumsum() / (g.cumcount() + 1)).to_numpy()
+        else:
+            running = getattr(g, _RUNNING_HOW[how])().to_numpy()
         return t.append_column(out_name, pa.array(running))
 
     return ds.map_batches(block, batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=None)
+
+
+def running_sum(ds: ray.data.Dataset, key: str, order: list[str], value: str,
+                out_name: str = "running_sum",
+                num_partitions: int | None = None) -> ray.data.Dataset:
+    """running_agg(how='sum') — kept as the named entry point behind
+    q20_running_revenue."""
+    return running_agg(ds, key, order, value, how="sum", out_name=out_name,
+                       num_partitions=num_partitions)
 
 
 def _order_arrays(t: pa.Table, order: list[str],
@@ -256,6 +274,49 @@ def ranked(ds: ray.data.Dataset, key: str, order: list[str],
             d = np.cumsum(peer_first)
             t = t.append_column(dense_rank, pa.array(d - d[seg_start] + 1))
         return t
+
+    return ds.map_batches(block, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+
+
+def ntile(ds: ray.data.Dataset, key: str, order: list[str], n: int,
+          descending: list[bool] | None = None,
+          tiebreak: list[str] | None = None, out_name: str = "ntile",
+          num_partitions: int | None = None) -> ray.data.Dataset:
+    """NTILE(n) OVER (PARTITION BY key ORDER BY order, tiebreak): SQL
+    semantics — the first (count % n) tiles get ceil(count/n) rows, the
+    rest floor(count/n); with count < n each row is its own tile. Same
+    plan as ranked(): one hash repartition + whole-block lexsort +
+    segmented arithmetic (per-row tile from position and segment size —
+    no per-group dispatch)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    ds = _keyed(ds, key, num_partitions)
+    tiebreak = tiebreak or []
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_name, pa.array([], pa.int64()))
+        k = _np(t[key])
+        ords = _order_arrays(t, order, descending)
+        ties = _order_arrays(t, tiebreak, None)
+        idx = np.lexsort(tuple(reversed(ties)) + tuple(reversed(ords)) + (k,))
+        t = t.take(pa.array(idx))
+        k = k[idx]
+        m = len(k)
+        pos = np.arange(m, dtype=np.int64)
+        starts = _segments(k)
+        sizes = np.diff(np.append(starts, m))
+        seg_id = np.zeros(m, np.int64)
+        seg_id[starts] = 1
+        seg_id = np.cumsum(seg_id) - 1
+        cnt = sizes[seg_id]
+        i0 = pos - starts[seg_id]
+        q, r = cnt // n, cnt % n
+        big = r * (q + 1)                    # rows covered by the big tiles
+        tile = np.where(i0 < big, i0 // np.maximum(q + 1, 1),
+                        r + (i0 - big) // np.maximum(q, 1)) + 1
+        return t.append_column(out_name, pa.array(tile.astype(np.int64)))
 
     return ds.map_batches(block, batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=None)

@@ -1,0 +1,58 @@
+"""Distributed spherical k-means (pipelines/cluster.py): planted
+well-separated clusters must be recovered exactly — every planted group
+lands wholly in one k-means cluster, sizes match, cohesion ~1."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _planted_embeddings(tmp_path, n_per=60, d=16, seed=5):
+    """Three tight caps around orthogonal axes — unambiguous clusters."""
+    rng = np.random.default_rng(seed)
+    centers = np.eye(d)[:3]
+    rows = []
+    for ci in range(3):
+        pts = centers[ci] + rng.normal(0, 0.02, (n_per, d))
+        rows.append(pts / np.linalg.norm(pts, axis=1, keepdims=True))
+    mat = np.concatenate(rows).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(len(mat)), pa.int64()),
+        "embedding": pa.array(list(mat), pa.list_(pa.float32())),
+    })
+    pq.write_table(t, tmp_path / "embeddings.parquet", row_group_size=40)
+    return np.repeat(np.arange(3), n_per)
+
+
+def test_kmeans_recovers_planted_clusters(ray_session, tmp_path):
+    from spardaqus_ray.pipelines.cluster import kmeans_embeddings
+
+    truth = _planted_embeddings(tmp_path)
+    out = kmeans_embeddings(str(tmp_path), k=3, iters=6)
+    assert len(out) == 3
+    assert out["n_vectors"].sum() == len(truth)
+    # perfectly separated caps -> the three cluster sizes are the three
+    # planted sizes and cohesion is near 1 for every non-empty cluster
+    assert sorted(out["n_vectors"].tolist()) == [60, 60, 60]
+    assert (out["avg_cosine"] > 0.99).all()
+
+
+def test_kmeans_deterministic(ray_session, tmp_path):
+    from spardaqus_ray.pipelines.cluster import kmeans_embeddings
+
+    _planted_embeddings(tmp_path)
+    a = kmeans_embeddings(str(tmp_path), k=3, iters=4)
+    b = kmeans_embeddings(str(tmp_path), k=3, iters=4)
+    assert a.equals(b)
+
+
+def test_kmeans_more_clusters_than_sample(ray_session, tmp_path):
+    """k larger than distinct structure still returns k rows (empty
+    clusters report n=0, avg_cosine=0) and conserves the row count."""
+    from spardaqus_ray.pipelines.cluster import kmeans_embeddings
+
+    truth = _planted_embeddings(tmp_path, n_per=20)
+    out = kmeans_embeddings(str(tmp_path), k=6, iters=3)
+    assert len(out) == 6
+    assert out["n_vectors"].sum() == len(truth)

@@ -1,0 +1,114 @@
+"""Tests for the statistical/OLAP operators (pipelines/stats.py), the
+set-operation queries, running_agg variants, and tfidf_top_terms — the
+SQL-facing paths are additionally driver-oracle-checked via test_oracle;
+these pin the library semantics on hand-checkable frames."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _ds(df):
+    import ray.data
+
+    return ray.data.from_pandas(df)
+
+
+def test_running_agg_min_max_mean(ray_session):
+    from spardaqus_ray.pipelines.windows import running_agg
+
+    df = pd.DataFrame({
+        "k": ["a", "a", "a", "b", "b"],
+        "t": [1, 2, 3, 1, 2],
+        "v": [5.0, 2.0, 8.0, 1.0, 4.0],
+    })
+    for how, exp in [("max", [5.0, 5.0, 8.0, 1.0, 4.0]),
+                     ("min", [5.0, 2.0, 2.0, 1.0, 1.0]),
+                     ("mean", [5.0, 3.5, 5.0, 1.0, 2.5]),
+                     ("sum", [5.0, 7.0, 15.0, 1.0, 5.0])]:
+        out = (running_agg(_ds(df), key="k", order=["t"], value="v", how=how,
+                           out_name="r", num_partitions=2)
+               .to_pandas().sort_values(["k", "t"]).reset_index(drop=True))
+        assert out["r"].tolist() == exp, how
+    with pytest.raises(ValueError):
+        running_agg(_ds(df), key="k", order=["t"], value="v", how="median")
+
+
+def test_grouped_stats_match_numpy(ray_session, tmp_path):
+    """q28's mergeable moment partials == numpy's direct two-pass stats
+    on a small synthetic lineitem with a known correlation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spardaqus_ray.pipelines.stats import q28_grouped_stats
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    flag = np.where(rng.random(n) < 0.5, "A", "B")
+    x = rng.normal(25, 5, n)
+    y = 1000.0 * x + rng.normal(30000, 2000, n)   # strong correlation
+    pq.write_table(pa.table({"l_returnflag": flag, "l_quantity": x,
+                             "l_extendedprice": y}),
+                   tmp_path / "lineitem.parquet")
+    out = q28_grouped_stats(str(tmp_path)).set_index("l_returnflag")
+    for f in ("A", "B"):
+        m = flag == f
+        assert out.loc[f, "n_rows"] == m.sum()
+        assert out.loc[f, "avg_price"] == pytest.approx(y[m].mean(), abs=1e-3)
+        assert out.loc[f, "std_price"] == pytest.approx(
+            np.std(y[m], ddof=1), abs=1e-3)
+        assert out.loc[f, "qty_price_corr"] == pytest.approx(
+            np.corrcoef(x[m], y[m])[0, 1], abs=1e-3)
+
+
+def test_rollup_levels_consistent(ray_session):
+    """Rollup super-aggregates must equal the sums of their finest rows."""
+    from spardaqus_ray.pipelines.stats import q29_rollup_orders
+    from tests.conftest import SF001
+
+    out = q29_rollup_orders(SF001)
+    fin = out[(out["yr"] != -1) & (out["priority"] != "ALL")]
+    lvl1 = out[(out["yr"] != -1) & (out["priority"] == "ALL")]
+    total = out[(out["yr"] == -1)]
+    assert len(total) == 1
+    assert total["n_orders"].iloc[0] == fin["n_orders"].sum()
+    assert total["revenue"].iloc[0] == pytest.approx(
+        fin["revenue"].sum(), abs=0.05)
+    per_year = fin.groupby("yr")["n_orders"].sum()
+    for _, r in lvl1.iterrows():
+        assert r["n_orders"] == per_year[r["yr"]]
+
+
+def test_set_op_semantics(ray_session):
+    from spardaqus_ray.pipelines.relational import _set_op
+
+    left = pd.DataFrame({"k": [1, 1, 2, 3, 5]})
+    right = pd.DataFrame({"k": [2, 2, 3, 4]})
+    inter = _set_op(_ds(left), _ds(right), "k", "k", "intersect", "key")
+    exc = _set_op(_ds(left), _ds(right), "k", "k", "except", "key")
+    assert inter["key"].tolist() == [2, 3]      # distinct semantics
+    assert exc["key"].tolist() == [1, 5]
+
+
+def test_tfidf_prefers_source_specific_tokens(ray_session, tmp_path):
+    """A token appearing in every source gets idf=ln(1)=0; a
+    source-exclusive token dominates that source's top list."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spardaqus_ray.pipelines.textops import tfidf_top_terms
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "source": ["s1", "s1", "s2", "s2"],
+        "text": ["common alpha alpha", "common alpha",
+                 "common beta", "common beta beta"],
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    out = tfidf_top_terms(str(tmp_path), k=2)
+    top1 = out[(out["source"] == "s1") & (out["rn"] == 1)]["token"].iloc[0]
+    top2 = out[(out["source"] == "s2") & (out["rn"] == 1)]["token"].iloc[0]
+    assert top1 == "alpha" and top2 == "beta"
+    # 'common' is in both sources -> idf 0 -> tfidf 0
+    common = out[out["token"] == "common"]
+    assert (common["tfidf"] == 0.0).all()

@@ -82,6 +82,25 @@ def test_lag_value_offsets_and_nulls(ray_session):
     assert all(np.isnan(x) for x in [p2[3], p2[4], p2[5]])
 
 
+def test_ntile_sql_semantics(ray_session):
+    """First (count % n) tiles get the extra row; count < n gives each
+    row its own tile."""
+    from spardaqus_ray.pipelines.windows import ntile
+
+    df = pd.DataFrame({
+        "k": ["a"] * 7 + ["b"] * 2,
+        "v": [70, 60, 50, 40, 30, 20, 10, 5, 4],
+        "id": range(9),
+    })
+    out = (ntile(_ds(df), key="k", order=["v"], n=3, descending=[True],
+                 tiebreak=["id"], out_name="t", num_partitions=2)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert out[out["k"] == "a"]["t"].tolist() == [1, 1, 1, 2, 2, 3, 3]
+    assert out[out["k"] == "b"]["t"].tolist() == [1, 2]
+    with pytest.raises(ValueError):
+        ntile(_ds(df), key="k", order=["v"], n=0)
+
+
 def _brute_range_count(df, radius):
     out = []
     for _, r in df.iterrows():
