@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q31_nations_intersect": relational.q31_nations_intersect,
         "q32_orders_without_lineitems": relational.q32_orders_without_lineitems,
         "q33_running_max_price": relational.q33_running_max_price,
+        "q36_order_percentile_in_customer": relational.q36_order_percentile_in_customer,
         # --- statistical / OLAP aggregates ---
         "q28_grouped_stats": stats.q28_grouped_stats,
         "q29_rollup_orders": stats.q29_rollup_orders,
@@ -152,4 +153,5 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": textops.TFIDF_SQL,
         "q34_cube_orders": stats.Q34_SQL,
         "q35_order_price_quartile": relational.Q35_SQL,
+        "q36_order_percentile_in_customer": relational.Q36_SQL,
     }

@@ -145,20 +145,64 @@ GROUP BY r_name
 # Q4/Q5: semi / anti join via broadcast key set (SURVEY Q4).
 # --------------------------------------------------------------------------
 
-def _custkeys_with_orders(sf_dir: str) -> pa.Array:
+# Broadcast the distinct-key set only while the driving table is small
+# on disk; above this cap the distinct keys could be too large for a
+# task closure, so the semi/anti join falls back to a distributed
+# join-based plan (same cap-and-fallback shape as G4 / _attach_segment).
+SEMI_BROADCAST_MAX_BYTES = 256 << 20
+
+
+def _custkeys_with_orders(sf_dir: str) -> pa.Array | None:
+    """Distinct o_custkey set for broadcast, or None above the cap
+    (callers then use the join-based plan)."""
+    if table_bytes(sf_dir, "orders") > SEMI_BROADCAST_MAX_BYTES:
+        return None
     ks = read_table(sf_dir, "orders", columns=["o_custkey"]).unique("o_custkey")
     return pa.array(sorted(ks), pa.int64())
 
 
-def q4_customers_with_orders(sf_dir: str) -> pd.DataFrame:
-    keys = _custkeys_with_orders(sf_dir)
+def _semi_anti_by_orders(sf_dir: str, anti: bool,
+                         out_count: str) -> pd.DataFrame:
+    """Semi (anti=False) / anti (anti=True) join of customer against the
+    orders key set, counted per segment. Broadcast key-set plan under
+    SEMI_BROADCAST_MAX_BYTES; distributed plan above it: distinct keys
+    via ONE groupby, then a hash (left outer for anti) join — no driver
+    pull at any size. Both plans pinned equivalent by pytest."""
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    out = (cust.map_batches(
-        lambda t: t.filter(pc.is_in(t["c_custkey"], value_set=keys)),
-        batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("c_mktsegment").aggregate(Count(alias_name="n_active"))
-        .to_pandas())
+    keys = _custkeys_with_orders(sf_dir)
+    if keys is not None:
+        def mask(t: pa.Table) -> pa.Table:
+            m = pc.is_in(t["c_custkey"], value_set=keys)
+            return t.filter(pc.invert(m) if anti else m)
+
+        filtered = cust.map_batches(mask, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    else:
+        dk = (read_table(sf_dir, "orders", columns=["o_custkey"])
+              .groupby("o_custkey").aggregate(Count(alias_name="_n")))
+        ensure_hash_shuffle(cust)
+        width = default_partitions(
+            size_bytes=table_bytes(sf_dir, "orders", "customer"))
+        joined = cust.join(dk, "left_outer", num_partitions=width,
+                           on=("c_custkey",), right_on=("o_custkey",))
+
+        def nullmask(t: pa.Table) -> pa.Table:
+            m = pc.is_valid(t["_n"])
+            return (t.filter(pc.invert(m) if anti else m)
+                    .select(["c_custkey", "c_mktsegment"]))
+
+        filtered = joined.map_batches(nullmask, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+    out = (filtered.groupby("c_mktsegment")
+           .aggregate(Count(alias_name=out_count)).to_pandas())
+    if out.empty:  # groupby on an empty dataset loses the schema
+        out = pd.DataFrame({"c_mktsegment": pd.Series([], dtype=str),
+                            out_count: pd.Series([], dtype="int64")})
     return out
+
+
+def q4_customers_with_orders(sf_dir: str) -> pd.DataFrame:
+    return _semi_anti_by_orders(sf_dir, anti=False, out_count="n_active")
 
 
 Q4_SQL = """
@@ -169,17 +213,7 @@ GROUP BY c_mktsegment
 
 
 def q5_customers_without_orders(sf_dir: str) -> pd.DataFrame:
-    keys = _custkeys_with_orders(sf_dir)
-    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    out = (cust.map_batches(
-        lambda t: t.filter(pc.invert(pc.is_in(t["c_custkey"], value_set=keys))),
-        batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("c_mktsegment").aggregate(Count(alias_name="n_inactive"))
-        .to_pandas())
-    if out.empty:  # groupby on an empty dataset loses the schema
-        out = pd.DataFrame({"c_mktsegment": pd.Series([], dtype=str),
-                            "n_inactive": pd.Series([], dtype="int64")})
-    return out
+    return _semi_anti_by_orders(sf_dir, anti=True, out_count="n_inactive")
 
 
 Q5_SQL = """
@@ -991,5 +1025,34 @@ Q35_SQL = """
 SELECT o_orderkey,
        NTILE(4) OVER (PARTITION BY o_custkey
            ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+FROM orders
+"""
+
+
+def q36_order_percentile_in_customer(sf_dir: str) -> pd.DataFrame:
+    """PERCENT_RANK + CUME_DIST windows (windows.ranked): each order's
+    price percentile position within its customer — segmented peer-run
+    arithmetic; both stats are one float64 division of identical
+    integers on each engine, so 4-dp rounding is bit-stable."""
+    from spardaqus_ray.pipelines.windows import ranked
+
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    out = (ranked(ds, key="o_custkey", order=["o_totalprice"],
+                  descending=[True], percent_rank="pr", cume_dist="cd",
+                  num_partitions=default_partitions(
+                      size_bytes=table_bytes(sf_dir, "orders")))
+           .select_columns(["o_orderkey", "pr", "cd"])
+           .to_pandas())
+    out = out.sort_values("o_orderkey").reset_index(drop=True)
+    return _r4(out, ["pr", "cd"])
+
+
+Q36_SQL = """
+SELECT o_orderkey,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC), 4) AS pr,
+       ROUND(CUME_DIST() OVER (PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC), 4) AS cd
 FROM orders
 """

@@ -314,6 +314,11 @@ def vocab_heavy_hitters(sf_dir: str, capacity: int = VOCAB_MG_CAPACITY,
 # pattern with the generic ranked() window operator.
 # --------------------------------------------------------------------------
 
+# df lookup broadcast cap: under this the token->df map ships once via
+# the object store (closure); above it the attach is a hash join.
+TFIDF_DF_BROADCAST_MAX_BYTES = 64 << 20
+
+
 def tfidf_top_terms(sf_dir: str, k: int = 5) -> pd.DataFrame:
     """Top-k TF-IDF terms per source: tfidf = tf(source, token) *
     ln(n_sources / df(token)).
@@ -330,8 +335,7 @@ def tfidf_top_terms(sf_dir: str, k: int = 5) -> pd.DataFrame:
     import pyarrow.compute as pc
 
     from spardaqus_ray.pipelines.windows import ranked
-    from spardaqus_ray.util import (default_partitions, ensure_hash_shuffle,
-                                    table_bytes)
+    from spardaqus_ray.util import default_partitions, ensure_hash_shuffle
 
     ds = read_table(sf_dir, "documents", columns=["source", "text"])
     n_sources = read_table(sf_dir, "documents", columns=["source"]) \
@@ -350,23 +354,49 @@ def tfidf_top_terms(sf_dir: str, k: int = 5) -> pd.DataFrame:
              .rename("n").reset_index())
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    width = default_partitions(size_bytes=table_bytes(sf_dir, "documents"))
+    # materialize the tf AGGREGATE (vocab x sources rows — far smaller
+    # than the corpus at any scale): it feeds BOTH the df aggregate and
+    # the scoring pass, and without pinning it the whole tokenize+groupby
+    # upstream would execute twice (measured 2x wall at sf0.1)
     tf = (ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-          .groupby(["source", "token"]).aggregate(Sum("n", alias_name="tf")))
+          .groupby(["source", "token"]).aggregate(Sum("n", alias_name="tf"))
+          .materialize())
+    # size downstream exchanges from the MATERIALIZED aggregate's actual
+    # bytes, not the raw corpus — tf is orders of magnitude smaller
+    width = default_partitions(size_bytes=tf.size_bytes())
     dfreq = tf.groupby("token").aggregate(Count(alias_name="df"))
-    ensure_hash_shuffle(tf)
-    joined = tf.join(dfreq, "inner", num_partitions=width,
-                     on=("token",), right_on=("token",))
+    if dfreq.size_bytes() <= TFIDF_DF_BROADCAST_MAX_BYTES:
+        # vocab-sized lookup under the cap: broadcast df into the scoring
+        # map (index_in/take — no join shuffle); above it, hash join
+        dft = dfreq.to_pandas()
+        dft_tokens = pa.array(dft["token"], pa.string())
+        dft_counts = dft["df"].to_numpy()
 
-    def score(t: pa.Table) -> pa.Table:
-        idf = np.log(float(n_sources)
-                     / t["df"].combine_chunks().to_numpy(zero_copy_only=False))
-        tfv = t["tf"].combine_chunks().to_numpy(zero_copy_only=False)
-        return pa.table({"source": t["source"], "token": t["token"],
-                         "tfidf": pa.array(tfv * idf)})
+        def score(t: pa.Table) -> pa.Table:
+            pos = pc.index_in(t["token"].combine_chunks(),
+                              value_set=dft_tokens)                 .to_numpy(zero_copy_only=False)
+            idf = np.log(float(n_sources) / dft_counts[pos])
+            tfv = t["tf"].combine_chunks().to_numpy(zero_copy_only=False)
+            return pa.table({"source": t["source"], "token": t["token"],
+                             "tfidf": pa.array(tfv * idf)})
 
-    scored = joined.map_batches(score, batch_format="pyarrow",
+        scored = tf.map_batches(score, batch_format="pyarrow",
                                 zero_copy_batch=True)
+    else:
+        ensure_hash_shuffle(tf)
+        joined = tf.join(dfreq, "inner", num_partitions=width,
+                         on=("token",), right_on=("token",))
+
+        def score(t: pa.Table) -> pa.Table:
+            idf = np.log(float(n_sources)
+                         / t["df"].combine_chunks().to_numpy(
+                             zero_copy_only=False))
+            tfv = t["tf"].combine_chunks().to_numpy(zero_copy_only=False)
+            return pa.table({"source": t["source"], "token": t["token"],
+                             "tfidf": pa.array(tfv * idf)})
+
+        scored = joined.map_batches(score, batch_format="pyarrow",
+                                    zero_copy_batch=True)
     top = (ranked(scored, key="source", order=["tfidf"], descending=[True],
                   tiebreak=["token"], row_number="rn", num_partitions=width)
            .filter(expr=f"rn <= {k}")

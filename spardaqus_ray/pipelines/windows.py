@@ -225,21 +225,26 @@ def ranked(ds: ray.data.Dataset, key: str, order: list[str],
            descending: list[bool] | None = None,
            tiebreak: list[str] | None = None,
            row_number: str | None = None, rank: str | None = None,
-           dense_rank: str | None = None,
+           dense_rank: str | None = None, percent_rank: str | None = None,
+           cume_dist: str | None = None,
            num_partitions: int | None = None) -> ray.data.Dataset:
-    """Per-row ROW_NUMBER / RANK / DENSE_RANK OVER (PARTITION BY key
-    ORDER BY order) — same physical plan as the rest of this library:
-    ONE hash repartition on the key, whole-block lexsort, segmented
-    scans (no per-group dispatch).
+    """Per-row ROW_NUMBER / RANK / DENSE_RANK / PERCENT_RANK / CUME_DIST
+    OVER (PARTITION BY key ORDER BY order) — same physical plan as the
+    rest of this library: ONE hash repartition on the key, whole-block
+    lexsort, segmented scans (no per-group dispatch).
 
-    SQL peer semantics: rank/dense_rank peers are rows equal on ALL
-    `order` columns; `tiebreak` columns extend the sort (making
-    row_number deterministic under order-ties) WITHOUT affecting peer
-    groups — exactly ROW_NUMBER() OVER (ORDER BY order..., tiebreak...)
-    next to RANK() OVER (ORDER BY order...).
-    Output = input columns + the requested rank columns (int64)."""
-    if not (row_number or rank or dense_rank):
-        raise ValueError("request at least one of row_number/rank/dense_rank")
+    SQL peer semantics: rank/dense_rank/percent_rank/cume_dist peers are
+    rows equal on ALL `order` columns; `tiebreak` columns extend the
+    sort (making row_number deterministic under order-ties) WITHOUT
+    affecting peer groups — exactly ROW_NUMBER() OVER (ORDER BY
+    order..., tiebreak...) next to RANK() OVER (ORDER BY order...).
+    percent_rank = (rank-1)/(count-1) (0 for 1-row partitions);
+    cume_dist = rows up to the END of the peer group / count. Both are
+    one float64 division of identical integers on each engine, so
+    rounded comparisons are bit-stable.
+    Output = input columns + the requested rank columns."""
+    if not (row_number or rank or dense_rank or percent_rank or cume_dist):
+        raise ValueError("request at least one rank output")
     ds = _keyed(ds, key, num_partitions)
     tiebreak = tiebreak or []
 
@@ -248,6 +253,9 @@ def ranked(ds: ray.data.Dataset, key: str, order: list[str],
             for name in (row_number, rank, dense_rank):
                 if name:
                     t = t.append_column(name, pa.array([], pa.int64()))
+            for name in (percent_rank, cume_dist):
+                if name:
+                    t = t.append_column(name, pa.array([], pa.float64()))
             return t
         k = _np(t[key])
         ords = _order_arrays(t, order, descending)
@@ -267,12 +275,29 @@ def ranked(ds: ray.data.Dataset, key: str, order: list[str],
         seg_start = np.maximum.accumulate(np.where(seg_first, pos, -1))
         if row_number:
             t = t.append_column(row_number, pa.array(pos - seg_start + 1))
-        if rank:
+        if rank or percent_rank:
             peer_start = np.maximum.accumulate(np.where(peer_first, pos, -1))
-            t = t.append_column(rank, pa.array(peer_start - seg_start + 1))
+            rnk = peer_start - seg_start + 1
+            if rank:
+                t = t.append_column(rank, pa.array(rnk))
         if dense_rank:
             d = np.cumsum(peer_first)
             t = t.append_column(dense_rank, pa.array(d - d[seg_start] + 1))
+        if percent_rank or cume_dist:
+            starts = np.flatnonzero(seg_first)
+            sizes = np.diff(np.append(starts, n))
+            seg_id = np.cumsum(seg_first) - 1
+            cnt = sizes[seg_id]
+            if percent_rank:
+                pr = np.where(cnt > 1, (rnk - 1) / np.maximum(cnt - 1, 1), 0.0)
+                t = t.append_column(percent_rank, pa.array(pr))
+            if cume_dist:
+                # end of each peer run: position before the next peer start
+                run_id = np.cumsum(peer_first) - 1
+                run_starts = np.flatnonzero(peer_first)
+                run_ends = np.append(run_starts[1:], n) - 1
+                cd = (run_ends[run_id] - seg_start + 1) / cnt
+                t = t.append_column(cume_dist, pa.array(cd))
         return t
 
     return ds.map_batches(block, batch_format="pyarrow",

@@ -112,3 +112,32 @@ def test_tfidf_prefers_source_specific_tokens(ray_session, tmp_path):
     # 'common' is in both sources -> idf 0 -> tfidf 0
     common = out[out["token"] == "common"]
     assert (common["tfidf"] == 0.0).all()
+
+
+def test_semi_anti_plans_equivalent(ray_session, monkeypatch):
+    """q4/q5's broadcast key-set plan == the join-based fallback plan
+    (forced by dropping the byte cap to 0)."""
+    import spardaqus_ray.pipelines.relational as R
+    from tests.conftest import SF001
+
+    b4, b5 = R.q4_customers_with_orders(SF001), R.q5_customers_without_orders(SF001)
+    monkeypatch.setattr(R, "SEMI_BROADCAST_MAX_BYTES", 0)
+    j4, j5 = R.q4_customers_with_orders(SF001), R.q5_customers_without_orders(SF001)
+    pd.testing.assert_frame_equal(
+        b4.sort_values("c_mktsegment").reset_index(drop=True),
+        j4.sort_values("c_mktsegment").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        b5.sort_values("c_mktsegment").reset_index(drop=True),
+        j5.sort_values("c_mktsegment").reset_index(drop=True))
+
+
+def test_tfidf_plans_equivalent(ray_session, monkeypatch):
+    """tfidf's broadcast-df plan == the hash-join fallback (forced by
+    dropping the df byte cap to 0)."""
+    import spardaqus_ray.pipelines.textops as T
+    from tests.conftest import SF001
+
+    a = T.tfidf_top_terms(SF001)
+    monkeypatch.setattr(T, "TFIDF_DF_BROADCAST_MAX_BYTES", 0)
+    b = T.tfidf_top_terms(SF001)
+    pd.testing.assert_frame_equal(a, b)
