@@ -29,9 +29,9 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from spardaqus_ray.pipelines import (ann, cluster, dedup, multimodal,
-                                         relational, repo_stats, stats,
-                                         textops)
+    from spardaqus_ray.pipelines import (ann, cluster, dedup, fuzzy,
+                                         multimodal, relational, repo_stats,
+                                         stats, textops)
 
     return {
         # --- relational layer (SURVEY.md §2.8 Q1-Q10) ---
@@ -71,6 +71,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q30_pivot_priority_revenue": stats.q30_pivot_priority_revenue,
         "q34_cube_orders": stats.q34_cube_orders,
         "q35_order_price_quartile": relational.q35_order_price_quartile,
+        "q37_mode_priority_by_status": stats.q37_mode_priority_by_status,
+        "q38_top_order_by_status": stats.q38_top_order_by_status,
+        "q39_priority_concat_per_customer": stats.q39_priority_concat_per_customer,
         "doc_length_histogram": stats.doc_length_histogram,
         # --- dedup family (exact is SQL-checkable; rest rows-only) ---
         "dedup_exact_docs": dedup.exact_dedup_docs,
@@ -93,10 +96,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores_docs": textops.quality_scores_docs,
         "vocab_top_tokens": textops.vocab_top_tokens,
         "vocab_heavy_hitters": textops.vocab_heavy_hitters,
+        "vocab_bigrams": textops.vocab_bigrams,
+        "doc_shingle_dups": textops.doc_shingle_dups,
         "tfidf_top_terms": textops.tfidf_top_terms,
+        "fuzzy_part_pairs": fuzzy.fuzzy_part_pairs,
         # --- repo-level aggregates / sampling / sketches ---
         "repo_stats_docs": repo_stats.repo_stats_docs,
         "qa_sample_dropped": repo_stats.qa_sample_dropped,
+        "sample_docs_hash": repo_stats.sample_docs_hash,
         "approx_distinct_parts": repo_stats.approx_distinct_parts,
         "approx_median_price": repo_stats.approx_median_price,
         "q17_distinct_parts_exact": relational.q17_distinct_parts_exact,
@@ -107,7 +114,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from spardaqus_ray.pipelines import ann, dedup, relational, stats, textops
+    from spardaqus_ray.pipelines import (ann, dedup, fuzzy, relational,
+                                         repo_stats, stats, textops)
 
     return {
         "q1_lineitem_agg": relational.Q1_SQL,
@@ -154,4 +162,11 @@ def oracle_sql() -> dict[str, str]:
         "q34_cube_orders": stats.Q34_SQL,
         "q35_order_price_quartile": relational.Q35_SQL,
         "q36_order_percentile_in_customer": relational.Q36_SQL,
+        "q37_mode_priority_by_status": stats.Q37_SQL,
+        "q38_top_order_by_status": stats.Q38_SQL,
+        "q39_priority_concat_per_customer": stats.Q39_SQL,
+        "vocab_bigrams": textops.BIGRAM_SQL,
+        "doc_shingle_dups": textops.SHINGLE_DUP_SQL,
+        "sample_docs_hash": repo_stats.SAMPLE_HASH_SQL,
+        "fuzzy_part_pairs": fuzzy.FUZZY_PART_SQL,
     }

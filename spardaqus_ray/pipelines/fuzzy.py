@@ -1,0 +1,128 @@
+"""Blocked fuzzy similarity join (bounded edit distance).
+
+The string analogue of the dedup family's LSH banding: a cheap BLOCKING
+key (here p_brand) bounds each candidate group, every group's pairs are
+verified with an exact vectorized Levenshtein kernel, and only
+qualifying pairs leave the workers. Oracle: DuckDB's levenshtein() over
+the same blocked self-join (FUZZY_PART_SQL).
+
+Scale shape: the groupby ships (key, name) projections only; pair
+verification is quadratic WITHIN a block group, so the blocking key must
+bound group size (document the key choice; salt or sub-block a hot key
+upstream exactly as the LSH buckets cap theirs with BUCKET_CAP). The DP
+kernel is O(L) numpy passes over all pairs at once — the classic
+"min-plus prefix" trick turns the in-row dependency into one
+minimum.accumulate per DP row, so no per-pair Python runs anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from spardaqus_ray.sources.code_parquet import read_table
+from spardaqus_ray.util import ensure_hash_shuffle
+
+# verification memory is bounded: at most this many candidate pairs are
+# in flight per DP sweep (chunked triu enumeration)
+PAIR_CHUNK = 1 << 16
+
+
+def _levenshtein_pairs(enc: np.ndarray, lens: np.ndarray,
+                       ii: np.ndarray, jj: np.ndarray) -> np.ndarray:
+    """Exact edit distances for pairs (ii[k], jj[k]) of the encoded
+    string matrix `enc` (n x L uint8, NUL-padded). Vectorized over all
+    pairs: L outer DP rows, each one np.minimum.accumulate — the
+    standard dp[i][j] = min(dp[i-1][j]+1, dp[i][j-1]+1, dp[i-1][j-1]+sub)
+    where the dp[i][j-1] chain is a running min of (value - j)."""
+    A, B = enc[ii], enc[jj]
+    la, lb = lens[ii], lens[jj]
+    P, L = A.shape
+    cols = np.arange(L + 1, dtype=np.int32)
+    prev = np.broadcast_to(cols, (P, L + 1)).copy()
+    res = np.where(la == 0, lb, 0).astype(np.int32)
+    for i in range(1, L + 1):
+        sub = (A[:, i - 1:i] != B).astype(np.int32)  # P x L
+        tmp = np.minimum(prev[:, 1:] + 1, prev[:, :-1] + sub)
+        tmp = np.concatenate(
+            [np.full((P, 1), i, np.int32), tmp], axis=1)
+        # dp[i][j] = min over k<=j of tmp[k] + (j-k): subtract the column
+        # index, running min, add it back
+        cur = np.minimum.accumulate(tmp - cols, axis=1) + cols
+        hit = la == i
+        if hit.any():
+            res[hit] = cur[hit, lb[hit]]
+        prev = cur
+    return res
+
+
+def _encode(names: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """(n x L uint8 NUL-padded char matrix, lengths). ASCII fixture
+    names make byte == char; non-ASCII input would need a UTF-32 view
+    here for char-level distances."""
+    arr = np.asarray(names, dtype="S")
+    L = max(1, arr.dtype.itemsize)
+    enc = arr.view(np.uint8).reshape(len(arr), L)
+    lens = np.count_nonzero(enc, axis=1).astype(np.int32)
+    return enc, lens
+
+
+def fuzzy_part_pairs(sf_dir: str, max_dist: int = 2) -> pd.DataFrame:
+    """All within-brand part-name pairs with edit distance <= max_dist
+    (key_a < key_b), plus the exact distance. One brand-keyed exchange;
+    every group verifies its pairs with the vectorized DP kernel in
+    PAIR_CHUNK slices; only qualifying pairs reach the driver."""
+    ds = read_table(sf_dir, "part",
+                    columns=["p_partkey", "p_name", "p_brand"])
+    ensure_hash_shuffle(ds)
+
+    def brand_pairs(t: pa.Table) -> pd.DataFrame:
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        keys = t["p_partkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        keys = keys[order]
+        names = t["p_name"].combine_chunks().take(
+            pa.array(order)).to_numpy(zero_copy_only=False)
+        enc, lens = _encode(names)
+        n = len(keys)
+        ii, jj = np.triu_indices(n, 1)
+        for s in range(0, len(ii), PAIR_CHUNK):
+            ic, jc = ii[s:s + PAIR_CHUNK], jj[s:s + PAIR_CHUNK]
+            # length prefilter: |la-lb| is a lower bound on the distance
+            cand = np.abs(lens[ic] - lens[jc]) <= max_dist
+            ic, jc = ic[cand], jc[cand]
+            if len(ic) == 0:
+                continue
+            d = _levenshtein_pairs(enc, lens, ic, jc)
+            hit = d <= max_dist
+            out_a.append(keys[ic[hit]])
+            out_b.append(keys[jc[hit]])
+            out_d.append(d[hit])
+        if not out_a:
+            return pd.DataFrame({"p_partkey_a": pd.Series([], dtype="int64"),
+                                 "p_partkey_b": pd.Series([], dtype="int64"),
+                                 "lev": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            "p_partkey_a": np.concatenate(out_a),
+            "p_partkey_b": np.concatenate(out_b),
+            "lev": np.concatenate(out_d).astype(np.int64),
+        })
+
+    pairs = (ds.groupby("p_brand")
+             .map_groups(brand_pairs, batch_format="pyarrow"))
+    out = pairs.to_pandas()
+    return (out.sort_values(["p_partkey_a", "p_partkey_b"])
+            .reset_index(drop=True))
+
+
+FUZZY_PART_SQL = """
+SELECT a.p_partkey AS p_partkey_a, b.p_partkey AS p_partkey_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+ORDER BY p_partkey_a, p_partkey_b
+"""

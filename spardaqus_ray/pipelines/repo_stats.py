@@ -242,3 +242,45 @@ def approx_distinct_parts(sf_dir: str) -> pd.DataFrame:
         [{"l_returnflag": f, "approx_distinct_parts": round(kmv_estimate(m), 1)}
          for f, m in sorted(merged.items())])
     return out
+
+# hex threshold "20" = keep when sha256's first byte < 0x20 (a 32/256 =
+# 12.5% expected rate); fixed-width lowercase hex makes the string
+# comparison in the SQL oracle identical to the byte comparison here
+SAMPLE_HASH_HEX_LT = "20"
+
+
+def sample_docs_hash(sf_dir: str,
+                     hex_lt: str = SAMPLE_HASH_HEX_LT) -> pd.DataFrame:
+    """Deterministic engine-independent row sample: keep documents whose
+    sha256(decimal doc_id) digest starts below `hex_lt`. Unlike rand()
+    sampling this is reproducible across engines, runs, partitionings
+    and resumes — the DuckDB oracle recomputes the same digests and
+    selects the exact same rows. Embarrassingly parallel (pure per-row
+    filter inside map_batches, no exchange); sha256 here is the same
+    C-speed per-slice hashlib kernel as the M4 content stamp."""
+    import hashlib
+
+    thresh = int(hex_lt, 16)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def block(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        # decimal-encode vectorized ('S' items strip trailing NULs, and
+        # decimal digits never contain NUL) — only the hash call itself
+        # is per-row, same contract as functions/hashing.sha256 stamps
+        dec = np.char.mod("%d", ids).astype("S20").tolist()
+        keep = np.fromiter((hashlib.sha256(b).digest()[0] < thresh
+                            for b in dec), bool, count=len(dec))
+        return t.filter(pa.array(keep))
+
+    out = (ds.map_batches(block, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SAMPLE_HASH_SQL = f"""
+SELECT doc_id, lang FROM documents
+WHERE substring(sha256(CAST(doc_id AS VARCHAR)), 1, 2) < '{SAMPLE_HASH_HEX_LT}'
+ORDER BY doc_id
+"""

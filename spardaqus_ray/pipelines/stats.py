@@ -246,3 +246,141 @@ SELECT CAST(length(text) // 50 * 50 AS BIGINT) AS bucket,
 FROM documents WHERE text IS NOT NULL
 GROUP BY bucket ORDER BY bucket
 """
+
+def q37_mode_priority_by_status(sf_dir: str) -> pd.DataFrame:
+    """Grouped MODE: the most frequent o_orderpriority per o_orderstatus
+    (ties -> smallest priority string). Partial-aggregation shape: every
+    block collapses to <= statuses x priorities count rows inside
+    map_batches, ONE small grouped Sum merges them, and the argmax runs
+    on the driver over that tiny (|statuses| x |priorities|) table — the
+    exchange never carries per-row data, so the plan is unchanged at
+    100 TB (mode cardinality, not input size, bounds every transfer)."""
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderstatus", "o_orderpriority"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o_orderstatus": t["o_orderstatus"].combine_chunks().to_numpy(
+                zero_copy_only=False),
+            "o_orderpriority": t["o_orderpriority"].combine_chunks().to_numpy(
+                zero_copy_only=False),
+        })
+        g = (df.groupby(["o_orderstatus", "o_orderpriority"], sort=False)
+             .size().rename("n").reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["o_orderstatus", "o_orderpriority"])
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    agg = agg.sort_values(["o_orderstatus", "n", "o_orderpriority"],
+                          ascending=[True, False, True])
+    out = agg.groupby("o_orderstatus", sort=True).head(1).reset_index(drop=True)
+    out = out.rename(columns={"o_orderpriority": "mode_priority",
+                              "n": "n_occurrences"})
+    out["n_occurrences"] = out["n_occurrences"].astype("int64")
+    return out[["o_orderstatus", "mode_priority", "n_occurrences"]]
+
+
+Q37_SQL = """
+SELECT o_orderstatus, o_orderpriority AS mode_priority,
+       CAST(n AS BIGINT) AS n_occurrences
+FROM (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+) WHERE rn = 1
+ORDER BY o_orderstatus
+"""
+
+
+def q38_top_order_by_status(sf_dir: str) -> pd.DataFrame:
+    """Grouped ARG_MAX: per o_orderstatus, the o_orderkey holding the
+    maximum o_totalprice (ties -> smallest key). Mergeable top-1
+    partials: each block keeps one candidate row per status (cython
+    sort + groupby-head, no Python loop), the grouped reduce re-applies
+    the same argmax over <= n_blocks x |statuses| candidates — transfer
+    bounded by group cardinality, never input size."""
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderstatus", "o_orderkey", "o_totalprice"])
+
+    def best_rows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_totalprice", "o_orderkey"],
+                            ascending=[False, True])
+        return df.groupby("o_orderstatus", sort=False).head(1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(best_rows(t.to_pandas()),
+                                    preserve_index=False)
+
+    from spardaqus_ray.util import ensure_hash_shuffle
+    cand = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    ensure_hash_shuffle(cand)
+    out = (cand.groupby("o_orderstatus")
+           .map_groups(best_rows, batch_format="pandas")
+           .to_pandas())
+    out = out.rename(columns={"o_orderkey": "best_orderkey",
+                              "o_totalprice": "best_totalprice"})
+    return (out[["o_orderstatus", "best_orderkey", "best_totalprice"]]
+            .sort_values("o_orderstatus").reset_index(drop=True))
+
+
+Q38_SQL = """
+SELECT o_orderstatus, o_orderkey AS best_orderkey,
+       o_totalprice AS best_totalprice
+FROM (
+  SELECT o_orderstatus, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn = 1
+ORDER BY o_orderstatus
+"""
+
+
+def q39_priority_concat_per_customer(sf_dir: str) -> pd.DataFrame:
+    """Ordered per-group string concatenation (STRING_AGG ... ORDER BY):
+    ONE key-hash repartition co-locates each customer, a whole-block
+    lexsort orders (custkey, orderkey), then a single Arrow ListArray +
+    binary_join emits every customer's joined string — no per-group
+    Python dispatch (windows.py physical plan; same partitioning
+    assumption: one key's rows fit in one block)."""
+    from spardaqus_ray.pipelines.windows import _keyed, _np, _segments
+
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_custkey", "o_orderkey", "o_orderpriority"])
+    ds = _keyed(ds, "o_custkey", None)
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"o_custkey": pa.array([], pa.int64()),
+                             "priorities": pa.array([], pa.string())})
+        k = _np(t["o_custkey"])
+        okey = _np(t["o_orderkey"])
+        idx = np.lexsort((okey, k))
+        k = k[idx]
+        pri = t["o_orderpriority"].combine_chunks().take(pa.array(idx))
+        starts = _segments(k)
+        # int32 offsets bound the list to one block's rows — always true
+        # here (a block is far under 2^31 rows)
+        offsets = np.append(starts, len(k)).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offsets),
+                                         pri.cast(pa.string()))
+        return pa.table({"o_custkey": pa.array(k[starts]),
+                         "priorities": pc.binary_join(lists, ",")})
+
+    out = (ds.map_batches(block, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+           .to_pandas())
+    out["priorities"] = out["priorities"].astype(str)
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+Q39_SQL = """
+SELECT o_custkey,
+       STRING_AGG(o_orderpriority, ',' ORDER BY o_orderkey) AS priorities
+FROM orders GROUP BY o_custkey ORDER BY o_custkey
+"""

@@ -422,3 +422,139 @@ SELECT source, token, ROUND(tfidf, 4) AS tfidf, rn FROM (
   FROM tf JOIN dfreq USING (token))
 WHERE rn <= 5
 """
+
+def _block_token_positions(t: pa.Table) -> tuple[pa.Array, np.ndarray]:
+    """Per-block flat token array + row-span offsets: ONE Arrow
+    lower+split chain. Empty tokens are KEPT (adjacency is positional)
+    so n-gram windows line up exactly with the SQL oracle's list
+    slices over string_split(lower(text), ' ')."""
+    split = pa.compute.split_pattern(
+        pa.compute.utf8_lower(t["text"]), " ").combine_chunks()
+    return split.values, np.asarray(split.offsets).astype(np.int64)
+
+
+def vocab_bigrams(sf_dir: str, k: int = 40,
+                  table: str = "documents") -> pd.DataFrame:
+    """EXACT corpus top-k bigram counts (adjacent token pairs within a
+    document): the n-gram LM / phrase-mining building block. Per block:
+    ONE Arrow split chain, two shifted takes + binary_join build every
+    bigram, then a value_counts partial — the shuffle moves one row per
+    DISTINCT bigram per block, never per occurrence. Ties broken by
+    bigram ASC on both sides (BIGRAM_SQL)."""
+    ds = read_table(sf_dir, table, columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"bigram": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        flat, offs = _block_token_positions(t)
+        n = len(flat)
+        if n < 2:
+            return empty
+        # valid bigram starts = every token except each row's last
+        valid = np.ones(n, bool)
+        nonempty = offs[1:] > offs[:-1]
+        valid[offs[1:][nonempty] - 1] = False
+        starts = np.flatnonzero(valid)
+        if len(starts) == 0:
+            return empty
+        a = flat.take(pa.array(starts))
+        b = flat.take(pa.array(starts + 1))
+        big = pa.compute.binary_join_element_wise(a, b, " ")
+        keep = pa.compute.and_(pa.compute.not_equal(a, ""),
+                               pa.compute.not_equal(b, ""))
+        vc = big.filter(keep).value_counts()
+        return pa.table({"bigram": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("bigram").aggregate(Sum("n", alias_name="n")))
+    out = (agg.sort(key=["n", "bigram"], descending=[True, False])
+           .limit(k).to_pandas())
+    out["n"] = out["n"].astype("int64")
+    return out[["bigram", "n"]].reset_index(drop=True)
+
+
+BIGRAM_SQL = """
+WITH t AS (SELECT string_split(lower(text), ' ') AS l FROM documents),
+b AS (SELECT unnest(list_zip(l[1:len(l)-1], l[2:])) AS p FROM t)
+SELECT p[1] || ' ' || p[2] AS bigram, CAST(COUNT(*) AS BIGINT) AS n
+FROM b WHERE p[1] <> '' AND p[2] <> ''
+GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 40
+"""
+
+
+def doc_shingle_dups(sf_dir: str, shingle: int = 5, k: int = 40,
+                     table: str = "documents") -> pd.DataFrame:
+    """Cross-document duplicated word-shingle miner (the exact
+    ground-truth companion to MinHash near-dup detection): the top-k
+    5-token shingles occurring more than once in the corpus, with
+    distinct-document and total occurrence counts. Two-level mergeable
+    plan: explode shingles vectorized (shifted takes + binary_join),
+    pre-aggregate (shingle, doc) inside the block, groupby collapses
+    (shingle, doc) globally, a second partial+groupby turns row counts
+    into exact COUNT(DISTINCT doc) — no stage ships raw occurrences
+    past its block, and the driver sees k rows."""
+    ds = read_table(sf_dir, table, columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        empty = pa.table({"shingle": pa.array([], pa.string()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        flat, offs = _block_token_positions(t)
+        n = len(flat)
+        if n < shingle:
+            return empty
+        row_id = np.repeat(np.arange(t.num_rows), np.diff(offs))
+        idx = np.arange(n)
+        row_end = offs[1:][row_id]
+        starts = np.flatnonzero(idx + (shingle - 1) < row_end)
+        if len(starts) == 0:
+            return empty
+        cols = [flat.take(pa.array(starts + j)) for j in range(shingle)]
+        sh = pa.compute.binary_join_element_wise(*cols, " ")
+        doc = t["doc_id"].combine_chunks().take(pa.array(row_id[starts]))
+        g = (pd.DataFrame({"shingle": sh.to_numpy(zero_copy_only=False),
+                           "doc_id": doc.to_numpy(zero_copy_only=False)})
+             .groupby(["shingle", "doc_id"], sort=False)
+             .size().rename("n").reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_doc = (ds.map_batches(explode, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .groupby(["shingle", "doc_id"])
+               .aggregate(Sum("n", alias_name="n")))
+
+    def partial2(t: pa.Table) -> pa.Table:
+        g = (t.to_pandas().groupby("shingle", sort=False)
+             .agg(n_docs=("doc_id", "size"), n_total=("n", "sum"))
+             .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (per_doc.map_batches(partial2, batch_format="pyarrow")
+           .groupby("shingle")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_total", alias_name="n_total")))
+    dup = agg.map_batches(
+        lambda t: t.filter(pa.compute.greater(t["n_total"], 1)),
+        batch_format="pyarrow")
+    out = (dup.sort(key=["n_total", "shingle"], descending=[True, False])
+           .limit(k).to_pandas())
+    if "shingle" not in out.columns:  # empty result loses the schema
+        return pd.DataFrame({"shingle": pd.Series([], dtype=str),
+                             "n_docs": pd.Series([], dtype="int64"),
+                             "n_total": pd.Series([], dtype="int64")})
+    for c in ("n_docs", "n_total"):
+        out[c] = out[c].astype("int64")
+    return out[["shingle", "n_docs", "n_total"]].reset_index(drop=True)
+
+
+SHINGLE_DUP_SQL = """
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
+g AS (SELECT doc_id, list_aggregate(l[i:i+4], 'string_agg', ' ') AS shingle
+      FROM t, unnest(range(1, len(l)-3)) AS r(i))
+SELECT shingle, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_total
+FROM g GROUP BY shingle HAVING COUNT(*) > 1
+ORDER BY n_total DESC, shingle ASC LIMIT 40
+"""

@@ -1,0 +1,92 @@
+"""Unit gates for the round-3 similarity/text operators that the oracle
+conformance test can't pin by itself: the vectorized Levenshtein DP
+kernel (property-tested against a scalar reference), n-gram window edge
+cases, and the partitioning-assumption query's invariance."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from spardaqus_ray.pipelines.fuzzy import _encode, _levenshtein_pairs
+from tests.conftest import SF001, has_testdata
+
+
+def _lev_ref(a: str, b: str) -> int:
+    """Scalar textbook DP — the independent reference for the kernel."""
+    la, lb = len(a), len(b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[lb]
+
+
+def test_levenshtein_kernel_matches_reference():
+    rng = np.random.default_rng(7)
+    alpha = "abcde "
+    strs = ["".join(rng.choice(list(alpha), size=rng.integers(0, 12)))
+            for _ in range(40)]
+    # np.asarray('S') on empty-string-only input yields itemsize 0 —
+    # _encode guards with max(1, itemsize); include "" to cover it
+    strs[0] = ""
+    enc, lens = _encode(np.asarray(strs, dtype=object))
+    ii, jj = np.triu_indices(len(strs), 1)
+    got = _levenshtein_pairs(enc, lens, ii, jj)
+    for k in range(len(ii)):
+        exp = _lev_ref(strs[ii[k]], strs[jj[k]])
+        assert got[k] == exp, (strs[ii[k]], strs[jj[k]], got[k], exp)
+
+
+def test_bigram_and_shingle_edges(ray_session):
+    import ray.data
+
+    from spardaqus_ray.pipelines import textops
+
+    # docs exercising: empty text, single token, consecutive spaces
+    # (empty tokens keep POSITIONS but are filtered from bigram output),
+    # exact 5-token doc (one shingle), 4-token doc (no shingle)
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array(["", "solo", "a  b", "v w x y z", "p q r s"]),
+    })
+
+    def fake_read(sf_dir, table, columns=None):
+        return ray.data.from_arrow(t.select(columns))
+
+    import spardaqus_ray.pipelines.textops as m
+    orig = m.read_table
+    m.read_table = fake_read
+    try:
+        big = textops.vocab_bigrams("ignored")
+        sh = textops.doc_shingle_dups("ignored")
+    finally:
+        m.read_table = orig
+    # bigrams: "a  b" splits to [a, '', b] -> positional pairs (a,''),
+    # ('',b) are dropped; doc5 gives p q, q r, r s; doc4 v w..y z
+    assert set(big["bigram"]) == {"v w", "w x", "x y", "y z",
+                                  "p q", "q r", "r s"}
+    assert (big["n"] == 1).all()
+    # no shingle occurs twice -> dup miner returns empty
+    assert len(sh) == 0
+
+
+@pytest.mark.skipif(not has_testdata(), reason="no testdata")
+def test_q39_partition_invariance(ray_session):
+    from spardaqus_ray.pipelines import stats
+
+    a = stats.q39_priority_concat_per_customer(SF001)
+    # the keyed repartition width is cluster-derived; forcing the other
+    # code path through a different width must not change the result
+    import spardaqus_ray.util as u
+
+    orig = u.default_partitions
+    try:
+        u.default_partitions = lambda *a_, **k_: 3
+        b = stats.q39_priority_concat_per_customer(SF001)
+    finally:
+        u.default_partitions = orig
+    pd.testing.assert_frame_equal(a, b)
