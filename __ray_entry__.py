@@ -74,6 +74,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q37_mode_priority_by_status": stats.q37_mode_priority_by_status,
         "q38_top_order_by_status": stats.q38_top_order_by_status,
         "q39_priority_concat_per_customer": stats.q39_priority_concat_per_customer,
+        "q40_moving_avg_price": stats.q40_moving_avg_price,
+        "q41_distinct_custs_per_priority": stats.q41_distinct_custs_per_priority,
+        "q42_priority_entropy_by_status": stats.q42_priority_entropy_by_status,
+        "q43_price_zscore": stats.q43_price_zscore,
         "doc_length_histogram": stats.doc_length_histogram,
         # --- dedup family (exact is SQL-checkable; rest rows-only) ---
         "dedup_exact_docs": dedup.exact_dedup_docs,
@@ -104,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repo_stats_docs": repo_stats.repo_stats_docs,
         "qa_sample_dropped": repo_stats.qa_sample_dropped,
         "sample_docs_hash": repo_stats.sample_docs_hash,
+        "sample_docs_stratified": repo_stats.sample_docs_stratified,
         "approx_distinct_parts": repo_stats.approx_distinct_parts,
         "approx_median_price": repo_stats.approx_median_price,
         "q17_distinct_parts_exact": relational.q17_distinct_parts_exact,
@@ -165,6 +170,11 @@ def oracle_sql() -> dict[str, str]:
         "q37_mode_priority_by_status": stats.Q37_SQL,
         "q38_top_order_by_status": stats.Q38_SQL,
         "q39_priority_concat_per_customer": stats.Q39_SQL,
+        "q40_moving_avg_price": stats.Q40_SQL,
+        "q41_distinct_custs_per_priority": stats.Q41_SQL,
+        "q42_priority_entropy_by_status": stats.Q42_SQL,
+        "q43_price_zscore": stats.Q43_SQL,
+        "sample_docs_stratified": repo_stats.SAMPLE_STRAT_SQL,
         "vocab_bigrams": textops.BIGRAM_SQL,
         "doc_shingle_dups": textops.SHINGLE_DUP_SQL,
         "sample_docs_hash": repo_stats.SAMPLE_HASH_SQL,

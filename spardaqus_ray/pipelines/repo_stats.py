@@ -284,3 +284,48 @@ SELECT doc_id, lang FROM documents
 WHERE substring(sha256(CAST(doc_id AS VARCHAR)), 1, 2) < '{SAMPLE_HASH_HEX_LT}'
 ORDER BY doc_id
 """
+
+# per-stratum sampling rates (hex first-byte thresholds): downsample the
+# majority language 4x harder than the tail — the standard rebalancing
+# move in training-data curation. Shared by the Ray filter AND the SQL
+# oracle below so both select the exact same rows.
+STRATA_HEX_LT = {"en": "10"}       # 16/256 = 6.25 %
+STRATA_DEFAULT_HEX_LT = "40"       # 64/256 = 25 %
+
+
+def sample_docs_stratified(sf_dir: str) -> pd.DataFrame:
+    """Deterministic STRATIFIED sample: per-language keep rates via the
+    same sha256(doc_id) first-byte threshold as sample_docs_hash, with
+    the threshold chosen by the row's stratum. Embarrassingly parallel
+    (no exchange); reproducible across engines and partitionings, so
+    the DuckDB oracle reselects the identical row set."""
+    import hashlib
+
+    thr_default = int(STRATA_DEFAULT_HEX_LT, 16)
+    thr = {k: int(v, 16) for k, v in STRATA_HEX_LT.items()}
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def block(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        langs = t["lang"].combine_chunks().to_numpy(zero_copy_only=False)
+        dec = np.char.mod("%d", ids).astype("S20").tolist()
+        first = np.fromiter((hashlib.sha256(b).digest()[0] for b in dec),
+                            np.int64, count=len(dec))
+        lim = np.full(len(ids), thr_default, np.int64)
+        for lang, v in thr.items():  # |strata| iterations, not rows
+            lim[langs == lang] = v
+        return t.filter(pa.array(first < lim))
+
+    out = (ds.map_batches(block, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SAMPLE_STRAT_SQL = f"""
+SELECT doc_id, lang FROM documents
+WHERE substring(sha256(CAST(doc_id AS VARCHAR)), 1, 2)
+      < CASE WHEN lang = 'en' THEN '{STRATA_HEX_LT["en"]}'
+             ELSE '{STRATA_DEFAULT_HEX_LT}' END
+ORDER BY doc_id
+"""

@@ -384,3 +384,211 @@ SELECT o_custkey,
        STRING_AGG(o_orderpriority, ',' ORDER BY o_orderkey) AS priorities
 FROM orders GROUP BY o_custkey ORDER BY o_custkey
 """
+
+def q40_moving_avg_price(sf_dir: str, window: int = 3) -> pd.DataFrame:
+    """Bounded-lookback moving average per key (ROWS BETWEEN window-1
+    PRECEDING AND CURRENT ROW): per-customer 3-order moving average of
+    o_totalprice ordered by o_orderkey. Windows-library physical plan
+    (one keyed exchange + whole-block lexsort), then ONE segmented
+    cumsum-difference pass computes every window in the block — the
+    windowed scan never leaves its block and never loops per key."""
+    from spardaqus_ray.pipelines.windows import _keyed, _np, _segments
+
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    ds = _keyed(ds, "o_custkey", None)
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "moving_avg": pa.array([], pa.float64())})
+        k = _np(t["o_custkey"])
+        okey = _np(t["o_orderkey"])
+        price = _np(t["o_totalprice"]).astype(np.float64)
+        idx = np.lexsort((okey, k))
+        k, okey, price = k[idx], okey[idx], price[idx]
+        starts = _segments(k)
+        n = len(k)
+        # position within the key segment
+        seg_id = np.cumsum(np.isin(np.arange(n), starts)) - 1
+        pos = np.arange(n) - starts[seg_id]
+        cs = np.cumsum(price)
+        seg_base = cs[starts] - price[starts]  # cumsum before each segment
+        # window start offset within segment: max(0, pos-window+1)
+        lo = np.maximum(pos - (window - 1), 0) + starts[seg_id]
+        # sum over [lo, i] = cs[i] - (cs[lo-1] or seg boundary base)
+        below = np.where(lo > 0, cs[np.maximum(lo - 1, 0)], 0.0)
+        below[lo == 0] = 0.0
+        wsum = cs - below
+        wlen = np.minimum(pos + 1, window)
+        return pa.table({"o_orderkey": pa.array(okey),
+                         "moving_avg": pa.array(np.round(wsum / wlen, 4))})
+
+    out = (ds.map_batches(block, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+           .to_pandas())
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+Q40_SQL = """
+SELECT o_orderkey,
+       ROUND(AVG(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg
+FROM orders ORDER BY o_orderkey
+"""
+
+
+def q41_distinct_custs_per_priority(sf_dir: str) -> pd.DataFrame:
+    """Grouped exact COUNT(DISTINCT): distinct customers per order
+    priority. Two-level mergeable plan (same shape as the shingle
+    miner's n_docs): block-local dedup of (priority, custkey), one
+    groupby collapses pairs globally, a second partial+groupby counts
+    rows per priority — exact regardless of how blocks split, and no
+    stage ships more than the distinct-pair set."""
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderpriority", "o_custkey"])
+
+    def local_pairs(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o_orderpriority": t["o_orderpriority"].combine_chunks()
+            .to_numpy(zero_copy_only=False),
+            "o_custkey": t["o_custkey"].combine_chunks()
+            .to_numpy(zero_copy_only=False),
+        }).drop_duplicates()
+        df["one"] = np.int64(1)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = (ds.map_batches(local_pairs, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["o_orderpriority", "o_custkey"])
+             .aggregate(Sum("one", alias_name="one")))
+
+    def partial2(t: pa.Table) -> pa.Table:
+        g = (t.to_pandas().groupby("o_orderpriority", sort=False)
+             .size().rename("n_custs").reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (pairs.map_batches(partial2, batch_format="pyarrow")
+           .groupby("o_orderpriority")
+           .aggregate(Sum("n_custs", alias_name="n_custs"))
+           .to_pandas())
+    out["n_custs"] = out["n_custs"].astype("int64")
+    return (out[["o_orderpriority", "n_custs"]]
+            .sort_values("o_orderpriority").reset_index(drop=True))
+
+
+Q41_SQL = """
+SELECT o_orderpriority, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q42_priority_entropy_by_status(sf_dir: str) -> pd.DataFrame:
+    """Shannon entropy (nats) of the o_orderpriority distribution per
+    o_orderstatus — a distribution-shape profiling aggregate. Reuses
+    the mode partial plan: counts per (status, priority) merge in one
+    tiny groupby; the driver computes -sum(p*ln p) over that
+    |statuses| x |priorities| table."""
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderstatus", "o_orderpriority"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o_orderstatus": t["o_orderstatus"].combine_chunks()
+            .to_numpy(zero_copy_only=False),
+            "o_orderpriority": t["o_orderpriority"].combine_chunks()
+            .to_numpy(zero_copy_only=False),
+        })
+        g = (df.groupby(["o_orderstatus", "o_orderpriority"], sort=False)
+             .size().rename("n").reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["o_orderstatus", "o_orderpriority"])
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    tot = agg.groupby("o_orderstatus")["n"].transform("sum")
+    p = agg["n"] / tot
+    agg["h"] = -(p * np.log(p))
+    out = (agg.groupby("o_orderstatus", sort=True)["h"].sum()
+           .round(4).rename("entropy").reset_index())
+    return out[["o_orderstatus", "entropy"]]
+
+
+Q42_SQL = """
+WITH c AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+), t AS (
+  SELECT o_orderstatus, o_orderpriority, n,
+         CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY o_orderstatus) AS p
+  FROM c
+)
+SELECT o_orderstatus, ROUND(-SUM(p * ln(p)), 4) AS entropy
+FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def q43_price_zscore(sf_dir: str) -> pd.DataFrame:
+    """Group-wise normalization (z-score of o_totalprice within its
+    o_orderstatus): the broadcast-small-aggregate-back pattern. Pass 1
+    computes per-group moments exactly like q28 (partials, one tiny
+    groupby); the n_groups-row moment table rides into a second
+    map_batches as a closure broadcast, so the normalization pass is
+    embarrassingly parallel — no per-row data ever shuffles."""
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        y = (t["o_totalprice"].combine_chunks()
+             .to_numpy(zero_copy_only=False).astype(np.float64) - _Y_OFF)
+        df = pd.DataFrame({
+            "o_orderstatus": t["o_orderstatus"].combine_chunks()
+            .to_numpy(zero_copy_only=False),
+            "n": np.ones(t.num_rows, np.int64), "sy": y, "syy": y * y,
+        })
+        g = df.groupby("o_orderstatus", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    mom = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("o_orderstatus")
+           .aggregate(Sum("n", alias_name="n"), Sum("sy", alias_name="sy"),
+                      Sum("syy", alias_name="syy"))
+           .to_pandas())
+    n = mom["n"].astype(float)
+    mean = mom["sy"] / n + _Y_OFF
+    std = np.sqrt((mom["syy"] - mom["sy"] ** 2 / n) / (n - 1))
+    lut = {s: (m, sd) for s, m, sd in zip(mom["o_orderstatus"], mean, std)}
+
+    def zscore(t: pa.Table) -> pa.Table:
+        st = t["o_orderstatus"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        price = t["o_totalprice"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        mu = np.empty(len(st))
+        sd = np.empty(len(st))
+        for s, (m, d) in lut.items():  # |statuses| iterations, not rows
+            mask = st == s
+            mu[mask] = m
+            sd[mask] = d
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "zscore": pa.array(np.round((price - mu) / sd, 4)),
+        })
+
+    out = (ds.map_batches(zscore, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas())
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+Q43_SQL = """
+SELECT o_orderkey,
+       ROUND((o_totalprice - AVG(o_totalprice) OVER w)
+             / STDDEV_SAMP(o_totalprice) OVER w, 4) AS zscore
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus)
+ORDER BY o_orderkey
+"""
