@@ -29,7 +29,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from spardaqus_ray.pipelines import (ann, cluster, dedup, fuzzy,
+    from spardaqus_ray.pipelines import (ann, bloom, cluster, dedup, fuzzy,
                                          multimodal, relational, repo_stats,
                                          stats, textops)
 
@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q41_distinct_custs_per_priority": stats.q41_distinct_custs_per_priority,
         "q42_priority_entropy_by_status": stats.q42_priority_entropy_by_status,
         "q43_price_zscore": stats.q43_price_zscore,
+        "q44_revenue_building_bloom": bloom.q44_revenue_building_bloom,
         "doc_length_histogram": stats.doc_length_histogram,
         # --- dedup family (exact is SQL-checkable; rest rows-only) ---
         "dedup_exact_docs": dedup.exact_dedup_docs,
@@ -119,7 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from spardaqus_ray.pipelines import (ann, dedup, fuzzy, relational,
+    from spardaqus_ray.pipelines import (ann, bloom, dedup, fuzzy, relational,
                                          repo_stats, stats, textops)
 
     return {
@@ -174,6 +175,7 @@ def oracle_sql() -> dict[str, str]:
         "q41_distinct_custs_per_priority": stats.Q41_SQL,
         "q42_priority_entropy_by_status": stats.Q42_SQL,
         "q43_price_zscore": stats.Q43_SQL,
+        "q44_revenue_building_bloom": bloom.Q44_SQL,
         "sample_docs_stratified": repo_stats.SAMPLE_STRAT_SQL,
         "vocab_bigrams": textops.BIGRAM_SQL,
         "doc_shingle_dups": textops.SHINGLE_DUP_SQL,

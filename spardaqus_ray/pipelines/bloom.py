@@ -1,0 +1,137 @@
+"""Bloom-filter semi-join reduction — the classic scale technique for
+"big stream ⋉ selective key set" when the key set is too large to
+broadcast exactly but a few-hundred-KB bitmap is not.
+
+Plan: (1) build the filter DISTRIBUTED — every block of the key side
+hashes its keys into a fixed m-bit bitmap, and the bitmaps OR together
+(associative + commutative, so any reduction tree works; here the
+n_blocks × m/8-byte partials are OR-ed on the driver, bounded by block
+count not key count); (2) the bitmap ships once into a map_batches
+closure over the probe side and drops most non-matching rows
+vectorized; (3) because a Bloom filter has false positives, an EXACT
+semi-join verifies the survivors — correctness never depends on the
+filter, only the shuffled row volume does.
+
+The double-hashing scheme (h1 + i*h2, splitmix64 finalizers) is the
+standard public construction; false-positive rate ≈ (1-e^{-kn/m})^k.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from spardaqus_ray.sources.code_parquet import read_table
+
+BLOOM_BITS = 1 << 20          # 128 KiB bitmap
+BLOOM_K = 5                   # probes per key
+
+_M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _splitmix(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized over uint64 (wrapping ops)."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & _M64
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _M64
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _M64
+    return x ^ (x >> np.uint64(31))
+
+
+def _probes(keys: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(k, n) bit positions for each key via double hashing."""
+    x = keys.astype(np.int64).view(np.uint64)
+    h1 = _splitmix(x)
+    h2 = _splitmix(x ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + i * h2[None, :]) & _M64) % np.uint64(m_bits)
+
+
+def build_bloom(keys_ds: ray.data.Dataset, key: str,
+                m_bits: int = BLOOM_BITS, k: int = BLOOM_K) -> np.ndarray:
+    """Distributed Bloom build: per-block bitmaps, OR-reduced. Driver
+    traffic = n_blocks × m/8 bytes (a tree-OR inside a map_batches
+    stage would bound it further; at 2^20 bits the flat reduce is
+    cheap at any realistic block count)."""
+
+    def block_bloom(t: pa.Table) -> pa.Table:
+        bits = np.zeros(m_bits // 64, np.uint64)
+        ks = t[key].combine_chunks().to_numpy(zero_copy_only=False)
+        if len(ks):
+            pos = _probes(ks, m_bits, k).ravel()
+            np.bitwise_or.at(bits, (pos >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (pos & np.uint64(63)))
+        return pa.table({"bloom": pa.array([bits.tobytes()], pa.binary())})
+
+    parts = keys_ds.map_batches(block_bloom, batch_format="pyarrow",
+                                zero_copy_batch=True).take_all()
+    out = np.zeros(m_bits // 64, np.uint64)
+    for row in parts:
+        out |= np.frombuffer(row["bloom"], np.uint64)
+    return out
+
+
+def bloom_test(bits: np.ndarray, keys: np.ndarray,
+               k: int = BLOOM_K) -> np.ndarray:
+    """Vectorized membership probe: True = possibly present (exact
+    verification required), False = DEFINITELY absent."""
+    m_bits = len(bits) * 64
+    pos = _probes(keys, m_bits, k)
+    hit = bits[(pos >> np.uint64(6)).astype(np.int64)]
+    hit = (hit >> (pos & np.uint64(63))) & np.uint64(1)
+    return hit.all(axis=0).astype(bool)
+
+
+def q44_revenue_building_bloom(sf_dir: str,
+                               use_bloom: bool = True) -> pd.DataFrame:
+    """Revenue of orders whose customer is in the BUILDING segment — a
+    selective semi-join. Scale plan: distributed Bloom build over the
+    selected customer keys, broadcast bitmap prefilter over orders
+    (drops ~3/4 of the stream before any exchange), then the EXACT
+    semi-join verify over the survivors. `use_bloom=False` runs the
+    exact path alone — the plan-equivalence test pins both equal."""
+    cust = (read_table(sf_dir, "customer",
+                       columns=["c_custkey", "c_mktsegment"])
+            .map_batches(lambda t: t.filter(
+                pc.equal(t["c_mktsegment"], "BUILDING"))
+                .select(["c_custkey"]), batch_format="pyarrow"))
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_totalprice"])
+
+    if use_bloom:
+        bits = build_bloom(cust, "c_custkey")
+
+        def prefilter(t: pa.Table) -> pa.Table:
+            ks = t["o_custkey"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            return t.filter(pa.array(bloom_test(bits, ks)))
+
+        orders = orders.map_batches(prefilter, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+    # exact verify (false-positive removal): broadcast the true key set.
+    # At 100 TB this step is the q4-style distributed semi join instead;
+    # the bloom prefilter exists precisely to shrink ITS input.
+    true_keys = pa.array(
+        [r["c_custkey"] for r in cust.take_all()], pa.int64())
+
+    def verify(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["o_custkey"], value_set=true_keys))
+
+    out = (orders.map_batches(verify, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .aggregate(Sum("o_totalprice", alias_name="revenue"),
+                      Count(alias_name="n_orders")))
+    return pd.DataFrame({"revenue": [round(float(out["revenue"]), 4)],
+                         "n_orders": [int(out["n_orders"])]})
+
+
+Q44_SQL = """
+SELECT ROUND(SUM(o_totalprice), 4) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders WHERE o_custkey IN
+  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+"""

@@ -1,0 +1,43 @@
+"""Bloom semi-join reduction gates: no-false-negative property of the
+filter itself, measured selectivity on the probe side, and bloom-on ==
+bloom-off plan equivalence (correctness must never depend on the
+filter)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from spardaqus_ray.pipelines import bloom
+from tests.conftest import SF001, has_testdata
+
+pytestmark = pytest.mark.skipif(not has_testdata(), reason="no testdata")
+
+
+def test_bloom_no_false_negatives_and_low_fp():
+    rng = np.random.default_rng(3)
+    members = rng.choice(10_000_000, size=5_000, replace=False)
+    others = np.setdiff1d(rng.choice(10_000_000, size=20_000, replace=False),
+                          members)
+    bits = np.zeros(bloom.BLOOM_BITS // 64, np.uint64)
+    pos = bloom._probes(members, bloom.BLOOM_BITS, bloom.BLOOM_K).ravel()
+    np.bitwise_or.at(bits, (pos >> np.uint64(6)).astype(np.int64),
+                     np.uint64(1) << (pos & np.uint64(63)))
+    assert bloom.bloom_test(bits, members).all()  # zero false negatives
+    fp = bloom.bloom_test(bits, others).mean()
+    # (1-e^{-kn/m})^k at n=5k, m=2^20, k=5 is ~1e-8; allow huge slack
+    assert fp < 0.01, fp
+
+
+def test_q44_plan_equivalence_and_oracle(ray_session):
+    import duckdb
+
+    with_bloom = bloom.q44_revenue_building_bloom(SF001, use_bloom=True)
+    without = bloom.q44_revenue_building_bloom(SF001, use_bloom=False)
+    pd.testing.assert_frame_equal(with_bloom, without)
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF001}/{t}.parquet')")
+    o = con.execute(bloom.Q44_SQL).fetchdf()
+    assert float(o["revenue"][0]) == float(with_bloom["revenue"][0])
+    assert int(o["n_orders"][0]) == int(with_bloom["n_orders"][0])
