@@ -30,8 +30,8 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from spardaqus_ray.pipelines import (ann, bloom, cluster, dedup, fuzzy,
-                                         multimodal, relational, repo_stats,
-                                         stats, textops)
+                                         multimodal, quality, relational,
+                                         repo_stats, stats, textops)
 
     return {
         # --- relational layer (SURVEY.md §2.8 Q1-Q10) ---
@@ -79,6 +79,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q42_priority_entropy_by_status": stats.q42_priority_entropy_by_status,
         "q43_price_zscore": stats.q43_price_zscore,
         "q44_revenue_building_bloom": bloom.q44_revenue_building_bloom,
+        "q45_decontaminate": quality.q45_decontaminate,
+        "q46_gopher_quality": quality.q46_gopher_quality,
+        "q47_weighted_sample": quality.q47_weighted_sample,
         "doc_length_histogram": stats.doc_length_histogram,
         # --- dedup family (exact is SQL-checkable; rest rows-only) ---
         "dedup_exact_docs": dedup.exact_dedup_docs,
@@ -120,8 +123,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from spardaqus_ray.pipelines import (ann, bloom, dedup, fuzzy, relational,
-                                         repo_stats, stats, textops)
+    from spardaqus_ray.pipelines import (ann, bloom, dedup, fuzzy, quality,
+                                         relational, repo_stats, stats,
+                                         textops)
 
     return {
         "q1_lineitem_agg": relational.Q1_SQL,
@@ -176,6 +180,9 @@ def oracle_sql() -> dict[str, str]:
         "q42_priority_entropy_by_status": stats.Q42_SQL,
         "q43_price_zscore": stats.Q43_SQL,
         "q44_revenue_building_bloom": bloom.Q44_SQL,
+        "q45_decontaminate": quality.Q45_SQL,
+        "q46_gopher_quality": quality.Q46_SQL,
+        "q47_weighted_sample": quality.Q47_SQL,
         "sample_docs_stratified": repo_stats.SAMPLE_STRAT_SQL,
         "vocab_bigrams": textops.BIGRAM_SQL,
         "doc_shingle_dups": textops.SHINGLE_DUP_SQL,

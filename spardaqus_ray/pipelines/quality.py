@@ -1,0 +1,336 @@
+"""Training-data curation operators over the documents corpus:
+benchmark decontamination, Gopher-style quality flags, and weighted
+(A-ES) sampling — the three standard curation moves between raw crawl
+and tokenizer.
+
+All three follow the repo's contract: vectorized Arrow/numpy kernels
+inside map_batches, partial aggregation before any exchange, bounded
+driver pulls, and a DuckDB oracle that selects the exact same rows
+(shared constants, shared sha256 primitive).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from spardaqus_ray.sources.code_parquet import read_table
+from spardaqus_ray.util import (default_partitions, ensure_hash_shuffle,
+                                table_bytes)
+
+# --------------------------------------------------------------------------
+# Shared tokenization: non-empty lowercase space-tokens per document.
+# Mirrors SQL `list_filter(string_split(lower(text), ' '), x -> x <> '')`
+# (single literal-space split — see BASELINE.md r3 on why NOT
+# utf8_split_whitespace).
+# --------------------------------------------------------------------------
+
+
+def _tokens_rows(t: pa.Table) -> tuple[pa.Array, np.ndarray]:
+    """(flat non-empty tokens, row_id per token) for one block — one
+    Arrow lower+split chain plus a numpy mask, no per-row Python."""
+    split = pc.split_pattern(pc.utf8_lower(t["text"]), " ").combine_chunks()
+    flat = split.values
+    row_id = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                       np.diff(np.asarray(split.offsets).astype(np.int64)))
+    keep = pc.not_equal(flat, "")
+    mask = keep.to_numpy(zero_copy_only=False)
+    return flat.filter(keep), row_id[mask]
+
+
+def _shingles(t: pa.Table, shingle: int) -> tuple[pa.Array, np.ndarray]:
+    """(flat shingle strings, doc row_id per shingle): windows of
+    `shingle` adjacent non-empty tokens within one document — shifted
+    takes + ONE binary_join, the vocab_bigrams pattern generalized."""
+    flat, row_id = _tokens_rows(t)
+    n = len(flat)
+    if n < shingle:
+        return pa.array([], pa.string()), np.array([], np.int64)
+    ok = row_id[: n - shingle + 1] == row_id[shingle - 1:]
+    starts = np.flatnonzero(ok)
+    if len(starts) == 0:
+        return pa.array([], pa.string()), np.array([], np.int64)
+    cols = [flat.take(pa.array(starts + j)) for j in range(shingle)]
+    return pc.binary_join_element_wise(*cols, " "), row_id[starts]
+
+
+# --------------------------------------------------------------------------
+# Q45: benchmark decontamination — flag training documents that share
+# any word-shingle with a held-out benchmark split. The canonical
+# pre-training hygiene pass (GPT-3 §C / PaLM-style n-gram overlap).
+# --------------------------------------------------------------------------
+
+DECON_SHINGLE = 5
+DECON_MODULUS = 29            # benchmark split = doc_id % 29 == 0
+# broadcast the benchmark shingle set below this; above it, the
+# distributed semi-join plan runs instead (same cap-and-fallback shape
+# as the q4/q5 semi join and G4 dedup).
+DECON_BROADCAST_MAX_BYTES = 256 << 20
+
+
+def _mod_filter(t: pa.Table, modulus: int, keep_bench: bool) -> pa.Table:
+    """Rows where doc_id % modulus == 0 (the benchmark split) or its
+    complement — numpy modulo (pyarrow 16 has no modulo kernel)."""
+    ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    m = (ids % modulus) == 0
+    return t.filter(pa.array(m if keep_bench else ~m))
+
+
+def _bench_shingle_set(sf_dir: str, shingle: int,
+                       modulus: int) -> pa.Array | None:
+    """Distinct benchmark-split shingles for broadcast, or None above
+    the cap. Built distributed: explode + in-block value dedup, ONE
+    groupby collapses globally; driver traffic = distinct shingles."""
+    if table_bytes(sf_dir, "documents") > DECON_BROADCAST_MAX_BYTES:
+        return None
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    bench = ds.map_batches(
+        lambda t: _mod_filter(t, modulus, keep_bench=True),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def explode(t: pa.Table) -> pa.Table:
+        sh, _ = _shingles(t, shingle)
+        return pa.table({"shingle": pc.unique(sh)})
+
+    vals = (bench.map_batches(explode, batch_format="pyarrow",
+                              zero_copy_batch=True)
+            .unique("shingle"))
+    return pa.array(sorted(vals), pa.string())
+
+
+def q45_decontaminate(sf_dir: str, shingle: int = DECON_SHINGLE,
+                      modulus: int = DECON_MODULUS,
+                      broadcast: bool | None = None) -> pd.DataFrame:
+    """Documents (outside the benchmark split) that share >=1
+    word-`shingle` with any benchmark document, with the count of
+    distinct contaminated shingles. Broadcast plan: benchmark shingle
+    set ships once, probe blocks filter membership vectorized — no
+    exchange at all on the probe side. Fallback plan (forced with
+    broadcast=False, auto above DECON_BROADCAST_MAX_BYTES): exploded
+    (doc_id, shingle) pairs inner-join the distinct benchmark shingles,
+    then ONE groupby counts per doc. A document's shingles live in one
+    block, so in-block `unique` pairs are globally distinct — the
+    count needs no second dedup pass."""
+    bench = (_bench_shingle_set(sf_dir, shingle, modulus)
+             if broadcast in (None, True) else None)
+    if broadcast is True and bench is None:
+        raise ValueError("broadcast=True but benchmark set exceeds cap")
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    probe = ds.map_batches(
+        lambda t: _mod_filter(t, modulus, keep_bench=False),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def explode_pairs(t: pa.Table) -> pa.Table:
+        sh, rid = _shingles(t, shingle)
+        docs = t["doc_id"].combine_chunks().take(pa.array(rid))
+        pairs = pa.table({"doc_id": docs, "shingle": sh})
+        gp = pairs.group_by(["doc_id", "shingle"]).aggregate([])
+        return gp
+
+    if bench is not None:
+        def hits(t: pa.Table) -> pa.Table:
+            p = explode_pairs(t)
+            p = p.filter(pc.is_in(p["shingle"], value_set=bench))
+            g = p.group_by("doc_id").aggregate([("shingle", "count")])
+            return g.rename_columns(["doc_id", "n_hits"])
+
+        out = (probe.map_batches(hits, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+               .to_pandas())
+    else:
+        bench_ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        bench_ds = bench_ds.map_batches(
+            lambda t: _mod_filter(t, modulus, keep_bench=True),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+        def explode_bench(t: pa.Table) -> pa.Table:
+            sh, _ = _shingles(t, shingle)
+            return pa.table({"bshingle": pc.unique(sh)})
+
+        bset = (bench_ds.map_batches(explode_bench, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+                .groupby("bshingle").aggregate(Count(alias_name="_c")))
+        pairs = probe.map_batches(explode_pairs, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        ensure_hash_shuffle(pairs)
+        width = default_partitions(size_bytes=table_bytes(sf_dir, "documents"))
+        joined = pairs.join(bset, "inner", num_partitions=width,
+                            on=("shingle",), right_on=("bshingle",))
+        out = (joined.groupby("doc_id")
+               .aggregate(Count(alias_name="n_hits")).to_pandas())
+    if out.empty:
+        out = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                            "n_hits": pd.Series([], dtype="int64")})
+    out["n_hits"] = out["n_hits"].astype("int64")
+    return (out[["doc_id", "n_hits"]].sort_values("doc_id")
+            .reset_index(drop=True))
+
+
+Q45_SQL = f"""
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split(lower(text), ' '),
+                              x -> x <> '') AS l
+           FROM documents),
+g AS (SELECT doc_id, list_aggregate(l[i:i+{DECON_SHINGLE - 1}],
+                                    'string_agg', ' ') AS shingle
+      FROM t, unnest(range(1, len(l) - {DECON_SHINGLE - 2})) AS r(i)),
+bench AS (SELECT DISTINCT shingle FROM g
+          WHERE doc_id % {DECON_MODULUS} = 0)
+SELECT g.doc_id, CAST(COUNT(DISTINCT g.shingle) AS BIGINT) AS n_hits
+FROM g JOIN bench USING (shingle)
+WHERE g.doc_id % {DECON_MODULUS} <> 0
+GROUP BY g.doc_id ORDER BY g.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Q46: Gopher-style quality flags, aggregated per language. Per-doc
+# metrics (word count, mean word length, distinct-word ratio, stopword
+# fraction) computed in one vectorized pass; per-block partials keyed
+# by lang make the shuffle 5 rows per block regardless of corpus size.
+# --------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 20
+GOPHER_MIN_DISTINCT_RATIO = 0.3
+GOPHER_MIN_STOP_FRAC = 0.02
+GOPHER_STOPWORDS = ("the", "a", "of", "to", "and")
+
+
+def q46_gopher_quality(sf_dir: str) -> pd.DataFrame:
+    """Per-language corpus quality report: how many documents trip each
+    Gopher-style repetition/length/stopword rule, plus mean word length
+    and mean distinct-word ratio. Distinct-per-doc uses dictionary
+    codes + one np.unique over (row, code) composite keys — no per-row
+    loop; empty documents are excluded on both sides."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+    stop = pa.array(GOPHER_STOPWORDS)
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, rid = _tokens_rows(t)
+        nrows = t.num_rows
+        words = np.bincount(rid, minlength=nrows).astype(np.int64)
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        sum_len = np.bincount(rid, weights=lens, minlength=nrows)
+        codes = np.asarray(flat.dictionary_encode().indices, np.int64)
+        ncodes = int(codes.max()) + 1 if len(codes) else 1
+        distinct_keys = np.unique(rid * ncodes + codes)
+        distinct = np.bincount(distinct_keys // ncodes,
+                               minlength=nrows).astype(np.int64)
+        stops = pc.is_in(flat, value_set=stop).to_numpy(zero_copy_only=False)
+        n_stop = np.bincount(rid, weights=stops, minlength=nrows)
+        ok = words > 0
+        w = words[ok].astype(np.float64)
+        dr = distinct[ok] / w
+        sf = n_stop[ok] / w
+        mwl = sum_len[ok] / w
+        g = (pd.DataFrame({
+            "lang": t["lang"].to_numpy(zero_copy_only=False)[ok],
+            "n_docs": 1,
+            "n_repetitious": (dr < GOPHER_MIN_DISTINCT_RATIO).astype(np.int64),
+            "n_short": (words[ok] < GOPHER_MIN_WORDS).astype(np.int64),
+            "n_low_stop": (sf < GOPHER_MIN_STOP_FRAC).astype(np.int64),
+            "sum_mwl": mwl, "sum_dr": dr})
+            .groupby("lang", sort=False).sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("lang")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_repetitious", alias_name="n_repetitious"),
+                      Sum("n_short", alias_name="n_short"),
+                      Sum("n_low_stop", alias_name="n_low_stop"),
+                      Sum("sum_mwl", alias_name="sum_mwl"),
+                      Sum("sum_dr", alias_name="sum_dr"))
+           .to_pandas())
+    agg["avg_word_len"] = (agg["sum_mwl"] / agg["n_docs"]).round(4)
+    agg["avg_distinct_ratio"] = (agg["sum_dr"] / agg["n_docs"]).round(4)
+    for c in ("n_docs", "n_repetitious", "n_short", "n_low_stop"):
+        agg[c] = agg[c].astype("int64")
+    return (agg[["lang", "n_docs", "n_repetitious", "n_short", "n_low_stop",
+                 "avg_word_len", "avg_distinct_ratio"]]
+            .sort_values("lang").reset_index(drop=True))
+
+
+Q46_SQL = f"""
+WITH t AS (SELECT lang, list_filter(string_split(lower(text), ' '),
+                                    x -> x <> '') AS l
+           FROM documents),
+m AS (SELECT lang, len(l) AS words,
+             len(list_distinct(l)) * 1.0 / len(l) AS distinct_ratio,
+             list_sum(list_transform(l, x -> length(x))) * 1.0
+               / len(l) AS mwl,
+             len(list_filter(l, x -> x IN
+                 ('{"','".join(GOPHER_STOPWORDS)}'))) * 1.0
+               / len(l) AS stop_frac
+      FROM t WHERE len(l) > 0)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN distinct_ratio < {GOPHER_MIN_DISTINCT_RATIO}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitious,
+       CAST(SUM(CASE WHEN words < {GOPHER_MIN_WORDS}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+       CAST(SUM(CASE WHEN stop_frac < {GOPHER_MIN_STOP_FRAC}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_low_stop,
+       ROUND(AVG(mwl), 4) AS avg_word_len,
+       ROUND(AVG(distinct_ratio), 4) AS avg_distinct_ratio
+FROM m GROUP BY lang ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# Q47: deterministic weighted sample without replacement (Efraimidis-
+# Spirakis A-ES): score = u^(1/w), take top-k. u is a hash-uniform from
+# sha256(doc_id) so DuckDB reselects the identical rows; weight =
+# n_chars biases the sample toward long documents (the curation move
+# when token budget, not doc count, is the constraint).
+# --------------------------------------------------------------------------
+
+WSAMPLE_K = 50
+
+
+def q47_weighted_sample(sf_dir: str, k: int = WSAMPLE_K) -> pd.DataFrame:
+    """Top-k by u^(1/weight): embarrassingly parallel score pass (the
+    same C-speed per-row sha256 kernel as sample_docs_hash), per-block
+    LOCAL top-k partial, then one k-row-per-block sort on the driver —
+    the shuffle never moves more than #blocks x k rows."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        w = t["n_chars"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        dec = np.char.mod("%d", ids).astype("S20").tolist()
+        u32 = np.fromiter(
+            (int.from_bytes(hashlib.sha256(b).digest()[:4], "big")
+             for b in dec), np.float64, count=len(dec))
+        s = ((u32 + 0.5) / 4294967296.0) ** (1.0 / w)
+        top = np.argsort(-s, kind="stable")[:k]
+        return pa.table({"doc_id": pa.array(ids[top]),
+                         "n_chars": t["n_chars"].combine_chunks()
+                         .take(pa.array(top)),
+                         "_s": pa.array(s[top])})
+
+    parts = (ds.map_batches(score_topk, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas())
+    top = parts.sort_values(["_s", "doc_id"],
+                            ascending=[False, True]).head(k)
+    return (top[["doc_id", "n_chars"]].astype("int64")
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+Q47_SQL = f"""
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         pow((CAST(('0x' || substring(sha256(CAST(doc_id AS VARCHAR)),
+                                      1, 8)) AS UBIGINT) + 0.5)
+             / 4294967296.0, 1.0 / n_chars) AS s
+  FROM documents
+  ORDER BY s DESC, doc_id ASC LIMIT {WSAMPLE_K})
+ORDER BY doc_id
+"""

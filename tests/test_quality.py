@@ -1,0 +1,45 @@
+"""Gates for the curation operators the SQL oracle can't fully cover:
+decontamination broadcast-vs-join plan equivalence, shingle kernel edge
+cases, and the weighted sample's weight-bias property."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from spardaqus_ray.pipelines import quality
+from tests.conftest import SF001, has_testdata
+
+pytestmark = pytest.mark.skipif(not has_testdata(), reason="no testdata")
+
+
+def test_shingle_kernel_edges():
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "text": ["", "one two", "a b c d e f",
+                           "x  y   z q r"]})  # runs of spaces
+    sh, rid = quality._shingles(t, 5)
+    # doc 3: "a b c d e" + "b c d e f"; doc 4 has exactly 5 tokens
+    assert sh.to_pylist() == ["a b c d e", "b c d e f", "x y z q r"]
+    assert rid.tolist() == [2, 2, 3]
+    # no cross-document windows: shrink to bigrams and check row ids
+    sh2, rid2 = quality._shingles(t, 2)
+    assert all(r in (1, 2, 3) for r in rid2.tolist())
+    assert "two a" not in sh2.to_pylist()  # doc boundary respected
+
+
+def test_q45_plan_equivalence(ray_session):
+    a = quality.q45_decontaminate(SF001, broadcast=True)
+    b = quality.q45_decontaminate(SF001, broadcast=False)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0  # non-vacuous on the fixture
+
+
+def test_q47_weight_bias(ray_session):
+    """A-ES with weight=n_chars must over-represent long documents:
+    the mean n_chars of the sample exceeds the corpus mean."""
+    import pyarrow.parquet as pq
+    samp = quality.q47_weighted_sample(SF001)
+    corpus = pq.read_table(f"{SF001}/documents.parquet",
+                           columns=["n_chars"])["n_chars"].to_numpy()
+    assert len(samp) == quality.WSAMPLE_K
+    assert samp["n_chars"].mean() > np.mean(corpus)
