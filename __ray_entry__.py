@@ -29,9 +29,10 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from spardaqus_ray.pipelines import (ann, bloom, cluster, dedup, fuzzy,
-                                         multimodal, quality, relational,
-                                         repo_stats, stats, textops)
+    from spardaqus_ray.pipelines import (ann, bloom, cluster, dedup, funnel,
+                                         fuzzy, multimodal, quality,
+                                         relational, repo_stats, stats,
+                                         textops)
 
     return {
         # --- relational layer (SURVEY.md §2.8 Q1-Q10) ---
@@ -82,6 +83,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q45_decontaminate": quality.q45_decontaminate,
         "q46_gopher_quality": quality.q46_gopher_quality,
         "q47_weighted_sample": quality.q47_weighted_sample,
+        "q48_funnel": funnel.q48_funnel,
+        "q49_retention": funnel.q49_retention,
         "doc_length_histogram": stats.doc_length_histogram,
         # --- dedup family (exact is SQL-checkable; rest rows-only) ---
         "dedup_exact_docs": dedup.exact_dedup_docs,
@@ -123,9 +126,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from spardaqus_ray.pipelines import (ann, bloom, dedup, fuzzy, quality,
-                                         relational, repo_stats, stats,
-                                         textops)
+    from spardaqus_ray.pipelines import (ann, bloom, dedup, funnel, fuzzy,
+                                         quality, relational, repo_stats,
+                                         stats, textops)
 
     return {
         "q1_lineitem_agg": relational.Q1_SQL,
@@ -183,6 +186,8 @@ def oracle_sql() -> dict[str, str]:
         "q45_decontaminate": quality.Q45_SQL,
         "q46_gopher_quality": quality.Q46_SQL,
         "q47_weighted_sample": quality.Q47_SQL,
+        "q48_funnel": funnel.Q48_SQL,
+        "q49_retention": funnel.Q49_SQL,
         "sample_docs_stratified": repo_stats.SAMPLE_STRAT_SQL,
         "vocab_bigrams": textops.BIGRAM_SQL,
         "doc_shingle_dups": textops.SHINGLE_DUP_SQL,

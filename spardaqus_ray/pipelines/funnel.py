@@ -1,0 +1,162 @@
+"""Event-sequence analytics over the events stream: windowed funnel
+conversion and retention cohorts — the two canonical product-analytics
+operators, built on the windows library's physical plan (ONE keyed
+hash repartition co-locates each user's events, then a whole-block
+numpy lexsort + segmented scans handle every user in the block with no
+per-group Python).
+
+Partitioning assumption (as windows.py): one user's events fit in one
+block — holds for user-grained keys at any realistic skew.
+
+Epoch note: day bucketing uses floor(ts_us / day) which matches SQL
+CAST(ts AS DATE) for non-negative epochs only (fixtures are 2024; the
+pre-1970 divergence is the documented q24 caveat, see ADVICE r2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Sum
+
+from spardaqus_ray.pipelines.windows import _keyed, _np, _segments, _ts_us
+from spardaqus_ray.sources.code_parquet import read_table
+
+_INF = np.iinfo(np.int64).max
+_DAY_US = 86_400_000_000
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_WINDOW_HOURS = 24
+_WINDOW_US = FUNNEL_WINDOW_HOURS * 3_600_000_000
+
+RETENTION_MAX_OFFSET = 6
+
+
+def _first_after(typ: np.ndarray, t: np.ndarray, starts: np.ndarray,
+                 seg_id: np.ndarray, step: str,
+                 after: np.ndarray | None) -> np.ndarray:
+    """Per-segment earliest timestamp of `step` events, optionally
+    restricted to (after, after + window]; _INF where none. `after` is
+    per-segment (previous step's first hit)."""
+    m = typ == step
+    if after is not None:
+        prev = after[seg_id]
+        # clamp _INF to 2^62 so prev + window cannot overflow int64
+        safe = np.minimum(prev, np.int64(1) << 62)
+        m &= (t > safe) & (t <= safe + _WINDOW_US) & (prev < _INF)
+    vals = np.where(m, t, _INF)
+    return np.minimum.reduceat(vals, starts)
+
+
+def q48_funnel(sf_dir: str) -> pd.DataFrame:
+    """Windowed funnel: users with a view, users whose first click lands
+    within FUNNEL_WINDOW_HOURS after their first view, and users whose
+    first purchase lands within the window after that click. Per-block
+    segmented scans emit 3 partial count rows; the only exchanges are
+    the user co-location shuffle and a 3-row groupby."""
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type"])
+    ds = _keyed(ds, "user_id", None)
+
+    def block(t: pa.Table) -> pa.Table:
+        empty = pa.table({"step": pa.array([], pa.string()),
+                          "n_users": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = _np(t["user_id"])
+        tt = _ts_us(t["ts"])
+        typ = _np(t["event_type"])
+        idx = np.lexsort((tt, u))
+        u, tt, typ = u[idx], tt[idx], typ[idx]
+        starts = _segments(u)
+        seg_id = np.searchsorted(starts, np.arange(len(u)), "right") - 1
+        v = _first_after(typ, tt, starts, seg_id, FUNNEL_STEPS[0], None)
+        c = _first_after(typ, tt, starts, seg_id, FUNNEL_STEPS[1], v)
+        p = _first_after(typ, tt, starts, seg_id, FUNNEL_STEPS[2], c)
+        return pa.table({
+            "step": pa.array([f"{i + 1}_{s}"
+                              for i, s in enumerate(FUNNEL_STEPS)]),
+            "n_users": pa.array([int((x < _INF).sum())
+                                 for x in (v, c, p)], pa.int64()),
+        })
+
+    out = (ds.map_batches(block, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+           .groupby("step").aggregate(Sum("n_users", alias_name="n_users"))
+           .to_pandas())
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("step").reset_index(drop=True)
+
+
+Q48_SQL = f"""
+WITH v AS (SELECT user_id, min(ts) AS t FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t
+        AND e.ts <= v.t + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t
+        AND e.ts <= c.t + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+      GROUP BY e.user_id)
+SELECT * FROM (
+  SELECT '1_view' AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+  UNION ALL SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM c
+  UNION ALL SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM p)
+ORDER BY step
+"""
+
+
+def q49_retention(sf_dir: str) -> pd.DataFrame:
+    """Retention curve: for each day offset 0..RETENTION_MAX_OFFSET,
+    how many users were active (any event) exactly `offset` days after
+    their first-ever active day. Distinct (user, day) pairs collapse
+    in-block (users are co-located, so in-block unique is global);
+    partials are <=7 rows per block."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    ds = _keyed(ds, "user_id", None)
+
+    def block(t: pa.Table) -> pa.Table:
+        empty = pa.table({"day_offset": pa.array([], pa.int64()),
+                          "n_users": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = _np(t["user_id"])
+        d = _ts_us(t["ts"]) // _DAY_US
+        dmin = d.min()
+        span = int(d.max() - dmin) + 1
+        comb = np.unique(u * span + (d - dmin))   # sorted by (u, d)
+        u2, d2 = comb // span, comb % span
+        starts = _segments(u2)
+        seg_id = np.searchsorted(starts, np.arange(len(u2)), "right") - 1
+        offs = d2 - d2[starts][seg_id]            # d2 ascending per user
+        keep = offs <= RETENTION_MAX_OFFSET
+        n = np.bincount(offs[keep].astype(np.int64),
+                        minlength=RETENTION_MAX_OFFSET + 1)
+        return pa.table({
+            "day_offset": pa.array(np.arange(len(n), dtype=np.int64)),
+            "n_users": pa.array(n.astype(np.int64)),
+        })
+
+    out = (ds.map_batches(block, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+           .groupby("day_offset")
+           .aggregate(Sum("n_users", alias_name="n_users"))
+           .to_pandas())
+    out = out[out["n_users"] > 0]
+    out["n_users"] = out["n_users"].astype("int64")
+    return (out.sort_values("day_offset").reset_index(drop=True)
+            [["day_offset", "n_users"]])
+
+
+Q49_SQL = f"""
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+c AS (SELECT user_id, min(d) AS d0 FROM ud GROUP BY 1)
+SELECT CAST(d - d0 AS BIGINT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM ud JOIN c USING (user_id)
+WHERE d - d0 <= {RETENTION_MAX_OFFSET}
+GROUP BY 1 ORDER BY 1
+"""

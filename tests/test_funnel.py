@@ -1,0 +1,76 @@
+"""Funnel/retention gates beyond the sf0.001 oracle run: planted
+boundary semantics (inclusive window edge, pre-view clicks ignored,
+cross-user isolation) checked against DuckDB on the same crafted
+table."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from spardaqus_ray.pipelines import funnel
+from tests.conftest import has_testdata
+
+pytestmark = pytest.mark.skipif(not has_testdata(), reason="no testdata")
+
+H = 3_600_000_000  # one hour in us
+
+
+def _write_events(tmp_path, rows):
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_funnel_window_boundaries(ray_session, tmp_path):
+    t0 = 1_700_000_000_000_000
+    w = funnel._WINDOW_US
+    rows = [
+        # user 1: click exactly at view + window (inclusive edge -> counts)
+        (1, t0, "view"), (1, t0 + w, "click"),
+        # user 2: click one us past the window -> does not count
+        (2, t0, "view"), (2, t0 + w + 1, "click"),
+        # user 3: click BEFORE the first view -> ignored; later click in
+        # window counts; purchase within window of that click counts
+        (3, t0 - H, "click"), (3, t0, "view"),
+        (3, t0 + H, "click"), (3, t0 + H + w, "purchase"),
+        # user 4: purchase before click -> not a conversion
+        (4, t0, "view"), (4, t0 + H, "purchase"), (4, t0 + 2 * H, "click"),
+    ]
+    sf = _write_events(tmp_path, rows)
+    out = funnel.q48_funnel(sf)
+    assert out.values.tolist() == [["1_view", 4], ["2_click", 3],
+                                   ["3_purchase", 1]]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    o = con.execute(funnel.Q48_SQL).fetchdf()
+    pd.testing.assert_frame_equal(out, o, check_dtype=True)
+
+
+def test_retention_gap_days(ray_session, tmp_path):
+    day = funnel._DAY_US
+    t0 = 1_700_000_000_000_000
+    rows = []
+    # user 1 active on days 0, 2, 9 (only 0 and 2 inside the 0..6 window);
+    # two events on day 2 must count once (distinct user-day)
+    for d in (0, 2, 2, 9):
+        rows.append((1, t0 + d * day, "view"))
+    # user 2 active only on its first day
+    rows.append((2, t0 + 5 * day, "click"))
+    sf = _write_events(tmp_path, rows)
+    out = funnel.q49_retention(sf)
+    assert out.values.tolist() == [[0, 2], [2, 1]]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    o = con.execute(funnel.Q49_SQL).fetchdf()
+    pd.testing.assert_frame_equal(out, o, check_dtype=True)
