@@ -29,8 +29,8 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from spardaqus_ray.pipelines import (ann, bloom, cluster, dedup, funnel,
-                                         fuzzy, multimodal, quality,
+    from spardaqus_ray.pipelines import (ann, bloom, bpe, cluster, dedup,
+                                         funnel, fuzzy, multimodal, quality,
                                          relational, repo_stats, stats,
                                          textops)
 
@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_bruteforce": ann.ann_bruteforce,
         "ann_ivf": ann.ann_ivf,
         "kmeans_embeddings": cluster.kmeans_embeddings,
+        "bpe_merges": bpe.bpe_merges,
         # --- text analysis / flagship slices (rows-only unless noted) ---
         "flagship_keep_stats": textops.flagship_keep_stats,
         "langid_agreement": textops.langid_agreement,

@@ -1,0 +1,207 @@
+"""Distributed BPE merge training (Sennrich et al. 2016) — the
+tokenizer-training step downstream of the vocab/dedup/quality surface.
+
+State = the DISTINCT-WORD table (word split into symbols, corpus
+frequency), built once by the same groupby that powers vocab_top_tokens
+— iterations then run over distinct words (orders of magnitude smaller
+than the corpus; the corpus itself is never re-read). Each merge round:
+
+  1. per-block weighted adjacent-pair counts (pre-aggregated partials),
+  2. ONE small groupby + top-1 sort — the driver sees one row,
+  3. the winning pair broadcast in a map_batches closure; symbol
+     sequences rewrite via a single Arrow replace_substring pass,
+  4. state .materialize() — REQUIRED: a lazy loop would re-execute all
+     prior rounds each iteration (round-2 lesson, BASELINE.md).
+
+Symbols are joined with U+001F and padded with it at both ends, so the
+pair "\\x1fA\\x1fB\\x1f" can never match inside a longer symbol and
+left-to-right non-overlapping replacement implements exactly the greedy
+merge of the reference algorithm ("aaa" + (a,a) -> "aa","a").
+
+Ties break by (count DESC, left ASC, right ASC) on both the engine and
+the sequential pytest reference — determinism is part of the contract.
+No SQL oracle (iterative algorithm): rows-only driver entry, exact
+merge-list equality vs the pure-Python reference gated in pytest.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Sum
+
+from spardaqus_ray.pipelines.textops import _block_token_counts
+from spardaqus_ray.sources.code_parquet import read_table
+
+SEP = "\x1f"
+BPE_MERGES = 8
+
+
+def _word_table(sf_dir: str, table: str) -> ray.data.Dataset:
+    """Distinct lowercase words with corpus frequencies; symbols column
+    is the character-split word joined by SEP."""
+    ds = read_table(sf_dir, table, columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals, counts = _block_token_counts(t)
+        return pa.table({"word": vals, "freq": counts})
+
+    words = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("word").aggregate(Sum("freq", alias_name="freq")))
+
+    def to_syms(t: pa.Table) -> pa.Table:
+        w = t["word"].combine_chunks()
+        # char-split via one Arrow regex pass: prefix every codepoint
+        # with SEP, then drop the leading one. RE2 `.` = one codepoint
+        # (not newline — fine: words come from a space split, and the
+        # tokenizer contract is single-U+0020 whitespace, BASELINE.md r3)
+        syms = pc.utf8_ltrim(
+            pc.replace_substring_regex(w, "(.)", SEP + r"\1"), SEP)
+        return pa.table({"syms": syms, "freq": t["freq"]})
+
+    return words.map_batches(to_syms, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+def _pair_partial(t: pa.Table) -> pa.Table:
+    """Weighted adjacent-symbol-pair counts for one block of the word
+    table — flatten symbols, shifted takes (the vocab_bigrams pattern),
+    pandas groupby-sum with the word frequency as weight."""
+    empty = pa.table({"left": pa.array([], pa.string()),
+                      "right": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+    split = pc.split_pattern(t["syms"], SEP).combine_chunks()
+    flat = split.values
+    offs = np.asarray(split.offsets).astype(np.int64)
+    n = len(flat)
+    if n < 2:
+        return empty
+    row_id = np.repeat(np.arange(t.num_rows, dtype=np.int64), np.diff(offs))
+    ok = row_id[:-1] == row_id[1:]
+    starts = np.flatnonzero(ok)
+    if len(starts) == 0:
+        return empty
+    freq = t["freq"].combine_chunks().to_numpy(zero_copy_only=False)
+    g = (pd.DataFrame({
+        "left": flat.take(pa.array(starts)).to_numpy(zero_copy_only=False),
+        "right": flat.take(pa.array(starts + 1)).to_numpy(
+            zero_copy_only=False),
+        "n": freq[row_id[starts]]})
+        .groupby(["left", "right"], sort=False).sum().reset_index())
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def bpe_merges(sf_dir: str, n_merges: int = BPE_MERGES,
+               table: str = "documents") -> pd.DataFrame:
+    """Learn `n_merges` BPE merges over the corpus. Returns one row per
+    merge: (rank, left, right, n) where n is the pair's weighted corpus
+    count at the time of the merge."""
+    state = _word_table(sf_dir, table).materialize()
+    out = []
+    for rank in range(n_merges):
+        top = (state.map_batches(_pair_partial, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+               .groupby(["left", "right"]).aggregate(Sum("n", alias_name="n"))
+               .sort(key=["n", "left", "right"],
+                     descending=[True, False, False])
+               .limit(1).take_all())
+        if not top:
+            break
+        left, right, cnt = top[0]["left"], top[0]["right"], int(top[0]["n"])
+        out.append({"rank": rank, "left": left, "right": right, "n": cnt})
+
+        def apply(t: pa.Table, left=left, right=right) -> pa.Table:
+            # a plain substring replace over SEP-joined symbols gets
+            # back-to-back pairs wrong ("aaaa" + (a,a) must give
+            # [aa,aa], but the match consumes the shared separator) —
+            # so merge on the exploded symbol array instead: candidate
+            # positions, greedy left-to-right = keep even offsets
+            # within each run of consecutive candidates, then rebuild
+            # the list column and ONE binary_join.
+            if t.num_rows == 0:
+                return t
+            split = pc.split_pattern(t["syms"], SEP).combine_chunks()
+            flat = split.values
+            offs = np.asarray(split.offsets).astype(np.int64)
+            row_id = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                               np.diff(offs))
+            fl = flat.to_numpy(zero_copy_only=False)
+            if len(fl) < 2:
+                return t
+            cand = np.flatnonzero((fl[:-1] == left) & (fl[1:] == right)
+                                  & (row_id[:-1] == row_id[1:]))
+            if len(cand) == 0:
+                return t
+            new_run = np.ones(len(cand), bool)
+            new_run[1:] = np.diff(cand) != 1
+            run_first = np.maximum.accumulate(
+                np.where(new_run, np.arange(len(cand)), 0))
+            p = cand[(np.arange(len(cand)) - run_first) % 2 == 0]
+            merged = np.zeros(len(fl), bool)
+            merged[p] = True
+            consumed = np.zeros(len(fl), bool)
+            consumed[p + 1] = True
+            new_flat = pc.if_else(pa.array(merged),
+                                  pa.scalar(left + right), flat)
+            new_flat = new_flat.filter(pa.array(~consumed))
+            counts = np.diff(offs) - np.bincount(row_id[p],
+                                                 minlength=t.num_rows)
+            new_offs = np.concatenate(
+                [[0], np.cumsum(counts)]).astype(np.int32)
+            lst = pa.ListArray.from_arrays(pa.array(new_offs, pa.int32()),
+                                           new_flat)
+            return pa.table({"syms": pc.binary_join(lst, SEP),
+                             "freq": t["freq"]})
+
+        state = state.map_batches(apply, batch_format="pyarrow",
+                                  zero_copy_batch=True).materialize()
+    df = pd.DataFrame(out, columns=["rank", "left", "right", "n"])
+    for c in ("rank", "n"):
+        df[c] = df[c].astype("int64")
+    return df
+
+
+def bpe_merges_reference(texts: list[str], n_merges: int) -> pd.DataFrame:
+    """Sequential pure-Python oracle: identical tokenization (lowercase,
+    U+0020 split, empties dropped), identical greedy left-to-right merge
+    and (count DESC, left, right) tie break."""
+    from collections import Counter
+
+    freqs = Counter()
+    for txt in texts:
+        for w in txt.lower().split(" "):
+            if w:
+                freqs[w] += 1
+    words = {w: list(w) for w in freqs}
+    out = []
+    for rank in range(n_merges):
+        pairs = Counter()
+        for w, syms in words.items():
+            f = freqs[w]
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        (left, right), cnt = min(pairs.items(),
+                                 key=lambda kv: (-kv[1], kv[0]))
+        out.append({"rank": rank, "left": left, "right": right,
+                    "n": int(cnt)})
+        for w, syms in words.items():
+            i, merged = 0, []
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == left
+                        and syms[i + 1] == right):
+                    merged.append(left + right)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            words[w] = merged
+    df = pd.DataFrame(out, columns=["rank", "left", "right", "n"])
+    for c in ("rank", "n"):
+        df[c] = df[c].astype("int64")
+    return df

@@ -1,0 +1,34 @@
+"""Distributed BPE trainer vs the sequential reference: exact merge-list
+equality on the fixture corpus, plus an adversarial overlap corpus
+(repeated symbols) exercising the greedy left-to-right merge rule."""
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from spardaqus_ray.pipelines import bpe
+from tests.conftest import SF001, has_testdata
+
+pytestmark = pytest.mark.skipif(not has_testdata(), reason="no testdata")
+
+
+def test_bpe_matches_reference_on_fixture(ray_session):
+    texts = pq.read_table(f"{SF001}/documents.parquet",
+                          columns=["text"])["text"].to_pylist()
+    ref = bpe.bpe_merges_reference(texts, bpe.BPE_MERGES)
+    got = bpe.bpe_merges(SF001)
+    pd.testing.assert_frame_equal(got, ref)
+    assert len(got) == bpe.BPE_MERGES  # fixture has enough pairs
+
+
+def test_bpe_greedy_overlap_and_ties(ray_session, tmp_path):
+    # "aaaa": (a,a) counts 3 per occurrence but merges greedily left-to-
+    # right into "aa","aa"; next round (aa,aa) must win inside "aaaa".
+    texts = ["aaaa aaaa b", "aaaa ab ab", "xy xy xy"]
+    pq.write_table(pa.table({"text": texts * 4}),
+                   str(tmp_path / "documents.parquet"))
+    ref = bpe.bpe_merges_reference(texts * 4, 4)
+    got = bpe.bpe_merges(str(tmp_path), n_merges=4)
+    pd.testing.assert_frame_equal(got, ref)
+    assert got["left"].iloc[0] == "a" and got["right"].iloc[0] == "a"
