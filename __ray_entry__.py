@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q47_weighted_sample": quality.q47_weighted_sample,
         "q48_funnel": funnel.q48_funnel,
         "q49_retention": funnel.q49_retention,
+        "q50_nation_coverage_full": relational.q50_nation_coverage_full,
         "doc_length_histogram": stats.doc_length_histogram,
         # --- dedup family (exact is SQL-checkable; rest rows-only) ---
         "dedup_exact_docs": dedup.exact_dedup_docs,
@@ -189,6 +190,7 @@ def oracle_sql() -> dict[str, str]:
         "q47_weighted_sample": quality.Q47_SQL,
         "q48_funnel": funnel.Q48_SQL,
         "q49_retention": funnel.Q49_SQL,
+        "q50_nation_coverage_full": relational.Q50_SQL,
         "sample_docs_stratified": repo_stats.SAMPLE_STRAT_SQL,
         "vocab_bigrams": textops.BIGRAM_SQL,
         "doc_shingle_dups": textops.SHINGLE_DUP_SQL,

@@ -645,6 +645,66 @@ GROUP BY n_name
 """
 
 
+# thresholds chosen so BOTH join sides have unmatched nations at
+# sf0.001 and sf0.01 (the point of a full outer join test) — shared
+# with Q50_SQL below.
+FULLJOIN_CUST_BAL = 9800
+FULLJOIN_SUPP_BAL = 5000
+
+
+def q50_nation_coverage_full(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER join of two keyed aggregates: per nation, count of
+    high-balance customers vs high-balance suppliers, keeping nations
+    present on EITHER side; one-sided keys surface null counts exactly
+    like the SQL oracle's.
+
+    Physical plan: each side pre-aggregates to one padded row per
+    nation (the other side's count column all-null), then UNION + one
+    groupby whose null-ignoring Sum leaves all-null groups null -- the
+    shuffle-minimal full outer for pre-aggregated inputs (|keys| rows
+    move once, not twice through a join exchange).
+    Dataset.join("full_outer") itself is avoided deliberately: in ray
+    2.49 a join partition that receives no shard for one side builds a
+    ZERO-COLUMN right table and pyarrow's join kernel KeyErrors on the
+    key column (reproduced with read_parquet->filter->groupby inputs;
+    the q21 left_outer path is unaffected)."""
+    def side(tbl: str, key: str, bal: str, thr: int,
+             n_self: str, n_other: str) -> ray.data.Dataset:
+        def pad(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.greater(t[bal], thr))
+            g = (t.select([key]).rename_columns(["nationkey"])
+                 .group_by("nationkey").aggregate([([], "count_all")]))
+            return pa.table({
+                "nationkey": g["nationkey"],
+                n_self: g["count_all"].cast(pa.int64()),
+                n_other: pa.nulls(g.num_rows, pa.int64()),
+            }).select(["nationkey", "n_cust", "n_supp"])
+
+        return read_table(sf_dir, tbl, columns=[key, bal]).map_batches(
+            pad, batch_format="pyarrow", zero_copy_batch=True)
+
+    cust = side("customer", "c_nationkey", "c_acctbal",
+                FULLJOIN_CUST_BAL, "n_cust", "n_supp")
+    supp = side("supplier", "s_nationkey", "s_acctbal",
+                FULLJOIN_SUPP_BAL, "n_supp", "n_cust")
+    out = (cust.union(supp).groupby("nationkey")
+           .aggregate(Sum("n_cust", alias_name="n_cust"),
+                      Sum("n_supp", alias_name="n_supp"))
+           .to_pandas())
+    return (out[["nationkey", "n_cust", "n_supp"]]
+            .sort_values("nationkey").reset_index(drop=True))
+
+
+Q50_SQL = f"""
+WITH c AS (SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_cust
+           FROM customer WHERE c_acctbal > {FULLJOIN_CUST_BAL} GROUP BY 1),
+s AS (SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_supp
+      FROM supplier WHERE s_acctbal > {FULLJOIN_SUPP_BAL} GROUP BY 1)
+SELECT COALESCE(c.nk, s.nk) AS nationkey, c.n_cust, s.n_supp
+FROM c FULL OUTER JOIN s ON c.nk = s.nk ORDER BY nationkey
+"""
+
+
 # Broadcast the customer->segment lookup only while the dimension is
 # small; over this cap (bytes of the customer parquet on disk) fall back
 # to the q2-style hash join so a 15M-row dimension never rides a task
