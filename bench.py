@@ -160,7 +160,8 @@ def bench_flagship() -> dict:
 
 
 def bench_queries() -> dict:
-    from spardaqus_ray.pipelines import ann, dedup, relational, textops
+    from spardaqus_ray.pipelines import (ann, bloom, bpe, dedup, funnel,
+                                         quality, relational, textops)
 
     out = {}
     for name, fn in [
@@ -178,6 +179,10 @@ def bench_queries() -> dict:
         ("ann_bruteforce", ann.ann_bruteforce),
         ("token_count_bpe", textops.token_count_bpe),
         ("tfidf_top_terms", textops.tfidf_top_terms),
+        ("q44_revenue_building_bloom", bloom.q44_revenue_building_bloom),
+        ("q45_decontaminate", quality.q45_decontaminate),
+        ("q48_funnel", funnel.q48_funnel),
+        ("bpe_merges", bpe.bpe_merges),
     ]:
         t0 = time.time()
         fn(SF_DIR)

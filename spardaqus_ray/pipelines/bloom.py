@@ -97,7 +97,8 @@ def q44_revenue_building_bloom(sf_dir: str,
                        columns=["c_custkey", "c_mktsegment"])
             .map_batches(lambda t: t.filter(
                 pc.equal(t["c_mktsegment"], "BUILDING"))
-                .select(["c_custkey"]), batch_format="pyarrow"))
+                .select(["c_custkey"]), batch_format="pyarrow")
+            .materialize())  # consumed twice: bloom build + exact verify
     orders = read_table(sf_dir, "orders",
                         columns=["o_custkey", "o_totalprice"])
 

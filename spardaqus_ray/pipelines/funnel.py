@@ -23,6 +23,7 @@ from ray.data.aggregate import Sum
 
 from spardaqus_ray.pipelines.windows import _keyed, _np, _segments, _ts_us
 from spardaqus_ray.sources.code_parquet import read_table
+from spardaqus_ray.util import default_partitions, table_bytes, tune_hash_width
 
 _INF = np.iinfo(np.int64).max
 _DAY_US = 86_400_000_000
@@ -58,7 +59,9 @@ def q48_funnel(sf_dir: str) -> pd.DataFrame:
     the user co-location shuffle and a 3-row groupby."""
     ds = read_table(sf_dir, "events",
                     columns=["user_id", "ts", "event_type"])
-    ds = _keyed(ds, "user_id", None)
+    tune_hash_width(ds, table_bytes(sf_dir, "events"))
+    ds = _keyed(ds, "user_id",
+                default_partitions(size_bytes=table_bytes(sf_dir, "events")))
 
     def block(t: pa.Table) -> pa.Table:
         empty = pa.table({"step": pa.array([], pa.string()),
@@ -116,7 +119,9 @@ def q49_retention(sf_dir: str) -> pd.DataFrame:
     in-block (users are co-located, so in-block unique is global);
     partials are <=7 rows per block."""
     ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
-    ds = _keyed(ds, "user_id", None)
+    tune_hash_width(ds, table_bytes(sf_dir, "events"))
+    ds = _keyed(ds, "user_id",
+                default_partitions(size_bytes=table_bytes(sf_dir, "events")))
 
     def block(t: pa.Table) -> pa.Table:
         empty = pa.table({"day_offset": pa.array([], pa.int64()),

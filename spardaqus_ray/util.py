@@ -86,6 +86,24 @@ def ensure_hash_shuffle(ds=None) -> None:
     silence_empty_schema_warning()
 
 
+def tune_hash_width(ds, size_bytes: int | None) -> None:
+    """ensure_hash_shuffle + make the dataset's context snapshot default
+    its hash-shuffle width from the DATA SIZE, not just the CPU count —
+    a groupby over a few-MB keyed table must not spawn 32 aggregator
+    actors for sub-MB partitions (measured 2-4x overhead at sf0.1; see
+    default_partitions). Subsequent groupby/join/repartition on `ds`
+    and its descendants inherit the tuned width; explicit
+    num_partitions arguments still win."""
+    ensure_hash_shuffle(ds)
+    if size_bytes is None:
+        return
+    from ray.data import DataContext
+
+    ctx = getattr(ds, "context", None) or DataContext.get_current()
+    ctx.default_hash_shuffle_parallelism = default_partitions(
+        size_bytes=size_bytes)
+
+
 class _EmptySchemaDivergenceFilter:
     """Drops exactly ONE benign Ray warning: the streaming executor's
     "Operator produced a RefBundle with a different schema ... new
