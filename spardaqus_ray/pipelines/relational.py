@@ -700,7 +700,7 @@ WITH c AS (SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_cust
            FROM customer WHERE c_acctbal > {FULLJOIN_CUST_BAL} GROUP BY 1),
 s AS (SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_supp
       FROM supplier WHERE s_acctbal > {FULLJOIN_SUPP_BAL} GROUP BY 1)
-SELECT COALESCE(c.nk, s.nk) AS nationkey, c.n_cust, s.n_supp
+SELECT CAST(COALESCE(c.nk, s.nk) AS BIGINT) AS nationkey, c.n_cust, s.n_supp
 FROM c FULL OUTER JOIN s ON c.nk = s.nk ORDER BY nationkey
 """
 
