@@ -341,9 +341,17 @@ if __name__ == "__main__":
         import ray.data
         ray.data.DataContext.get_current().enable_progress_bars = False
         # symmetric across parallelism levels: every scaling sample waits
-        # out any in-progress steal burst before its timed run
+        # out any in-progress steal burst before its timed run, and — like
+        # the headline — retries when a burst lands DURING the sample
+        # (>8% steal over its own duration); best sample wins
         _wait_for_quiet(max_wait_s=120)
-        flag = bench_flagship()
+        samples = [bench_flagship()]
+        max_samples = int(os.environ.get("GRAFT_BENCH_MAX_SAMPLES", "3"))
+        while (samples[-1]["host"]["steal_pct"] > 8.0
+               and len(samples) < max_samples):
+            _wait_for_quiet(max_wait_s=120)
+            samples.append(bench_flagship())
+        flag = min(samples, key=lambda s: s["sec"])
         ray.shutdown()
         print(json.dumps({"metric": "flagship_annotate_e2e",
                           "value": flag["sec"], "unit": "sec",
