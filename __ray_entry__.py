@@ -29,10 +29,10 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from spardaqus_ray.pipelines import (ann, bloom, bpe, cluster, dedup,
-                                         funnel, fuzzy, multimodal, quality,
-                                         relational, repo_stats, stats,
-                                         textops)
+    from spardaqus_ray.pipelines import (ann, bloom, bpe, cluster, decomp,
+                                         dedup, funnel, fuzzy, multimodal,
+                                         quality, relational, repo_stats,
+                                         stats, textops)
 
     return {
         # --- relational layer (SURVEY.md §2.8 Q1-Q10) ---
@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": ann.ann_ivf,
         "kmeans_embeddings": cluster.kmeans_embeddings,
         "bpe_merges": bpe.bpe_merges,
+        "pca_embeddings": decomp.pca_embeddings,
+        "pca_projection": decomp.pca_project,
         # --- text analysis / flagship slices (rows-only unless noted) ---
         "flagship_keep_stats": textops.flagship_keep_stats,
         "langid_agreement": textops.langid_agreement,

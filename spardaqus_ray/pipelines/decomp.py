@@ -1,0 +1,108 @@
+"""Distributed PCA over the embeddings table — the dimensionality-
+reduction stage upstream of ANN / IVF / k-means at scale.
+
+Plan: ONE streaming pass computes mergeable second-moment partials per
+block (n, sum x, sum x xT — each a d/d²-sized constant independent of
+row count); the driver reduces #blocks partials and eigendecomposes the
+d x d covariance (d=64 here; corpus-size-INDEPENDENT driver work, the
+textbook tall-skinny PCA split). Projection is then an embarrassingly
+parallel map_batches matmul against the broadcast (mean, components).
+
+Determinism: eigenvector sign is fixed by making each component's
+largest-|coordinate| entry positive — the same rule on the pytest
+numpy reference, so projections compare exactly up to float tolerance.
+No SQL oracle (eigendecomposition is not SQL-expressible): rows-only
+driver entries, equivalence vs the sequential reference gated in
+pytest (including a partition-invariance check on the partials).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from spardaqus_ray.pipelines.ann import _mat
+from spardaqus_ray.sources.code_parquet import read_table
+
+PCA_COMPONENTS = 8
+
+
+def _moment_partial(t: pa.Table) -> pa.Table:
+    """One row per block: (n, sum_x d, xtx d*d flattened), float64."""
+    x = _mat(t).astype(np.float64)
+    return pa.table({
+        "n": pa.array([t.num_rows], pa.int64()),
+        "s": pa.array([x.sum(axis=0)], pa.list_(pa.float64())),
+        "xtx": pa.array([(x.T @ x).ravel()], pa.list_(pa.float64())),
+    })
+
+
+def pca_model(sf_dir: str, k: int = PCA_COMPONENTS
+              ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(mean d, components k x d, eigenvalues k) from one distributed
+    moment pass + driver-side eigh of the d x d covariance."""
+    ds = read_table(sf_dir, "embeddings", columns=["embedding"])
+    parts = (ds.map_batches(_moment_partial, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all())
+    n = sum(int(p["n"]) for p in parts)
+    if n < 2:
+        raise ValueError("PCA needs >= 2 rows")
+    s = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
+    xtx = np.sum([np.asarray(p["xtx"]) for p in parts], axis=0)
+    d = len(s)
+    mean = s / n
+    cov = (xtx.reshape(d, d) - np.outer(s, s) / n) / (n - 1)
+    w, v = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(w)[::-1][:k]
+    eigvals, comps = w[order], v[:, order].T
+    # deterministic sign: largest-|coordinate| entry positive per comp
+    flip = comps[np.arange(len(comps)),
+                 np.abs(comps).argmax(axis=1)] < 0
+    comps[flip] *= -1.0
+    return mean, comps, eigvals
+
+
+def pca_embeddings(sf_dir: str, k: int = PCA_COMPONENTS) -> pd.DataFrame:
+    """Driver query: the top-k spectrum — (component, eigenvalue,
+    explained_variance_ratio). k rows; total variance is the covariance
+    trace, recovered exactly from the same moment pass."""
+    ds = read_table(sf_dir, "embeddings", columns=["embedding"])
+    parts = (ds.map_batches(_moment_partial, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all())
+    n = sum(int(p["n"]) for p in parts)
+    s = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
+    xtx = np.sum([np.asarray(p["xtx"]) for p in parts], axis=0)
+    d = len(s)
+    cov = (xtx.reshape(d, d) - np.outer(s, s) / n) / (n - 1)
+    w = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    total = float(np.trace(cov))
+    out = pd.DataFrame({
+        "component": np.arange(k, dtype=np.int64),
+        "eigenvalue": np.round(w[:k], 6),
+        "explained_variance_ratio": np.round(w[:k] / total, 6),
+    })
+    return out
+
+
+def pca_project(sf_dir: str, k: int = PCA_COMPONENTS) -> pd.DataFrame:
+    """Rows-only driver query: every vector projected onto the top-k
+    components — broadcast (mean, comps) once, per-batch matmul, no
+    exchange. Returns (vec_id, p0..p{k-1}) sorted by vec_id."""
+    mean, comps, _ = pca_model(sf_dir, k)
+    model_ref = ray.put((mean, comps))
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def project(t: pa.Table) -> pa.Table:
+        m, c = ray.get(model_ref)
+        p = (_mat(t).astype(np.float64) - m) @ c.T
+        cols = {"vec_id": t["vec_id"]}
+        for j in range(p.shape[1]):
+            cols[f"p{j}"] = pa.array(np.round(p[:, j], 6))
+        return pa.table(cols)
+
+    out = (ds.map_batches(project, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas())
+    return out.sort_values("vec_id").reset_index(drop=True)

