@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": ann.ann_ivf,
         "kmeans_embeddings": cluster.kmeans_embeddings,
         "bpe_merges": bpe.bpe_merges,
+        "pmi_bigrams": textops.pmi_bigrams,
         "pca_embeddings": decomp.pca_embeddings,
         "pca_projection": decomp.pca_project,
         # --- text analysis / flagship slices (rows-only unless noted) ---
@@ -195,6 +196,7 @@ def oracle_sql() -> dict[str, str]:
         "q50_nation_coverage_full": relational.Q50_SQL,
         "sample_docs_stratified": repo_stats.SAMPLE_STRAT_SQL,
         "vocab_bigrams": textops.BIGRAM_SQL,
+        "pmi_bigrams": textops.PMI_SQL,
         "doc_shingle_dups": textops.SHINGLE_DUP_SQL,
         "sample_docs_hash": repo_stats.SAMPLE_HASH_SQL,
         "fuzzy_part_pairs": fuzzy.FUZZY_PART_SQL,

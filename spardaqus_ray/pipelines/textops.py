@@ -558,3 +558,168 @@ SELECT shingle, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
 FROM g GROUP BY shingle HAVING COUNT(*) > 1
 ORDER BY n_total DESC, shingle ASC LIMIT 40
 """
+
+
+# --------------------------------------------------------------------------
+# PMI collocations — statistical phrase mining (the word2phrase /
+# collocation-detection building block for tokenizer curation).
+# --------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 30
+
+
+def pmi_bigrams(sf_dir: str, k: int = PMI_TOP_K,
+                min_count: int = PMI_MIN_COUNT,
+                table: str = "documents") -> pd.DataFrame:
+    """Top-k adjacent-token collocations by pointwise mutual information:
+    pmi(a,b) = ln( (n_ab/B) / ((n_a/T)(n_b/T)) ) with B total bigrams and
+    T total tokens, restricted to bigrams with n_ab >= min_count.
+
+    Plan: the vocab_bigrams partial (one Arrow chain, value_counts
+    per block) -> ONE bigram groupby; the unigram table rides the
+    vocab_top_tokens partial -> ONE token groupby. Unigram counts attach
+    via the TF-IDF broadcast rule (vocab-sized lookup under
+    TFIDF_DF_BROADCAST_MAX_BYTES ships once via index_in/take; above it
+    the attach is a hash join on each side of the bigram). Driver sees
+    k rows; totals are single-row aggregates."""
+    import pyarrow.compute as pc
+
+    from spardaqus_ray.util import default_partitions, ensure_hash_shuffle
+
+    ds = read_table(sf_dir, table, columns=["text"])
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"bigram": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        flat, offs = _block_token_positions(t)
+        n = len(flat)
+        if n < 2:
+            return empty
+        valid = np.ones(n, bool)
+        nonempty = offs[1:] > offs[:-1]
+        valid[offs[1:][nonempty] - 1] = False
+        starts = np.flatnonzero(valid)
+        if len(starts) == 0:
+            return empty
+        a = flat.take(pa.array(starts))
+        b = flat.take(pa.array(starts + 1))
+        big = pa.compute.binary_join_element_wise(a, b, " ")
+        keep = pa.compute.and_(pa.compute.not_equal(a, ""),
+                               pa.compute.not_equal(b, ""))
+        vc = big.filter(keep).value_counts()
+        return pa.table({"bigram": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    def token_partial(t: pa.Table) -> pa.Table:
+        vals, counts = _block_token_counts(t)
+        return pa.table({"token": vals, "n": counts})
+
+    bg = (ds.map_batches(bigram_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+          .groupby("bigram").aggregate(Sum("n", alias_name="n"))
+          .materialize())
+    ug = (ds.map_batches(token_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+          .groupby("token").aggregate(Sum("n", alias_name="n"))
+          .materialize())
+    B = float(bg.aggregate(Sum("n", alias_name="s"))["s"])
+    T = float(ug.aggregate(Sum("n", alias_name="s"))["s"])
+    cand = bg.filter(expr=f"n >= {min_count}")
+
+    if ug.size_bytes() <= TFIDF_DF_BROADCAST_MAX_BYTES:
+        ugt = ug.to_pandas()
+        ug_tokens = pa.array(ugt["token"], pa.string())
+        ug_counts = ugt["n"].to_numpy().astype(np.float64)
+
+        def score(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"bigram": pa.array([], pa.string()),
+                                 "n": pa.array([], pa.int64()),
+                                 "pmi": pa.array([], pa.float64())})
+            parts = pc.split_pattern(t["bigram"].combine_chunks(), " ")
+            flat = parts.values
+            ab = flat.take(pa.array(np.arange(0, len(flat), 2)))
+            bb = flat.take(pa.array(np.arange(1, len(flat), 2)))
+            na = ug_counts[pc.index_in(ab, value_set=ug_tokens)
+                           .to_numpy(zero_copy_only=False)]
+            nb = ug_counts[pc.index_in(bb, value_set=ug_tokens)
+                           .to_numpy(zero_copy_only=False)]
+            nab = t["n"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            pmi = np.log((nab / B) / ((na / T) * (nb / T)))
+            return pa.table({"bigram": t["bigram"], "n": t["n"],
+                             "pmi": pa.array(pmi)})
+
+        scored = cand.map_batches(score, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    else:
+        def split_cols(t: pa.Table) -> pa.Table:
+            parts = pc.split_pattern(t["bigram"].combine_chunks(), " ")
+            flat = parts.values
+            return pa.table({
+                "bigram": t["bigram"], "n": t["n"],
+                "_a": flat.take(pa.array(np.arange(0, len(flat), 2))),
+                "_b": flat.take(pa.array(np.arange(1, len(flat), 2)))})
+
+        wide = cand.map_batches(split_cols, batch_format="pyarrow",
+                                zero_copy_batch=True)
+        ensure_hash_shuffle(wide)
+        width = default_partitions(size_bytes=bg.size_bytes())
+        j = wide.join(ug.map_batches(
+            lambda t: t.rename_columns(["_a", "_na"]),
+            batch_format="pyarrow"), "inner", num_partitions=width,
+            on=("_a",))
+        j = j.join(ug.map_batches(
+            lambda t: t.rename_columns(["_b", "_nb"]),
+            batch_format="pyarrow"), "inner", num_partitions=width,
+            on=("_b",))
+
+        def score2(t: pa.Table) -> pa.Table:
+            nab = t["n"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            na = t["_na"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            nb = t["_nb"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            pmi = np.log((nab / B) / ((na / T) * (nb / T)))
+            return pa.table({"bigram": t["bigram"], "n": t["n"],
+                             "pmi": pa.array(pmi)})
+
+        scored = j.map_batches(score2, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    out = (scored.sort(key=["pmi", "bigram"], descending=[True, False])
+           .limit(k).to_pandas())
+    if "bigram" not in out.columns:
+        return pd.DataFrame({"bigram": pd.Series([], dtype=str),
+                             "n": pd.Series([], dtype="int64"),
+                             "pmi": pd.Series([], dtype=float)})
+    out["n"] = out["n"].astype("int64")
+    out["pmi"] = out["pmi"].astype(float).round(4)
+    return out[["bigram", "n", "pmi"]].reset_index(drop=True)
+
+
+PMI_SQL = f"""
+WITH t AS (SELECT string_split(lower(text), ' ') AS l FROM documents),
+b AS (SELECT unnest(list_zip(l[1:len(l)-1], l[2:])) AS p FROM t),
+bg AS (SELECT p[1] || ' ' || p[2] AS bigram, p[1] AS a, p[2] AS bt,
+              CAST(COUNT(*) AS BIGINT) AS n
+       FROM b WHERE p[1] <> '' AND p[2] <> '' GROUP BY 1, 2, 3),
+ug AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+       FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+             FROM documents)
+       WHERE token <> '' GROUP BY token),
+tot AS (SELECT (SELECT CAST(SUM(n) AS DOUBLE) FROM bg) AS B,
+               (SELECT CAST(SUM(n) AS DOUBLE) FROM ug) AS T)
+SELECT bigram, bg.n,
+       ROUND(ln((bg.n / tot.B) / ((ua.n / tot.T) * (ub.n / tot.T))), 4)
+           AS pmi
+FROM bg, tot
+JOIN ug ua ON ua.token = bg.a
+JOIN ug ub ON ub.token = bg.bt
+WHERE bg.n >= {PMI_MIN_COUNT}
+ORDER BY ln((bg.n / tot.B) / ((ua.n / tot.T) * (ub.n / tot.T))) DESC,
+         bigram ASC
+LIMIT {PMI_TOP_K}
+"""

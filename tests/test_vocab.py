@@ -100,3 +100,17 @@ def test_heavy_hitters_no_compression_is_exact(ray_session):
     true = _true_counts(f"{SF001}/documents.parquet")
     assert (hh["err_bound"] == 0).all()
     assert dict(zip(hh["token"], hh["n"])) == dict(true)
+
+
+def test_pmi_plan_equivalence(ray_session, monkeypatch):
+    """PMI's broadcast unigram attach and the forced hash-join fallback
+    must select identical rows (cap monkeypatched to 0)."""
+    import pandas as pd
+
+    from spardaqus_ray.pipelines import textops
+    from tests.conftest import SF001
+
+    a = textops.pmi_bigrams(SF001)
+    monkeypatch.setattr(textops, "TFIDF_DF_BROADCAST_MAX_BYTES", 0)
+    b = textops.pmi_bigrams(SF001)
+    pd.testing.assert_frame_equal(a, b)
