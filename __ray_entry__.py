@@ -86,6 +86,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q48_funnel": funnel.q48_funnel,
         "q49_retention": funnel.q49_retention,
         "q50_nation_coverage_full": relational.q50_nation_coverage_full,
+        "q51_event_transitions": funnel.q51_event_transitions,
+        "q52_mad_price_by_segment": relational.q52_mad_price_by_segment,
         "doc_length_histogram": stats.doc_length_histogram,
         # --- dedup family (exact is SQL-checkable; rest rows-only) ---
         "dedup_exact_docs": dedup.exact_dedup_docs,
@@ -194,6 +196,8 @@ def oracle_sql() -> dict[str, str]:
         "q48_funnel": funnel.Q48_SQL,
         "q49_retention": funnel.Q49_SQL,
         "q50_nation_coverage_full": relational.Q50_SQL,
+        "q51_event_transitions": funnel.Q51_SQL,
+        "q52_mad_price_by_segment": relational.Q52_SQL,
         "sample_docs_stratified": repo_stats.SAMPLE_STRAT_SQL,
         "vocab_bigrams": textops.BIGRAM_SQL,
         "pmi_bigrams": textops.PMI_SQL,

@@ -165,3 +165,65 @@ FROM ud JOIN c USING (user_id)
 WHERE d - d0 <= {RETENTION_MAX_OFFSET}
 GROUP BY 1 ORDER BY 1
 """
+
+
+def q51_event_transitions(sf_dir: str) -> pd.DataFrame:
+    """Markov transition counts over the event stream: for every
+    consecutive pair of events of one user (ordered by ts, event_id),
+    count (prev_type -> event_type) transitions. Same physical plan as
+    the funnel: ONE keyed shuffle co-locates users, a whole-block numpy
+    lexsort + shift-by-one derives every lag in the block at once, and
+    blocks emit <= |event_type|^2 partial count rows, so the final
+    groupby exchanges a bounded transition matrix, never the events."""
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"])
+    tune_hash_width(ds, table_bytes(sf_dir, "events"))
+    ds = _keyed(ds, "user_id",
+                default_partitions(size_bytes=table_bytes(sf_dir, "events")))
+
+    def block(t: pa.Table) -> pa.Table:
+        empty = pa.table({"prev_type": pa.array([], pa.string()),
+                          "event_type": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = _np(t["user_id"])
+        tt = _ts_us(t["ts"])
+        eid = _np(t["event_id"])
+        idx = np.lexsort((eid, tt, u))
+        typ = t["event_type"].combine_chunks().to_numpy(
+            zero_copy_only=False)[idx]
+        u = u[idx]
+        # row i pairs with i-1 when both belong to the same user
+        same = np.empty(len(u), bool)
+        same[0] = False
+        same[1:] = u[1:] == u[:-1]
+        if not same.any():
+            return empty
+        cur = typ[same]
+        prev = typ[np.flatnonzero(same) - 1]
+        df = (pd.DataFrame({"prev_type": prev, "event_type": cur})
+              .groupby(["prev_type", "event_type"], sort=False)
+              .size().reset_index(name="n"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (ds.map_batches(block, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+           .groupby(["prev_type", "event_type"])
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    out["n"] = out["n"].astype("int64")
+    return (out.sort_values(["prev_type", "event_type"])
+            .reset_index(drop=True))
+
+
+Q51_SQL = """
+SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev_type
+      FROM events)
+WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

@@ -1116,3 +1116,61 @@ SELECT o_orderkey,
            ORDER BY o_totalprice DESC), 4) AS cd
 FROM orders
 """
+
+
+def q52_mad_price_by_segment(sf_dir: str) -> pd.DataFrame:
+    """Grouped robust dispersion: median absolute deviation of order
+    price per market segment (PERCENTILE_CONT semantics on both passes).
+    Same physical plan as q22 — broadcast/capped segment attach, ONE
+    hash repartition on the segment — and because the keyed repartition
+    co-locates each segment entirely in one block, BOTH quantile passes
+    (median, then median of |x - median|) run locally in that block with
+    no second exchange. The 100-TB path swaps the exact block quantile
+    for the mergeable bottom-k sketch exactly as q22 documents."""
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    ds = _attach_segment(ds, sf_dir, keep=["o_totalprice"])
+    ensure_hash_shuffle(ds)
+    ds = ds.repartition(
+        default_partitions(size_bytes=table_bytes(sf_dir, "orders")),
+        keys=["c_mktsegment"])
+
+    def mad_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"c_mktsegment": pa.array([], pa.string()),
+                             "median_price": pa.array([], pa.float64()),
+                             "mad_price": pa.array([], pa.float64())})
+        df = t.to_pandas()
+        df["o_totalprice"] = df["o_totalprice"].astype(np.float64)
+        med = (df.groupby("c_mktsegment", sort=True)["o_totalprice"]
+               .quantile(0.5, interpolation="linear"))
+        dev = (df["o_totalprice"]
+               - df["c_mktsegment"].map(med).astype(np.float64)).abs()
+        mad = (dev.groupby(df["c_mktsegment"], sort=True)
+               .quantile(0.5, interpolation="linear"))
+        return pa.table({
+            "c_mktsegment": pa.array(med.index),
+            "median_price": pa.array(med.round(4).to_numpy()),
+            "mad_price": pa.array(mad.round(4).to_numpy()),
+        })
+
+    return (ds.map_batches(mad_block, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+            .to_pandas().sort_values("c_mktsegment").reset_index(drop=True))
+
+
+Q52_SQL = """
+WITH seg AS (
+  SELECT c_mktsegment, CAST(o_totalprice AS DOUBLE) AS p
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+med AS (
+  SELECT c_mktsegment,
+         percentile_cont(0.5) WITHIN GROUP (ORDER BY p) AS med
+  FROM seg GROUP BY 1)
+SELECT s.c_mktsegment,
+       ROUND(ANY_VALUE(m.med), 4) AS median_price,
+       ROUND(percentile_cont(0.5)
+             WITHIN GROUP (ORDER BY abs(s.p - m.med)), 4) AS mad_price
+FROM seg s JOIN med m USING (c_mktsegment)
+GROUP BY s.c_mktsegment
+ORDER BY s.c_mktsegment
+"""
