@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q50_nation_coverage_full": relational.q50_nation_coverage_full,
         "q51_event_transitions": funnel.q51_event_transitions,
         "q52_mad_price_by_segment": relational.q52_mad_price_by_segment,
+        "q53_dup_spans": quality.q53_dup_spans,
         "doc_length_histogram": stats.doc_length_histogram,
         # --- dedup family (exact is SQL-checkable; rest rows-only) ---
         "dedup_exact_docs": dedup.exact_dedup_docs,
@@ -198,6 +199,7 @@ def oracle_sql() -> dict[str, str]:
         "q50_nation_coverage_full": relational.Q50_SQL,
         "q51_event_transitions": funnel.Q51_SQL,
         "q52_mad_price_by_segment": relational.Q52_SQL,
+        "q53_dup_spans": quality.Q53_SQL,
         "sample_docs_stratified": repo_stats.SAMPLE_STRAT_SQL,
         "vocab_bigrams": textops.BIGRAM_SQL,
         "pmi_bigrams": textops.PMI_SQL,

@@ -334,3 +334,133 @@ SELECT doc_id, n_chars FROM (
   ORDER BY s DESC, doc_id ASC LIMIT {WSAMPLE_K})
 ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Q53: corpus-level duplicated-span detection (Lee et al. 2022 "substring
+# dedup" at token-window granularity / C4 line-dedup where the "line" is
+# a fixed token window): for every document, how many of its 5-token
+# windows also occur in at least one OTHER document. The per-doc
+# dup_grams / n_grams ratio is the standard drop/trim signal.
+# --------------------------------------------------------------------------
+
+DUPSPAN_K = 5
+
+# Position-weighted 64-bit polynomial over per-word crc32 hashes: gram
+# identity ships as 8 bytes, never the text. Collision odds: distinct
+# grams collide at ~G^2/2^65 (G=1e9 grams -> ~3e-8); word-level crc32
+# collisions only matter when the colliding words share the other k-1
+# context words. Exactness vs the string-keyed SQL oracle is pinned by
+# the driver gate at fixture scale.
+_DUPSPAN_P = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _gram_hashes(t: pa.Table, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(uint64 gram hash, doc row_id) for every window of k adjacent
+    non-empty tokens within one document — vectorized: one crc32 pass
+    over the flat token buffer, k strided multiply-adds."""
+    from spardaqus_ray.functions.hashing import crc32_column
+
+    flat, row_id = _tokens_rows(t)
+    n = len(flat)
+    if n < k:
+        return np.array([], np.uint64), np.array([], np.int64)
+    ok = row_id[: n - k + 1] == row_id[k - 1:]
+    starts = np.flatnonzero(ok)
+    if len(starts) == 0:
+        return np.array([], np.uint64), np.array([], np.int64)
+    w = crc32_column(flat).astype(np.uint64)
+    h = np.zeros(len(starts), np.uint64)
+    mult = np.uint64(1)
+    for j in range(k):
+        h += w[starts + j] * mult
+        mult = mult * _DUPSPAN_P
+    return h, row_id[starts]
+
+
+def q53_dup_spans(sf_dir: str, k: int = DUPSPAN_K) -> pd.DataFrame:
+    """Per-document duplicated-window statistics: n_grams = number of
+    k-token windows, dup_grams = how many of them occur in >= 2 distinct
+    documents corpus-wide.
+
+    Plan: blocks collapse to globally-unique (gram, doc_id, cnt) rows
+    (documents never split across blocks, so an in-block collapse is
+    global); ONE hash exchange on the 8-byte gram key co-locates each
+    gram, a whole-block lexsort marks grams whose distinct-doc count
+    >= 2, and blocks emit per-doc partial sums — the final groupby
+    exchanges ndocs-bounded rows. The text itself is never shuffled."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    width = default_partitions(size_bytes=table_bytes(sf_dir, "documents"))
+
+    def explode(t: pa.Table) -> pa.Table:
+        empty = pa.table({"gram": pa.array([], pa.int64()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "cnt": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        h, rid = _gram_hashes(t, k)
+        if len(h) == 0:
+            return empty
+        doc = t["doc_id"].combine_chunks().to_numpy(
+            zero_copy_only=False)[rid]
+        df = (pd.DataFrame({"gram": h.view(np.int64), "doc_id": doc})
+              .groupby(["gram", "doc_id"], sort=False)
+              .size().reset_index(name="cnt"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    ex = ds.map_batches(explode, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    ensure_hash_shuffle(ex)
+    ex = ex.repartition(width, keys=["gram"])
+
+    def mark(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_grams": pa.array([], pa.int64()),
+                          "dup_grams": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        g = t["gram"].combine_chunks().to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].combine_chunks().to_numpy(zero_copy_only=False)
+        idx = np.argsort(g, kind="stable")
+        g, doc, cnt = g[idx], doc[idx], cnt[idx]
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        seglen = np.diff(np.r_[starts, len(g)])
+        # (gram, doc) rows are globally unique -> segment length IS the
+        # gram's distinct-doc count
+        dup = np.repeat(seglen >= 2, seglen)
+        df = pd.DataFrame({"doc_id": doc, "n_grams": cnt,
+                           "dup_grams": np.where(dup, cnt, 0)})
+        out = df.groupby("doc_id", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    out = (ex.map_batches(mark, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+           .groupby("doc_id")
+           .aggregate(Sum("n_grams", alias_name="n_grams"),
+                      Sum("dup_grams", alias_name="dup_grams"))
+           .to_pandas())
+    out = out.astype({"doc_id": "int64", "n_grams": "int64",
+                      "dup_grams": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q53_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '),
+                     x -> x <> '') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         array_to_string(toks[u.pos : u.pos + {DUPSPAN_K - 1}], ' ') AS gram
+  FROM d, unnest(range(1, len(toks) - {DUPSPAN_K - 2})) AS u(pos)),
+f AS (SELECT gram, COUNT(DISTINCT doc_id) AS ndocs FROM g GROUP BY gram)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dup_grams
+FROM g JOIN f USING (gram)
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""
