@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q51_event_transitions": funnel.q51_event_transitions,
         "q52_mad_price_by_segment": relational.q52_mad_price_by_segment,
         "q53_dup_spans": quality.q53_dup_spans,
+        "approx_distinct_hll": repo_stats.approx_distinct_hll,
         "doc_length_histogram": stats.doc_length_histogram,
         # --- dedup family (exact is SQL-checkable; rest rows-only) ---
         "dedup_exact_docs": dedup.exact_dedup_docs,

@@ -146,3 +146,50 @@ def test_segment_attach_plans_equivalent(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(q22_b, q22_j)
     pd.testing.assert_frame_equal(q23_b.reset_index(drop=True),
                                   q23_j.reset_index(drop=True))
+
+
+def test_hll_accuracy():
+    from spardaqus_ray.pipelines.repo_stats import (HLL_M, _kmv_hash,
+                                                    hll_estimate, hll_rho)
+
+    rng = np.random.default_rng(3)
+    for true_n in (50, 5_000, 300_000):
+        vals = np.unique(rng.integers(0, 2**62, size=true_n, dtype=np.int64))
+        idx, rho = hll_rho(_kmv_hash(vals.astype(np.uint64)))
+        regs = np.zeros(HLL_M, np.int64)
+        np.maximum.at(regs, idx, rho)
+        est = hll_estimate(regs)
+        # 3 sigma of the 1.04/sqrt(m) standard error, plus slack for the
+        # linear-counting switchover
+        assert abs(est - len(vals)) / len(vals) < 0.06, (true_n, est)
+
+
+def test_hll_merge_associative():
+    from spardaqus_ray.pipelines.repo_stats import (HLL_M, _kmv_hash,
+                                                    hll_estimate, hll_rho)
+
+    rng = np.random.default_rng(4)
+    vals = rng.integers(0, 2**62, size=80_000, dtype=np.int64)
+    idx, rho = hll_rho(_kmv_hash(vals.astype(np.uint64)))
+    whole = np.zeros(HLL_M, np.int64)
+    np.maximum.at(whole, idx, rho)
+    merged = np.zeros(HLL_M, np.int64)
+    for part in np.array_split(np.arange(len(vals)), 9):
+        p = np.zeros(HLL_M, np.int64)
+        np.maximum.at(p, idx[part], rho[part])
+        merged = np.maximum(merged, p)
+    assert np.array_equal(whole, merged)
+    assert hll_estimate(whole) == hll_estimate(merged)
+
+
+@pytest.mark.skipif(not has_testdata(), reason="no testdata")
+def test_hll_vs_exact_distinct(ray_session):
+    from spardaqus_ray.pipelines.relational import q17_distinct_parts_exact
+    from spardaqus_ray.pipelines.repo_stats import approx_distinct_hll
+
+    approx = approx_distinct_hll(SF001).set_index("l_returnflag")
+    exact = q17_distinct_parts_exact(SF001).set_index("l_returnflag")
+    for f in exact.index:
+        a = approx.loc[f, "approx_distinct_hll"]
+        e = exact.loc[f, "distinct_parts"]
+        assert abs(a - e) / e < 0.06, (f, a, e)
