@@ -32,7 +32,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from spardaqus_ray.pipelines import (ann, bloom, bpe, cluster, decomp,
                                          dedup, funnel, fuzzy, multimodal,
                                          quality, relational, repo_stats,
-                                         stats, textops)
+                                         stats, textops, winnow)
 
     return {
         # --- relational layer (SURVEY.md §2.8 Q1-Q10) ---
@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_cosine": dedup.embedding_cosine_pairs_exact,
         "dedup_embedding_lsh": dedup.embedding_neardup_pairs_moderate,
         "dedup_neardup_groups": dedup.neardup_groups,
+        "dedup_winnow": winnow.winnow_dup_pairs,
         # --- similarity search / clustering ---
         "ann_bruteforce": ann.ann_bruteforce,
         "ann_ivf": ann.ann_ivf,

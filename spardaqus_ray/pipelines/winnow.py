@@ -1,0 +1,177 @@
+"""Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
+"Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
+algorithm): per document, hash every k-byte gram of the normalized text,
+slide a w-gram window and keep the rightmost minimal hash per window.
+The selected hash set is a position-robust fingerprint with a guarantee
+LSH lacks: any shared substring of at least w + k - 1 bytes contributes
+at least one SHARED fingerprint, so substring plagiarism/boilerplate is
+caught deterministically, not probabilistically.
+
+Plan shape (the minhash_lsh_pairs_ds pattern): blocks emit globally
+unique (fp, doc_id) rows (documents never split across blocks), ONE
+hash exchange on the 8-byte fingerprint key, per-bucket pair emission
+capped + logged, and a (a, b) groupby-count bounds the driver pull at
+the qualifying pair set. The text is never shuffled.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data.aggregate import Count
+
+from spardaqus_ray.sources.code_parquet import read_table
+from spardaqus_ray.util import (default_partitions, ensure_hash_shuffle,
+                                table_bytes)
+
+log = logging.getLogger(__name__)
+
+WINNOW_K = 16         # byte-gram length over space-stripped lowercase text
+WINNOW_W = 8          # winnow window: guarantee threshold = w + k - 1 bytes
+WINNOW_MIN_SHARED = 2  # report pairs sharing >= this many fingerprints
+WINNOW_BUCKET_CAP = 64  # max docs cross-paired per fingerprint bucket
+
+_B = np.uint64(257)   # polynomial base; identity = sum b[j] * B^(k-1-j) mod 2^64
+
+
+def _gram_weights(k: int) -> np.ndarray:
+    w = np.empty(k, np.uint64)
+    w[-1] = 1
+    for j in range(k - 2, -1, -1):
+        w[j] = w[j + 1] * _B
+    return w
+
+
+def _normalize(col: pa.ChunkedArray) -> pa.Array:
+    """Lowercase + strip spaces: fingerprints survive re-spacing /
+    re-wrapping, the normalization MOSS applies before hashing."""
+    return pc.replace_substring(
+        pc.utf8_lower(col), pattern=" ", replacement="").combine_chunks()
+
+
+def winnow_block(col: pa.ChunkedArray,
+                 k: int = WINNOW_K,
+                 w: int = WINNOW_W) -> tuple[np.ndarray, np.ndarray]:
+    """(fingerprint uint64, row_id) pairs for one block of texts —
+    fully vectorized across documents: one flat-buffer polynomial pass
+    (k strided multiply-adds), one sliding-window rightmost-argmin over
+    ALL docs' grams at once (cross-doc windows masked), position-deduped
+    per the winnowing definition."""
+    from spardaqus_ray.functions.heuristics import _flat_utf8
+
+    buf, offsets = _flat_utf8(_normalize(col))
+    lengths = np.diff(offsets)
+    n = len(buf)
+    if n < k:
+        return np.array([], np.uint64), np.array([], np.int64)
+    # gram hash at every flat-buffer position (cross-doc grams masked next)
+    m = n - k + 1
+    weights = _gram_weights(k)
+    h = np.zeros(m, np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            h += buf[j:j + m].astype(np.uint64) * weights[j]
+    # valid gram starts per doc: offsets[d] .. offsets[d+1]-k
+    counts = np.maximum(lengths - k + 1, 0)
+    ndocs = len(lengths)
+    doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), counts)
+    if len(doc_of) == 0:
+        return np.array([], np.uint64), np.array([], np.int64)
+    excl = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    within = np.arange(len(doc_of), dtype=np.int64) - excl[doc_of]
+    gram_pos = offsets[:-1][doc_of] + within   # flat-buffer start of gram
+    g = h[gram_pos]                            # doc-ordered gram hashes
+    # sliding w-window rightmost-argmin over the doc-ordered gram array
+    t = len(g)
+    if t < w:
+        win_valid = np.array([], bool)
+    else:
+        win_valid = doc_of[: t - w + 1] == doc_of[w - 1:]
+    starts = np.flatnonzero(win_valid)
+    if len(starts) == 0:
+        return np.array([], np.uint64), np.array([], np.int64)
+    wins = np.lib.stride_tricks.sliding_window_view(g, w)[starts]
+    # rightmost minimal = leftmost minimal of the reversed window
+    sel = (w - 1) - np.argmin(wins[:, ::-1], axis=1)
+    pos = starts + sel                         # index into g / doc_of
+    pos = np.unique(pos)                       # winnowing position-dedupe
+    return g[pos], doc_of[pos]
+
+
+def winnow_fingerprints_ds(sf_dir: str, table: str = "documents",
+                           k: int = WINNOW_K, w: int = WINNOW_W):
+    """Dataset of globally unique (fp int64, doc_id) fingerprint rows."""
+    ds = read_table(sf_dir, table, columns=["doc_id", "text"])
+
+    def emit(t: pa.Table) -> pa.Table:
+        empty = pa.table({"fp": pa.array([], pa.int64()),
+                          "doc_id": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        fp, rid = winnow_block(t["text"], k, w)
+        if len(fp) == 0:
+            return empty
+        doc = t["doc_id"].combine_chunks().to_numpy(
+            zero_copy_only=False)[rid]
+        df = (pd.DataFrame({"fp": fp.view(np.int64), "doc_id": doc})
+              .drop_duplicates())          # per-doc value dedupe
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return ds.map_batches(emit, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def winnow_dup_pairs(sf_dir: str, table: str = "documents",
+                     min_shared: int = WINNOW_MIN_SHARED) -> pd.DataFrame:
+    """Document pairs sharing >= min_shared winnowing fingerprints,
+    with the shared count — the MOSS match report. One fp-keyed
+    exchange, capped in-bucket pair emission, (a, b) groupby-count."""
+    fps = winnow_fingerprints_ds(sf_dir, table)
+    ensure_hash_shuffle(fps)
+    fps = fps.repartition(
+        default_partitions(size_bytes=table_bytes(sf_dir, table)),
+        keys=["fp"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        f = t["fp"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        idx = np.lexsort((d, f))
+        f, d = f[idx], d[idx]
+        starts = np.flatnonzero(np.r_[True, f[1:] != f[:-1]])
+        seglen = np.diff(np.r_[starts, len(f)])
+        out_a, out_b = [], []
+        capped = 0
+        for s, ln in zip(starts, seglen):
+            if ln < 2:
+                continue
+            docs = d[s:s + ln]               # sorted ascending (lexsort)
+            if ln > WINNOW_BUCKET_CAP:
+                docs = docs[:WINNOW_BUCKET_CAP]
+                capped += 1
+            ii, jj = np.triu_indices(len(docs), k=1)
+            out_a.extend(docs[ii].tolist())
+            out_b.extend(docs[jj].tolist())
+        if capped:
+            log.warning("winnow: %d fingerprint buckets exceeded cap=%d "
+                        "docs; paired the cap smallest ids",
+                        capped, WINNOW_BUCKET_CAP)
+        return pa.table({"a": pa.array(out_a, pa.int64()),
+                         "b": pa.array(out_b, pa.int64())})
+
+    counted = (fps.map_batches(pairs, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None)
+               .groupby(["a", "b"])
+               .aggregate(Count(alias_name="n_shared"))
+               .to_pandas())
+    counted = counted[counted["n_shared"] >= min_shared]
+    counted = counted.astype({"a": "int64", "b": "int64",
+                              "n_shared": "int64"})
+    return counted.sort_values(["a", "b"]).reset_index(drop=True)

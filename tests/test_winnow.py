@@ -1,0 +1,104 @@
+"""Winnowing fingerprint tests: vectorized block kernel vs a pure-Python
+sequential oracle, the w+k-1 shared-substring guarantee, and distributed
+pair e2e equality on the documents fixture."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from spardaqus_ray.pipelines.winnow import (WINNOW_K, WINNOW_MIN_SHARED,
+                                            WINNOW_W, winnow_block,
+                                            winnow_dup_pairs)
+from tests.conftest import SF001, has_testdata
+
+M64 = 1 << 64
+
+
+def _py_winnow(text: str, k: int = WINNOW_K, w: int = WINNOW_W) -> set:
+    """Sequential reference: Schleimer et al. Fig. 5 with rightmost-min
+    tie-break and position dedupe, polynomial byte hash mod 2^64."""
+    s = text.lower().replace(" ", "").encode("utf-8")
+    if len(s) < k:
+        return set()
+    grams = []
+    for i in range(len(s) - k + 1):
+        h = 0
+        for j in range(k):
+            h = (h * 257 + s[i + j]) % M64
+        grams.append(h)
+    if len(grams) < w:
+        return set()
+    pos = set()
+    for i in range(len(grams) - w + 1):
+        window = grams[i:i + w]
+        mn = min(window)
+        j = max(x for x in range(w) if window[x] == mn)
+        pos.add(i + j)
+    return {grams[p] for p in pos}
+
+
+def _block_sets(texts):
+    fp, rid = winnow_block(pa.chunked_array([pa.array(texts)]))
+    out = [set() for _ in texts]
+    for f, r in zip(fp.tolist(), rid.tolist()):
+        out[int(r)].add(int(f))
+    return out
+
+
+def test_block_matches_python_oracle():
+    rng = np.random.default_rng(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "theta", "kappa", "lambda", "sigma"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(0, 60)))
+             for _ in range(40)]
+    texts += ["", "tiny", "A B", texts[0], texts[0].upper()]
+    got = _block_sets(texts)
+    for t, g in zip(texts, got):
+        assert g == _py_winnow(t), t[:50]
+
+
+def test_shared_substring_guarantee():
+    # any shared normalized substring of >= w + k - 1 bytes must yield
+    # at least one shared fingerprint (the winnowing theorem)
+    shared = "the quick brown fox jumps over the lazy dog"
+    assert len(shared.replace(" ", "")) >= WINNOW_W + WINNOW_K - 1
+    a = "prefix words here " + shared + " and a suffix"
+    b = "totally different opening " + shared + " closing words"
+    sa, sb = _block_sets([a, b])
+    assert sa & sb
+
+
+def test_disjoint_texts_share_nothing():
+    a = "aaaa bbbb cccc dddd eeee ffff gggg hhhh iiii jjjj"
+    b = "kkkk llll mmmm nnnn oooo pppp qqqq rrrr ssss tttt"
+    sa, sb = _block_sets([a, b])
+    assert sa and sb and not (sa & sb)
+
+
+@pytest.mark.skipif(not has_testdata(), reason="no testdata")
+def test_winnow_pairs_e2e(ray_session):
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF001}/documents.parquet",
+                        columns=["doc_id", "text"])
+    ids = tbl["doc_id"].to_pylist()
+    sets = {i: _py_winnow(t)
+            for i, t in zip(ids, tbl["text"].to_pylist())}
+    from collections import defaultdict
+    bucket = defaultdict(list)
+    for i, s in sets.items():
+        for f in s:
+            bucket[f].append(i)
+    counts = defaultdict(int)
+    for f, docs in bucket.items():
+        docs = sorted(docs)
+        for x in range(len(docs)):
+            for y in range(x + 1, len(docs)):
+                counts[(docs[x], docs[y])] += 1
+    want = pd.DataFrame(
+        [(a, b, n) for (a, b), n in sorted(counts.items())
+         if n >= WINNOW_MIN_SHARED],
+        columns=["a", "b", "n_shared"]).astype("int64")
+    got = winnow_dup_pairs(SF001)
+    pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
