@@ -31,8 +31,8 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from spardaqus_ray.pipelines import (ann, bloom, bpe, cluster, decomp,
                                          dedup, funnel, fuzzy, multimodal,
-                                         quality, relational, repo_stats,
-                                         stats, textops, winnow)
+                                         graph, quality, relational,
+                                         repo_stats, stats, textops, winnow)
 
     return {
         # --- relational layer (SURVEY.md §2.8 Q1-Q10) ---
@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": cluster.kmeans_embeddings,
         "bpe_merges": bpe.bpe_merges,
         "pmi_bigrams": textops.pmi_bigrams,
+        "textrank_keywords": graph.textrank_keywords,
         "pca_embeddings": decomp.pca_embeddings,
         "pca_projection": decomp.pca_project,
         # --- text analysis / flagship slices (rows-only unless noted) ---

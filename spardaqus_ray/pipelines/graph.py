@@ -1,0 +1,142 @@
+"""Graph-ranking operators: TextRank keyword extraction (Mihalcea &
+Tarau 2004) — weighted PageRank power iteration over the corpus's
+token co-occurrence graph.
+
+Scale shape: the EDGE set is the distributed side (one aggregated
+(u, v, w) Dataset, materialized once and re-scanned per iteration);
+the RANK vector is vocabulary-bounded and travels as a broadcast
+object (ray.put once per iteration, plasma-shared by every task).
+Per iteration the only exchange is a groupby over per-block
+vocab-bounded contribution partials. This is the standard bounded-
+state / unbounded-edges split every distributed PageRank uses; a
+vocabulary too big to broadcast would shard the vector by token hash
+(the same trade documented for the BPE trainer).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data.aggregate import Sum
+
+from spardaqus_ray.pipelines.textops import _block_token_positions
+from spardaqus_ray.sources.code_parquet import read_table
+from spardaqus_ray.util import tune_hash_width, table_bytes
+
+TEXTRANK_DAMPING = 0.85
+TEXTRANK_ITERS = 15
+TEXTRANK_TOP_K = 20
+# at real scale, edges rarer than this are noise and are dropped BEFORE
+# the iteration loop re-scans them 15 times (fixture keeps everything)
+TEXTRANK_MIN_EDGE_WEIGHT = 1
+
+
+def cooccurrence_edges(sf_dir: str, table: str = "documents",
+                       min_weight: int = TEXTRANK_MIN_EDGE_WEIGHT):
+    """Symmetric adjacent-token co-occurrence edge Dataset (u, v, w):
+    vocab_bigrams' shifted-take kernel emitting both directions, value-
+    counted per block so the exchange moves one row per distinct edge
+    per block."""
+    ds = read_table(sf_dir, table, columns=["text"])
+    tune_hash_width(ds, table_bytes(sf_dir, table))
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"u": pa.array([], pa.string()),
+                          "v": pa.array([], pa.string()),
+                          "w": pa.array([], pa.int64())})
+        flat, offs = _block_token_positions(t)
+        n = len(flat)
+        if n < 2:
+            return empty
+        valid = np.ones(n, bool)
+        nonempty = offs[1:] > offs[:-1]
+        valid[offs[1:][nonempty] - 1] = False
+        starts = np.flatnonzero(valid)
+        if len(starts) == 0:
+            return empty
+        a = flat.take(pa.array(starts))
+        b = flat.take(pa.array(starts + 1))
+        keep = pc.and_(pc.not_equal(a, ""), pc.not_equal(b, ""))
+        a, b = a.filter(keep), b.filter(keep)
+        if len(a) == 0:
+            return empty
+        # both directions -> the iteration never needs a transpose
+        df = (pd.DataFrame({
+            "u": np.concatenate([np.asarray(a, object),
+                                 np.asarray(b, object)]),
+            "v": np.concatenate([np.asarray(b, object),
+                                 np.asarray(a, object)])})
+            .groupby(["u", "v"], sort=False).size().reset_index(name="w"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    edges = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["u", "v"]).aggregate(Sum("w", alias_name="w")))
+    if min_weight > 1:
+        edges = edges.filter(expr=f"w >= {min_weight}")
+    return edges.materialize()
+
+
+def textrank_keywords(sf_dir: str, k: int = TEXTRANK_TOP_K,
+                      iters: int = TEXTRANK_ITERS,
+                      damping: float = TEXTRANK_DAMPING,
+                      table: str = "documents") -> pd.DataFrame:
+    """Top-k corpus keywords by TextRank: weighted PageRank
+    r(v) = (1-d)/N + d * sum_u w(u,v)/S(u) * r(u) over the symmetric
+    co-occurrence graph (S = out-strength). Edges stay distributed;
+    ranks broadcast per iteration; each step's exchange is one
+    vocab-bounded groupby-sum. Ties in the final ordering break by
+    token ASC on the 6-dp-rounded rank (deterministic across engines
+    and summation orders)."""
+    edges = cooccurrence_edges(sf_dir, table)
+    strength = (edges.groupby("u").aggregate(Sum("w", alias_name="s"))
+                .to_pandas())
+    vocab = np.sort(strength["u"].to_numpy(object))
+    n = len(vocab)
+    if n == 0:
+        return pd.DataFrame({"token": pd.Series([], dtype=object),
+                             "rank": pd.Series([], dtype="float64")})
+    s = np.empty(n, np.float64)
+    s[np.searchsorted(vocab, strength["u"].to_numpy(object))] = \
+        strength["s"].to_numpy(np.float64)
+    vocab_arr = pa.array(vocab, pa.string())
+    r = np.full(n, 1.0 / n)
+
+    for _ in range(iters):
+        fac_ref = ray.put(damping * r / s)
+
+        def contrib(t: pa.Table, _fac=fac_ref) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"v": pa.array([], pa.string()),
+                                 "c": pa.array([], pa.float64())})
+            fac = ray.get(_fac)
+            ui = pc.index_in(t["u"], value_set=vocab_arr).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            w = t["w"].combine_chunks().to_numpy(zero_copy_only=False)
+            c = fac[ui] * w
+            df = (pd.DataFrame({
+                "v": t["v"].combine_chunks().to_numpy(zero_copy_only=False),
+                "c": c})
+                .groupby("v", sort=False).sum().reset_index())
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        # per-block partials are vocab-bounded, so the cheapest exchange
+        # is NO exchange: driver-reduce n_blocks x vocab partial rows
+        # (the BPE-trainer pattern) instead of a hash shuffle every
+        # iteration. A vocabulary too large for this reduce would flip
+        # back to groupby("v").aggregate(Sum) — same partials either way.
+        parts = (edges.map_batches(contrib, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+                 .to_pandas())
+        agg = parts.groupby("v", sort=False)["c"].sum().reset_index()
+        r = np.full(n, (1.0 - damping) / n)
+        vi = np.searchsorted(vocab, agg["v"].to_numpy(object))
+        r[vi] += agg["c"].to_numpy(np.float64)
+
+    out = pd.DataFrame({"token": vocab, "rank": np.round(r, 6)})
+    out = (out.sort_values(["rank", "token"], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    return out

@@ -1,0 +1,51 @@
+"""TextRank tests: distributed power iteration vs a dense sequential
+numpy oracle on the documents fixture."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import SF001, has_testdata
+
+
+def _py_textrank(texts, iters, damping):
+    from collections import defaultdict
+
+    w = defaultdict(float)
+    for t in texts:
+        toks = t.lower().split(" ")
+        for x, y in zip(toks, toks[1:]):
+            if x and y:
+                w[(x, y)] += 1.0
+                w[(y, x)] += 1.0
+    vocab = sorted({u for u, _ in w})
+    idx = {u: i for i, u in enumerate(vocab)}
+    n = len(vocab)
+    mat = np.zeros((n, n))
+    for (u, v), wt in w.items():
+        mat[idx[u], idx[v]] = wt
+    s = mat.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        r = (1.0 - damping) / n + damping * (mat.T @ (r / s))
+    return np.array(vocab, object), r
+
+
+@pytest.mark.skipif(not has_testdata(), reason="no testdata")
+def test_textrank_matches_dense_oracle(ray_session):
+    import pyarrow.parquet as pq
+
+    from spardaqus_ray.pipelines.graph import (TEXTRANK_DAMPING,
+                                               TEXTRANK_ITERS,
+                                               textrank_keywords)
+
+    texts = pq.read_table(f"{SF001}/documents.parquet",
+                          columns=["text"])["text"].to_pylist()
+    vocab, r = _py_textrank(texts, TEXTRANK_ITERS, TEXTRANK_DAMPING)
+    assert abs(r.sum() - 1.0) < 1e-6          # stochastic sanity
+
+    got = textrank_keywords(SF001, k=20)
+    want = (pd.DataFrame({"token": vocab, "rank": np.round(r, 6)})
+            .sort_values(["rank", "token"], ascending=[False, True])
+            .head(20).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
