@@ -32,7 +32,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from spardaqus_ray.pipelines import (ann, bloom, bpe, cluster, decomp,
                                          dedup, funnel, fuzzy, multimodal,
                                          graph, quality, relational,
-                                         repo_stats, stats, textops, winnow)
+                                         repo_stats, search, stats, textops,
+                                         winnow)
 
     return {
         # --- relational layer (SURVEY.md §2.8 Q1-Q10) ---
@@ -108,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": bpe.bpe_merges,
         "pmi_bigrams": textops.pmi_bigrams,
         "textrank_keywords": graph.textrank_keywords,
+        "bm25_search": search.bm25_search,
         "pca_embeddings": decomp.pca_embeddings,
         "pca_projection": decomp.pca_project,
         # --- text analysis / flagship slices (rows-only unless noted) ---

@@ -1,0 +1,56 @@
+"""BM25 search: distributed two-pass scorer vs a sequential oracle."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import SF001, has_testdata
+
+
+def _py_bm25(ids, texts, query, k, k1, b):
+    toks = [[w for w in t.lower().split(" ") if w] for t in texts]
+    n = len(toks)
+    avgdl = sum(len(d) for d in toks) / n
+    idf = {}
+    for q in query:
+        df = sum(1 for d in toks if q in d)
+        idf[q] = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    rows = []
+    for i, d in zip(ids, toks):
+        s = 0.0
+        for q in query:
+            tf = d.count(q)
+            s += idf[q] * tf * (k1 + 1.0) / (
+                tf + k1 * (1.0 - b + b * len(d) / avgdl))
+        if s > 0:
+            rows.append((i, round(s, 6)))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return pd.DataFrame(rows[:k], columns=["doc_id", "score"]) \
+        .astype({"doc_id": "int64", "score": "float64"})
+
+
+@pytest.mark.skipif(not has_testdata(), reason="no testdata")
+def test_bm25_matches_sequential_oracle(ray_session):
+    import pyarrow.parquet as pq
+
+    from spardaqus_ray.pipelines.search import (BM25_B, BM25_K1,
+                                                BM25_QUERY, BM25_TOP_K,
+                                                bm25_search)
+
+    tbl = pq.read_table(f"{SF001}/documents.parquet",
+                        columns=["doc_id", "text"])
+    want = _py_bm25(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist(),
+                    BM25_QUERY, BM25_TOP_K, BM25_K1, BM25_B)
+    got = bm25_search(SF001)
+    pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
+
+
+@pytest.mark.skipif(not has_testdata(), reason="no testdata")
+def test_bm25_absent_term_contributes_nothing(ray_session):
+    from spardaqus_ray.pipelines.search import bm25_search
+
+    base = bm25_search(SF001, query=("table", "join"))
+    plus = bm25_search(SF001, query=("table", "join", "zzznotaword"))
+    pd.testing.assert_frame_equal(base, plus)
