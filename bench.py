@@ -161,7 +161,8 @@ def bench_flagship() -> dict:
 
 def bench_queries() -> dict:
     from spardaqus_ray.pipelines import (ann, bloom, bpe, dedup, funnel,
-                                         quality, relational, textops)
+                                         graph, quality, relational, search,
+                                         textops, winnow)
 
     out = {}
     for name, fn in [
@@ -183,6 +184,11 @@ def bench_queries() -> dict:
         ("q45_decontaminate", quality.q45_decontaminate),
         ("q48_funnel", funnel.q48_funnel),
         ("bpe_merges", bpe.bpe_merges),
+        ("q51_event_transitions", funnel.q51_event_transitions),
+        ("q53_dup_spans", quality.q53_dup_spans),
+        ("dedup_winnow", winnow.winnow_dup_pairs),
+        ("textrank_keywords", graph.textrank_keywords),
+        ("bm25_search", search.bm25_search),
     ]:
         t0 = time.time()
         fn(SF_DIR)
