@@ -29,13 +29,23 @@ from spardaqus_ray.util import tune_hash_width, table_bytes
 TEXTRANK_DAMPING = 0.85
 TEXTRANK_ITERS = 15
 TEXTRANK_TOP_K = 20
+# below this many distinct edges the iteration runs on the driver over
+# the collected edge list (15 numpy passes beat 15 Ray rounds by ~5x at
+# fixture scale); above it, the distributed loop scans the materialized
+# edge Dataset per iteration — the components_from_pairs trade exactly
+TEXTRANK_DRIVER_MAX_EDGES = 5_000_000
+# below this input size the edge aggregation itself driver-reduces the
+# vocab^2-bounded per-block partials instead of a hash-shuffle groupby
+TEXTRANK_DRIVER_INPUT_MAX_BYTES = 1 << 30
 # at real scale, edges rarer than this are noise and are dropped BEFORE
 # the iteration loop re-scans them 15 times (fixture keeps everything)
 TEXTRANK_MIN_EDGE_WEIGHT = 1
 
 
 def cooccurrence_edges(sf_dir: str, table: str = "documents",
-                       min_weight: int = TEXTRANK_MIN_EDGE_WEIGHT):
+                       min_weight: int = TEXTRANK_MIN_EDGE_WEIGHT,
+                       driver_input_max_bytes: int =
+                       TEXTRANK_DRIVER_INPUT_MAX_BYTES):
     """Symmetric adjacent-token co-occurrence edge Dataset (u, v, w):
     vocab_bigrams' shifted-take kernel emitting both directions, value-
     counted per block so the exchange moves one row per distinct edge
@@ -72,9 +82,17 @@ def cooccurrence_edges(sf_dir: str, table: str = "documents",
             .groupby(["u", "v"], sort=False).size().reset_index(name="w"))
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    edges = (ds.map_batches(partial, batch_format="pyarrow",
-                            zero_copy_batch=True)
-             .groupby(["u", "v"]).aggregate(Sum("w", alias_name="w")))
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    if table_bytes(sf_dir, table) <= driver_input_max_bytes:
+        # partial rows are vocab^2-bounded per block: driver-reduce them
+        # (the BPE-trainer trade) instead of paying a hash-shuffle
+        # groupby for a small graph
+        df = partials.to_pandas()
+        edges = (df.groupby(["u", "v"], sort=False, as_index=False)["w"]
+                 .sum())
+        return edges[edges["w"] >= min_weight].reset_index(drop=True)
+    edges = partials.groupby(["u", "v"]).aggregate(Sum("w", alias_name="w"))
     if min_weight > 1:
         edges = edges.filter(expr=f"w >= {min_weight}")
     return edges.materialize()
@@ -83,7 +101,10 @@ def cooccurrence_edges(sf_dir: str, table: str = "documents",
 def textrank_keywords(sf_dir: str, k: int = TEXTRANK_TOP_K,
                       iters: int = TEXTRANK_ITERS,
                       damping: float = TEXTRANK_DAMPING,
-                      table: str = "documents") -> pd.DataFrame:
+                      table: str = "documents",
+                      driver_max_edges: int = TEXTRANK_DRIVER_MAX_EDGES,
+                      driver_input_max_bytes: int =
+                      TEXTRANK_DRIVER_INPUT_MAX_BYTES) -> pd.DataFrame:
     """Top-k corpus keywords by TextRank: weighted PageRank
     r(v) = (1-d)/N + d * sum_u w(u,v)/S(u) * r(u) over the symmetric
     co-occurrence graph (S = out-strength). Edges stay distributed;
@@ -91,9 +112,14 @@ def textrank_keywords(sf_dir: str, k: int = TEXTRANK_TOP_K,
     vocab-bounded groupby-sum. Ties in the final ordering break by
     token ASC on the 6-dp-rounded rank (deterministic across engines
     and summation orders)."""
-    edges = cooccurrence_edges(sf_dir, table)
-    strength = (edges.groupby("u").aggregate(Sum("w", alias_name="s"))
-                .to_pandas())
+    edges = cooccurrence_edges(
+        sf_dir, table, driver_input_max_bytes=driver_input_max_bytes)
+    if isinstance(edges, pd.DataFrame):
+        strength = (edges.groupby("u", sort=False, as_index=False)["w"]
+                    .sum().rename(columns={"w": "s"}))
+    else:
+        strength = (edges.groupby("u").aggregate(Sum("w", alias_name="s"))
+                    .to_pandas())
     vocab = np.sort(strength["u"].to_numpy(object))
     n = len(vocab)
     if n == 0:
@@ -104,6 +130,23 @@ def textrank_keywords(sf_dir: str, k: int = TEXTRANK_TOP_K,
         strength["s"].to_numpy(np.float64)
     vocab_arr = pa.array(vocab, pa.string())
     r = np.full(n, 1.0 / n)
+
+    if isinstance(edges, pd.DataFrame) or edges.count() <= driver_max_edges:
+        # driver path: the edge list fits comfortably; iterate as
+        # vocab-indexed bincounts (pytest pins equality with the
+        # distributed loop below)
+        e = edges if isinstance(edges, pd.DataFrame) else edges.to_pandas()
+        ui = np.searchsorted(vocab, e["u"].to_numpy(object))
+        vi = np.searchsorted(vocab, e["v"].to_numpy(object))
+        w = e["w"].to_numpy(np.float64)
+        for _ in range(iters):
+            c = np.bincount(vi, weights=(damping * r / s)[ui] * w,
+                            minlength=n)
+            r = (1.0 - damping) / n + c
+        out = pd.DataFrame({"token": vocab, "rank": np.round(r, 6)})
+        return (out.sort_values(["rank", "token"],
+                                ascending=[False, True])
+                .head(k).reset_index(drop=True))
 
     for _ in range(iters):
         fac_ref = ray.put(damping * r / s)

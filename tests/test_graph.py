@@ -49,3 +49,16 @@ def test_textrank_matches_dense_oracle(ray_session):
             .sort_values(["rank", "token"], ascending=[False, True])
             .head(20).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.skipif(not has_testdata(), reason="no testdata")
+def test_textrank_driver_and_distributed_paths_agree(ray_session):
+    from spardaqus_ray.pipelines.graph import textrank_keywords
+
+    drv = textrank_keywords(SF001, k=20)      # driver edge-reduce + iterate
+    dist = textrank_keywords(SF001, k=20,     # force BOTH distributed paths
+                             driver_max_edges=0, driver_input_max_bytes=0)
+    mid = textrank_keywords(SF001, k=20,      # distributed agg, driver iter
+                            driver_input_max_bytes=0)
+    pd.testing.assert_frame_equal(drv, dist)
+    pd.testing.assert_frame_equal(drv, mid)
