@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q51_event_transitions": funnel.q51_event_transitions,
         "q52_mad_price_by_segment": relational.q52_mad_price_by_segment,
         "q53_dup_spans": quality.q53_dup_spans,
+        "q54_regression_price_on_qty": stats.q54_regression_price_on_qty,
+        "q55_revenue_per_nation": relational.q55_revenue_per_nation,
         "approx_distinct_hll": repo_stats.approx_distinct_hll,
         "doc_length_histogram": stats.doc_length_histogram,
         # --- dedup family (exact is SQL-checkable; rest rows-only) ---
@@ -205,6 +207,8 @@ def oracle_sql() -> dict[str, str]:
         "q51_event_transitions": funnel.Q51_SQL,
         "q52_mad_price_by_segment": relational.Q52_SQL,
         "q53_dup_spans": quality.Q53_SQL,
+        "q54_regression_price_on_qty": stats.Q54_SQL,
+        "q55_revenue_per_nation": relational.Q55_SQL,
         "sample_docs_stratified": repo_stats.SAMPLE_STRAT_SQL,
         "vocab_bigrams": textops.BIGRAM_SQL,
         "pmi_bigrams": textops.PMI_SQL,

@@ -1174,3 +1174,113 @@ FROM seg s JOIN med m USING (c_mktsegment)
 GROUP BY s.c_mktsegment
 ORDER BY s.c_mktsegment
 """
+
+
+# q55: the classic TPC-H Q5 shape — 6-table join with region/date
+# pruning. Physical plan: the two tiny dims (nation, region) resolve on
+# the driver; supplier's (s_suppkey -> s_nationkey) lookup broadcasts
+# under the G4 byte cap (join fallback above it); the two REAL exchanges
+# are orders join customer and lineitem join (orders+cust), both with
+# data-aware widths; revenue partials collapse per block before the
+# final <=25-row groupby.
+Q55_REGION = "ASIA"
+Q55_DATE_LO = "1996-01-01"
+Q55_DATE_HI = "1998-01-01"
+Q55_SUPP_BCAST_MAX_BYTES = 256 << 20
+
+
+def q55_revenue_per_nation(sf_dir: str) -> pd.DataFrame:
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+
+    nat = read_table(sf_dir, "nation").to_pandas()
+    reg = read_table(sf_dir, "region").to_pandas()
+    rk = reg.loc[reg["r_name"] == Q55_REGION, "r_regionkey"]
+    keep = nat[nat["n_regionkey"].isin(rk)]
+    nk_to_name = dict(zip(keep["n_nationkey"], keep["n_name"]))
+    nk_arr = pa.array(sorted(nk_to_name), pa.int64())
+
+    lo = _dt.datetime.fromisoformat(Q55_DATE_LO)
+    hi = _dt.datetime.fromisoformat(Q55_DATE_HI)
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
+        filter=(pads.field("o_orderdate") >= lo)
+        & (pads.field("o_orderdate") < hi))
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_nationkey"])
+    ensure_hash_shuffle(orders)
+    ensure_hash_shuffle(cust)
+    width = default_partitions(
+        size_bytes=table_bytes(sf_dir, "orders", "customer"))
+    oc = orders.join(cust, "inner", num_partitions=width,
+                     on=("o_custkey",), right_on=("c_custkey",))
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey",
+                             "l_extendedprice", "l_discount"])
+    ensure_hash_shuffle(li)
+    width2 = default_partitions(
+        size_bytes=table_bytes(sf_dir, "lineitem", "orders"))
+    j = li.join(oc.select_columns(["o_orderkey", "c_nationkey"]), "inner",
+                num_partitions=width2,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    if table_bytes(sf_dir, "supplier") <= Q55_SUPP_BCAST_MAX_BYTES:
+        supp = read_table(sf_dir, "supplier",
+                          columns=["s_suppkey", "s_nationkey"]).to_pandas()
+        sk = pa.array(supp["s_suppkey"].to_numpy(), pa.int64())
+        sn = pa.array(supp["s_nationkey"].to_numpy(), pa.int64())
+
+        def attach_sn(t: pa.Table) -> pa.Table:
+            idx = pc.index_in(t["l_suppkey"], value_set=sk)
+            return t.append_column("s_nationkey", pc.take(sn, idx))
+
+        j = j.map_batches(attach_sn, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    else:
+        supp_ds = read_table(sf_dir, "supplier",
+                             columns=["s_suppkey", "s_nationkey"])
+        ensure_hash_shuffle(supp_ds)
+        j = j.join(supp_ds, "inner", num_partitions=width2,
+                   on=("l_suppkey",), right_on=("s_suppkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t["c_nationkey"], t["s_nationkey"]),
+                    pc.is_in(t["c_nationkey"], value_set=nk_arr))
+        t = t.filter(m)
+        if t.num_rows == 0:
+            return pa.table({"n_nationkey": pa.array([], pa.int64()),
+                             "revenue": pa.array([], pa.float64())})
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        df = pd.DataFrame({"n_nationkey": t["c_nationkey"].to_numpy(
+            zero_copy_only=False), "revenue": rev.to_numpy(
+            zero_copy_only=False)})
+        g = df.groupby("n_nationkey", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (j.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+           .groupby("n_nationkey")
+           .aggregate(Sum("revenue", alias_name="revenue"))
+           .to_pandas())
+    out["n_name"] = out["n_nationkey"].map(nk_to_name)
+    out["revenue"] = out["revenue"].round(2)
+    return (out[["n_name", "revenue"]]
+            .sort_values(["revenue", "n_name"], ascending=[False, True])
+            .reset_index(drop=True))
+
+
+Q55_SQL = f"""
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = '{Q55_REGION}'
+  AND o_orderdate >= DATE '{Q55_DATE_LO}'
+  AND o_orderdate <  DATE '{Q55_DATE_HI}'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""

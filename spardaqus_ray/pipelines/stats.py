@@ -31,10 +31,11 @@ from spardaqus_ray.sources.code_parquet import read_table
 _X_OFF, _Y_OFF = 25.0, 30000.0
 
 
-def q28_grouped_stats(sf_dir: str) -> pd.DataFrame:
-    """Grouped STDDEV_SAMP(l_extendedprice) + CORR(l_quantity,
-    l_extendedprice) + AVG per l_returnflag via one-pass mergeable
-    moment partials (shift-invariant, offset-stabilized)."""
+def _lineitem_moments(sf_dir: str) -> pd.DataFrame:
+    """Per-l_returnflag mergeable second-moment sums over
+    (x=l_quantity, y=l_extendedprice): (n, Σx, Σx², Σy, Σy², Σxy),
+    offset-shifted — the shared partial behind q28 (stddev/corr) and
+    q54 (OLS regression)."""
     ds = read_table(sf_dir, "lineitem",
                     columns=["l_returnflag", "l_quantity", "l_extendedprice"])
 
@@ -52,12 +53,20 @@ def q28_grouped_stats(sf_dir: str) -> pd.DataFrame:
         g = df.groupby("l_returnflag", sort=False).sum().reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    agg = (ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-           .groupby("l_returnflag")
-           .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
-                      Sum("sxx", alias_name="sxx"), Sum("sy", alias_name="sy"),
-                      Sum("syy", alias_name="syy"), Sum("sxy", alias_name="sxy"))
-           .to_pandas())
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("l_returnflag")
+            .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                       Sum("sxx", alias_name="sxx"), Sum("sy", alias_name="sy"),
+                       Sum("syy", alias_name="syy"), Sum("sxy", alias_name="sxy"))
+            .to_pandas())
+
+
+def q28_grouped_stats(sf_dir: str) -> pd.DataFrame:
+    """Grouped STDDEV_SAMP(l_extendedprice) + CORR(l_quantity,
+    l_extendedprice) + AVG per l_returnflag via one-pass mergeable
+    moment partials (shift-invariant, offset-stabilized)."""
+    agg = _lineitem_moments(sf_dir)
     n = agg["n"].astype(float)
     vy = (agg["syy"] - agg["sy"] ** 2 / n) / (n - 1)
     vx = (agg["sxx"] - agg["sx"] ** 2 / n) / (n - 1)
@@ -79,6 +88,39 @@ SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
        ROUND(CORR(l_quantity, l_extendedprice), 4) AS qty_price_corr
 FROM lineitem
 GROUP BY l_returnflag
+"""
+
+
+def q54_regression_price_on_qty(sf_dir: str) -> pd.DataFrame:
+    """Grouped OLS: l_extendedprice regressed on l_quantity per
+    l_returnflag — slope, intercept, R² from the SAME mergeable moment
+    partials as q28 (slope/R² are shift-invariant; the intercept undoes
+    the stabilizing offsets via the raw means)."""
+    agg = _lineitem_moments(sf_dir)
+    n = agg["n"].astype(float)
+    vx = agg["sxx"] - agg["sx"] ** 2 / n
+    vy = agg["syy"] - agg["sy"] ** 2 / n
+    cov = agg["sxy"] - agg["sx"] * agg["sy"] / n
+    slope = cov / vx
+    xbar = agg["sx"] / n + _X_OFF
+    ybar = agg["sy"] / n + _Y_OFF
+    out = pd.DataFrame({
+        "l_returnflag": agg["l_returnflag"],
+        "slope": slope.round(4),
+        "intercept": (ybar - slope * xbar).round(4),
+        "r2": (cov ** 2 / (vx * vy)).round(4),
+    })
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+Q54_SQL = """
+SELECT l_returnflag,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       ROUND(regr_r2(l_extendedprice, l_quantity), 4)        AS r2
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
 """
 
 
