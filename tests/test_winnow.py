@@ -102,3 +102,17 @@ def test_winnow_pairs_e2e(ray_session):
         columns=["a", "b", "n_shared"]).astype("int64")
     got = winnow_dup_pairs(SF001)
     pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
+
+
+def test_block_matches_python_on_unicode():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.text(max_size=120), min_size=1, max_size=8))
+    def check(texts):
+        got = _block_sets(texts)
+        for t, g in zip(texts, got):
+            assert g == _py_winnow(t)
+
+    check()
