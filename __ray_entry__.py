@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q53_dup_spans": quality.q53_dup_spans,
         "q54_regression_price_on_qty": stats.q54_regression_price_on_qty,
         "q55_revenue_per_nation": relational.q55_revenue_per_nation,
+        "q56_label_centroids": decomp.q56_label_centroids,
         "approx_distinct_hll": repo_stats.approx_distinct_hll,
         "doc_length_histogram": stats.doc_length_histogram,
         # --- dedup family (exact is SQL-checkable; rest rows-only) ---
@@ -141,9 +142,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from spardaqus_ray.pipelines import (ann, bloom, dedup, funnel, fuzzy,
-                                         quality, relational, repo_stats,
-                                         stats, textops)
+    from spardaqus_ray.pipelines import (ann, bloom, decomp, dedup, funnel,
+                                         fuzzy, quality, relational,
+                                         repo_stats, stats, textops)
 
     return {
         "q1_lineitem_agg": relational.Q1_SQL,
@@ -209,6 +210,7 @@ def oracle_sql() -> dict[str, str]:
         "q53_dup_spans": quality.Q53_SQL,
         "q54_regression_price_on_qty": stats.Q54_SQL,
         "q55_revenue_per_nation": relational.Q55_SQL,
+        "q56_label_centroids": decomp.Q56_SQL,
         "sample_docs_stratified": repo_stats.SAMPLE_STRAT_SQL,
         "vocab_bigrams": textops.BIGRAM_SQL,
         "pmi_bigrams": textops.PMI_SQL,

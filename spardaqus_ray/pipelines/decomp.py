@@ -106,3 +106,62 @@ def pca_project(sf_dir: str, k: int = PCA_COMPONENTS) -> pd.DataFrame:
     out = (ds.map_batches(project, batch_format="pyarrow",
                           zero_copy_batch=True).to_pandas())
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def q56_label_centroids(sf_dir: str) -> pd.DataFrame:
+    """Per-label embedding centroid in long (label, dim, centroid) form —
+    the class-prototype computation behind nearest-centroid classifiers
+    and diversity filters. Mergeable-partial shape: each block collapses
+    its vectors to n_labels x d (label, dim, s, n) rows (one np.add.at
+    over the stacked matrix), the only exchange is a groupby over those
+    partials, and the driver divides. Dims are 1-based to match SQL
+    generate_subscripts."""
+    from ray.data.aggregate import Sum
+
+    from spardaqus_ray.pipelines.ann import _mat
+
+    ds = read_table(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"label": pa.array([], pa.int64()),
+                          "dim": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.float64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        m = _mat(t).astype(np.float64)
+        lab = t["label"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]))
+        np.add.at(sums, inv, m)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        d = m.shape[1]
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, d)),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                    len(uniq))),
+            "s": pa.array(sums.ravel()),
+            "n": pa.array(np.repeat(cnt, d)),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["label", "dim"])
+           .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+           .to_pandas())
+    out = pd.DataFrame({
+        "label": agg["label"].astype("int64"),
+        "dim": agg["dim"].astype("int64"),
+        "centroid": (agg["s"] / agg["n"]).round(6),
+    })
+    return out.sort_values(["label", "dim"]).reset_index(drop=True)
+
+
+Q56_SQL = """
+SELECT CAST(label AS BIGINT) AS label, CAST(u.pos AS BIGINT) AS dim,
+       ROUND(AVG(embedding[u.pos]), 6) AS centroid
+FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(pos)
+GROUP BY label, u.pos
+ORDER BY label, u.pos
+"""
