@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q54_regression_price_on_qty": stats.q54_regression_price_on_qty,
         "q55_revenue_per_nation": relational.q55_revenue_per_nation,
         "q56_label_centroids": decomp.q56_label_centroids,
+        "q57_big_spenders": relational.q57_big_spenders,
         "approx_distinct_hll": repo_stats.approx_distinct_hll,
         "doc_length_histogram": stats.doc_length_histogram,
         # --- dedup family (exact is SQL-checkable; rest rows-only) ---
@@ -211,6 +212,7 @@ def oracle_sql() -> dict[str, str]:
         "q54_regression_price_on_qty": stats.Q54_SQL,
         "q55_revenue_per_nation": relational.Q55_SQL,
         "q56_label_centroids": decomp.Q56_SQL,
+        "q57_big_spenders": relational.Q57_SQL,
         "sample_docs_stratified": repo_stats.SAMPLE_STRAT_SQL,
         "vocab_bigrams": textops.BIGRAM_SQL,
         "pmi_bigrams": textops.PMI_SQL,

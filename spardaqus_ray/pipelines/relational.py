@@ -1284,3 +1284,63 @@ WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
 GROUP BY n_name
 ORDER BY revenue DESC, n_name
 """
+
+
+def q57_big_spenders(sf_dir: str) -> pd.DataFrame:
+    """Correlated-subquery analytic filter: customers whose total order
+    spend exceeds 2x the average customer-total of their market segment.
+    Plan: ONE hash groupby builds per-customer spend, the segment
+    attaches via the capped broadcast (join fallback), the 5-row segment
+    averages reduce on the driver and re-broadcast as a closure dict —
+    the correlated comparison never re-scans orders."""
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    spend = (ds.groupby("o_custkey")
+             .aggregate(Sum("o_totalprice", alias_name="spend")))
+    spend = _attach_segment(spend, sf_dir, keep=["o_custkey", "spend"])
+    avgs = (spend.map_batches(
+        lambda t: pa.table({
+            "c_mktsegment": t["c_mktsegment"],
+            "s": t["spend"], "n": pa.array(np.ones(t.num_rows, np.int64))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_mktsegment")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .to_pandas())
+    thr = dict(zip(avgs["c_mktsegment"],
+                   2.0 * avgs["s"].to_numpy(np.float64)
+                   / avgs["n"].to_numpy(np.float64)))
+
+    def flag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"c_custkey": pa.array([], pa.int64()),
+                             "c_mktsegment": pa.array([], pa.string()),
+                             "spend": pa.array([], pa.float64())})
+        seg = t["c_mktsegment"].to_numpy(zero_copy_only=False)
+        s = t["spend"].combine_chunks().to_numpy(zero_copy_only=False)
+        # custkeys missing from the dimension carry no segment: excluded
+        # (inner-join semantics, matching the SQL)
+        lim = np.array([thr.get(x, np.inf) for x in seg], np.float64)
+        keep = np.flatnonzero(s > lim)
+        return pa.table({
+            "c_custkey": t["o_custkey"].take(pa.array(keep)).combine_chunks()
+            .cast(pa.int64()),
+            "c_mktsegment": t["c_mktsegment"].take(pa.array(keep)),
+            "spend": pa.array(np.round(s[keep], 2)),
+        })
+
+    out = (spend.map_batches(flag, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas())
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+Q57_SQL = """
+WITH spend AS (
+  SELECT o_custkey, SUM(o_totalprice) AS s FROM orders GROUP BY 1),
+j AS (
+  SELECT c_custkey, c_mktsegment, s
+  FROM spend JOIN customer ON o_custkey = c_custkey),
+av AS (SELECT c_mktsegment, AVG(s) AS a FROM j GROUP BY 1)
+SELECT j.c_custkey, j.c_mktsegment, ROUND(j.s, 2) AS spend
+FROM j JOIN av USING (c_mktsegment)
+WHERE j.s > 2 * av.a
+ORDER BY j.c_custkey
+"""
