@@ -22,7 +22,7 @@ from ray.data.aggregate import Count, Sum
 
 from spardaqus_ray.sources.code_parquet import read_table
 from spardaqus_ray.util import (default_partitions, ensure_hash_shuffle,
-                                table_bytes)
+                                table_bytes, tune_hash_width)
 
 # --------------------------------------------------------------------------
 # Shared tokenization: non-empty lowercase space-tokens per document.
@@ -410,7 +410,8 @@ def q53_dup_spans(sf_dir: str, k: int = DUPSPAN_K) -> pd.DataFrame:
 
     ex = ds.map_batches(explode, batch_format="pyarrow",
                         zero_copy_batch=True)
-    ensure_hash_shuffle(ex)
+    # the final doc_id groupby inherits this data-aware width
+    tune_hash_width(ex, table_bytes(sf_dir, "documents"))
     ex = ex.repartition(width, keys=["gram"])
 
     def mark(t: pa.Table) -> pa.Table:

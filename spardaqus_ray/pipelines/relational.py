@@ -28,7 +28,7 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from spardaqus_ray.sources.code_parquet import read_table
 from spardaqus_ray.util import (default_partitions, ensure_hash_shuffle,
-                                table_bytes)
+                                table_bytes, tune_hash_width)
 
 
 def _r4(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
@@ -84,10 +84,10 @@ GROUP BY l_returnflag, l_linestatus
 def q2_revenue_by_mktsegment(sf_dir: str) -> pd.DataFrame:
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    ensure_hash_shuffle(orders)
-    ensure_hash_shuffle(cust)
-    width = default_partitions(
-        size_bytes=table_bytes(sf_dir, "orders", "customer"))
+    jb = table_bytes(sf_dir, "orders", "customer")
+    tune_hash_width(orders, jb)   # the groupby after the join inherits this
+    tune_hash_width(cust, jb)
+    width = default_partitions(size_bytes=jb)
     joined = orders.join(cust, "inner", num_partitions=width,
                          on=("o_custkey",), right_on=("c_custkey",))
     out = joined.groupby("c_mktsegment").aggregate(
@@ -617,10 +617,10 @@ def q21_nation_supplier_left(sf_dir: str) -> pd.DataFrame:
     nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"])
     supp = read_table(sf_dir, "supplier",
                       columns=["s_suppkey", "s_nationkey", "s_acctbal"])
-    ensure_hash_shuffle(nation)
-    ensure_hash_shuffle(supp)
-    width = default_partitions(
-        size_bytes=table_bytes(sf_dir, "nation", "supplier"))
+    jb = table_bytes(sf_dir, "nation", "supplier")
+    tune_hash_width(nation, jb)   # downstream groupby inherits the width
+    tune_hash_width(supp, jb)
+    width = default_partitions(size_bytes=jb)
     joined = nation.join(supp, "left_outer", num_partitions=width,
                          on=("n_nationkey",), right_on=("s_nationkey",))
 
@@ -1209,17 +1209,17 @@ def q55_revenue_per_nation(sf_dir: str) -> pd.DataFrame:
         & (pads.field("o_orderdate") < hi))
     cust = read_table(sf_dir, "customer",
                       columns=["c_custkey", "c_nationkey"])
-    ensure_hash_shuffle(orders)
-    ensure_hash_shuffle(cust)
-    width = default_partitions(
-        size_bytes=table_bytes(sf_dir, "orders", "customer"))
+    jb = table_bytes(sf_dir, "orders", "customer")
+    tune_hash_width(orders, jb)
+    tune_hash_width(cust, jb)
+    width = default_partitions(size_bytes=jb)
     oc = orders.join(cust, "inner", num_partitions=width,
                      on=("o_custkey",), right_on=("c_custkey",))
 
     li = read_table(sf_dir, "lineitem",
                     columns=["l_orderkey", "l_suppkey",
                              "l_extendedprice", "l_discount"])
-    ensure_hash_shuffle(li)
+    tune_hash_width(li, table_bytes(sf_dir, "lineitem", "orders"))
     width2 = default_partitions(
         size_bytes=table_bytes(sf_dir, "lineitem", "orders"))
     j = li.join(oc.select_columns(["o_orderkey", "c_nationkey"]), "inner",

@@ -36,7 +36,11 @@ def read_code_parquet(paths, columns: list[str] | None = None,
 
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None,
                **kw) -> ray.data.Dataset:
-    """S2: any driver fixture table (TESTDATA.md)."""
+    """S2: any driver fixture table (TESTDATA.md). NOTE: deliberately
+    does NOT flip the context to HASH_SHUFFLE or tune its width here —
+    queries on the default sort-based shuffle (q1/q11/tfidf) measured
+    2.4x SLOWER under a blanket hash flip; hash-shuffle consumers call
+    util.tune_hash_width themselves."""
     from spardaqus_ray.util import silence_empty_schema_warning
 
     silence_empty_schema_warning()

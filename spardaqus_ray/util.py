@@ -73,16 +73,21 @@ def ensure_hash_shuffle(ds=None) -> None:
         ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     # The stock default of 200 hash-shuffle partitions spawns 200
     # aggregator actors — measured 2x slower at 32 CPUs and a crawl at 4.
-    # Scale the default to the cluster (a later groupby/join on this
-    # dataset inherits it); explicit num_partitions args still win.
+    # CLAMP the default to the cluster, but never raise a width that
+    # tune_hash_width already sized below the CPU count from the data
+    # (a later groupby/join on this dataset inherits it); explicit
+    # num_partitions args still win.
     try:
         import ray
 
         ncpu = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         ncpu = 8
-    ctx.default_hash_shuffle_parallelism = max(2, ncpu)
-    ctx.max_hash_shuffle_aggregators = max(2, ncpu)
+    cap = max(2, ncpu)
+    if ctx.default_hash_shuffle_parallelism > cap:
+        ctx.default_hash_shuffle_parallelism = cap
+    if ctx.max_hash_shuffle_aggregators > cap:
+        ctx.max_hash_shuffle_aggregators = cap
     silence_empty_schema_warning()
 
 
