@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q55_revenue_per_nation": relational.q55_revenue_per_nation,
         "q56_label_centroids": decomp.q56_label_centroids,
         "q57_big_spenders": relational.q57_big_spenders,
+        "q58_chunk_dedup": quality.q58_chunk_dedup,
         "approx_distinct_hll": repo_stats.approx_distinct_hll,
         "doc_length_histogram": stats.doc_length_histogram,
         # --- dedup family (exact is SQL-checkable; rest rows-only) ---
@@ -213,6 +214,7 @@ def oracle_sql() -> dict[str, str]:
         "q55_revenue_per_nation": relational.Q55_SQL,
         "q56_label_centroids": decomp.Q56_SQL,
         "q57_big_spenders": relational.Q57_SQL,
+        "q58_chunk_dedup": quality.Q58_SQL,
         "sample_docs_stratified": repo_stats.SAMPLE_STRAT_SQL,
         "vocab_bigrams": textops.BIGRAM_SQL,
         "pmi_bigrams": textops.PMI_SQL,

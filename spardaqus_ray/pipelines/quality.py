@@ -465,3 +465,147 @@ FROM g JOIN f USING (gram)
 GROUP BY g.doc_id
 ORDER BY g.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Q58: chunk-level dedup WITH DOCUMENT REASSEMBLY (CCNet-style paragraph
+# dedup, Wenzek et al. 2020, at fixed token-window granularity — the
+# fixture corpus is single-line, so the "paragraph" is a W-token chunk).
+# Unlike q53 (which only SCORES duplicated spans) this REWRITES the
+# corpus: every duplicated chunk keeps exactly its first occurrence
+# (min (doc_id, chunk_id)) and disappears everywhere else, and each
+# document's surviving chunks are re-joined in order.
+# --------------------------------------------------------------------------
+
+CHUNK_W = 20
+
+
+def _chunk_rows(t: pa.Table, w: int) -> pa.Table:
+    """Explode one documents block into (doc_id, chunk_id, n_chunks,
+    chunk) rows: non-overlapping windows of `w` adjacent non-empty
+    CASED tokens (reassembly must reproduce the original text, so no
+    lowercasing), trailing partial chunk included. One Arrow split +
+    one binary_join over ListArray offsets — no per-row Python."""
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "chunk_id": pa.array([], pa.int64()),
+                      "n_chunks": pa.array([], pa.int64()),
+                      "chunk": pa.array([], pa.string())})
+    if t.num_rows == 0:
+        return empty
+    split = pc.split_pattern(t["text"], " ").combine_chunks()
+    flat = split.values
+    row_id = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                       np.diff(np.asarray(split.offsets).astype(np.int64)))
+    keep = pc.not_equal(flat, "")
+    mask = keep.to_numpy(zero_copy_only=False)
+    flat, row_id = flat.filter(keep), row_id[mask]
+    n = len(flat)
+    if n == 0:
+        return empty
+    run_start = np.r_[True, row_id[1:] != row_id[:-1]]
+    doc_start = np.maximum.accumulate(
+        np.where(run_start, np.arange(n, dtype=np.int64), 0))
+    pos = np.arange(n, dtype=np.int64) - doc_start
+    bounds = np.flatnonzero(run_start | (pos % w == 0))
+    lst = pa.ListArray.from_arrays(
+        pa.array(np.r_[bounds, n].astype(np.int32)), flat)
+    chunk_rid = row_id[bounds]
+    doc = t["doc_id"].combine_chunks().to_numpy(
+        zero_copy_only=False)[chunk_rid]
+    n_chunks = np.bincount(chunk_rid, minlength=t.num_rows)[chunk_rid]
+    return pa.table({"doc_id": pa.array(doc),
+                     "chunk_id": pa.array(pos[bounds] // w),
+                     "n_chunks": pa.array(n_chunks.astype(np.int64)),
+                     "chunk": pc.binary_join(lst, " ")})
+
+
+def q58_chunk_dedup(sf_dir: str, w: int = CHUNK_W) -> pd.DataFrame:
+    """Corpus rewrite by chunk dedup: (doc_id, text, kept_chunks,
+    removed_chunks) where `text` is the document with every
+    non-first-occurrence duplicated chunk removed. Docs that lose all
+    chunks disappear (none do at fixture scale).
+
+    Plan: explode -> ONE hash exchange on the chunk string co-locates
+    duplicates, block-local groupby keeps the min (doc_id, chunk_id)
+    instance -> ONE hash exchange on doc_id re-joins each survivor set
+    in chunk order. At 100 TB the first exchange would key on a 16-byte
+    content digest (chunk text stays in place, winner map joins back —
+    the G4 exact-dedup shape); the fixture-exact version shuffles the
+    chunk strings themselves because that is precisely what the DuckDB
+    oracle groups by."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    width = default_partitions(size_bytes=table_bytes(sf_dir, "documents"))
+    ex = ds.map_batches(lambda t: _chunk_rows(t, w), batch_format="pyarrow",
+                        zero_copy_batch=True)
+    ensure_hash_shuffle(ex)
+    ex = ex.repartition(width, keys=["chunk"])
+
+    def winner(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        df = t.to_pandas()
+        # encode (doc_id, chunk_id) as one orderable int64; chunk_id is
+        # bounded by max doc tokens / w << 2^20
+        inst = df["doc_id"].to_numpy() * (1 << 20) + df["chunk_id"].to_numpy()
+        keep = inst == pd.Series(inst).groupby(
+            df["chunk"], sort=False).transform("min").to_numpy()
+        return t.filter(pa.array(keep))
+
+    kept = ex.map_batches(winner, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+    kept = kept.repartition(width, keys=["doc_id"])
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "text": pa.array([], pa.string()),
+                             "kept_chunks": pa.array([], pa.int64()),
+                             "removed_chunks": pa.array([], pa.int64())})
+        doc = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        cid = t["chunk_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        nch = t["n_chunks"].combine_chunks().to_numpy(zero_copy_only=False)
+        idx = np.lexsort((cid, doc))
+        doc, nch = doc[idx], nch[idx]
+        chunks = t["chunk"].combine_chunks().take(pa.array(idx))
+        starts = np.flatnonzero(np.r_[True, doc[1:] != doc[:-1]])
+        lst = pa.ListArray.from_arrays(
+            pa.array(np.r_[starts, len(doc)].astype(np.int32)), chunks)
+        kept_n = np.diff(np.r_[starts, len(doc)])
+        return pa.table({"doc_id": pa.array(doc[starts]),
+                         "text": pc.binary_join(lst, " "),
+                         "kept_chunks": pa.array(kept_n.astype(np.int64)),
+                         "removed_chunks": pa.array(
+                             (nch[starts] - kept_n).astype(np.int64))})
+
+    out = (kept.map_batches(rebuild, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None)
+           .to_pandas())
+    out = out.astype({"doc_id": "int64", "kept_chunks": "int64",
+                      "removed_chunks": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q58_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w,
+         generate_subscripts(list_filter(string_split(text, ' '),
+                                         x -> x <> ''), 1) AS i
+  FROM documents),
+chunks AS (
+  SELECT doc_id, (i - 1) // {CHUNK_W} AS chunk_id,
+         string_agg(w, ' ' ORDER BY i) AS chunk
+  FROM toks GROUP BY doc_id, (i - 1) // {CHUNK_W}),
+n AS (SELECT doc_id, COUNT(*) AS n_chunks FROM chunks GROUP BY doc_id),
+kept AS (
+  SELECT doc_id, chunk_id, chunk FROM chunks
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY chunk
+                             ORDER BY doc_id, chunk_id) = 1)
+SELECT k.doc_id AS doc_id,
+       string_agg(k.chunk, ' ' ORDER BY k.chunk_id) AS text,
+       CAST(COUNT(*) AS BIGINT) AS kept_chunks,
+       CAST(any_value(n.n_chunks) - COUNT(*) AS BIGINT) AS removed_chunks
+FROM kept k JOIN n USING (doc_id)
+GROUP BY k.doc_id
+ORDER BY k.doc_id
+"""

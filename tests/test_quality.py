@@ -43,3 +43,37 @@ def test_q47_weight_bias(ray_session):
                            columns=["n_chars"])["n_chars"].to_numpy()
     assert len(samp) == quality.WSAMPLE_K
     assert samp["n_chars"].mean() > np.mean(corpus)
+
+
+def test_chunk_rows_kernel():
+    # 5 tokens at w=2 -> chunks [a b][c d][e]; doc boundaries respected;
+    # multi-space runs collapse (empty tokens dropped) but case is KEPT
+    t = pa.table({"doc_id": pa.array([7, 8], pa.int64()),
+                  "text": ["a b c d e", "X  Y"]})
+    r = quality._chunk_rows(t, 2)
+    assert r["doc_id"].to_pylist() == [7, 7, 7, 8]
+    assert r["chunk_id"].to_pylist() == [0, 1, 2, 0]
+    assert r["n_chunks"].to_pylist() == [3, 3, 3, 1]
+    assert r["chunk"].to_pylist() == ["a b", "c d", "e", "X Y"]
+
+
+def test_chunk_dedup_planted(ray_session, tmp_path):
+    # doc 1 and doc 3 share an identical 2nd chunk; the first occurrence
+    # (doc 1, chunk 1) survives, doc 3 loses it and is re-joined without
+    import pyarrow.parquet as pq
+    w = quality.CHUNK_W
+    shared = " ".join(f"dup{i}" for i in range(w))
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": [" ".join(f"a{i}" for i in range(w)) + " " + shared,
+                 " ".join(f"b{i}" for i in range(w)),
+                 " ".join(f"c{i}" for i in range(w)) + " " + shared
+                 + " tail1 tail2"]})
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    out = quality.q58_chunk_dedup(str(tmp_path))
+    assert out.doc_id.tolist() == [1, 2, 3]
+    assert out.text[0] == docs["text"][0].as_py()          # winner intact
+    assert out.text[2] == (" ".join(f"c{i}" for i in range(w))
+                           + " tail1 tail2")               # dup removed
+    assert out.removed_chunks.tolist() == [0, 0, 1]
+    assert out.kept_chunks.tolist() == [2, 1, 2]
