@@ -31,7 +31,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from spardaqus_ray.pipelines import (ann, bloom, bpe, cluster, decomp,
                                          dedup, funnel, fuzzy, multimodal,
-                                         graph, quality, relational,
+                                         graph, packing, quality, relational,
                                          repo_stats, search, stats, textops,
                                          winnow)
 
@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": ann.ann_ivf,
         "kmeans_embeddings": cluster.kmeans_embeddings,
         "bpe_merges": bpe.bpe_merges,
+        "pack_sequences": packing.pack_sequences,
         "pmi_bigrams": textops.pmi_bigrams,
         "textrank_keywords": graph.textrank_keywords,
         "bm25_search": search.bm25_search,

@@ -1,0 +1,148 @@
+"""Sequence packing — the last step of a training-data pipeline before
+tokenized examples hit the trainer: pack documents into fixed
+token-budget bins (Raffel et al. 2020 "packing"; every large-scale LM
+data loader does a variant) so that batch slots waste minimal padding.
+
+Distributed shape: global greedy packing is inherently sequential, so
+the contract here is PARTITIONED packing — every document lands in a
+deterministic hash partition (doc_id % PACK_PARTITIONS, independent of
+cluster size or block layout), and packing is greedy NEXT-FIT in
+doc_id order WITHIN each partition. Partitions pack in parallel; the
+result is bit-reproducible across any cluster width, and the waste vs
+a global pack is bounded by one partial bin per partition. The packer
+loop runs over BINS (cumsum + searchsorted per bin), not documents.
+
+No SQL oracle (the bin assignment is an iterative scan): rows-only
+driver entry; exact equality vs the sequential pure-Python reference is
+gated in pytest, plus invariants (every doc in exactly one bin, no bin
+over budget unless it holds a single oversize doc).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from spardaqus_ray.sources.code_parquet import read_table
+from spardaqus_ray.util import (default_partitions, ensure_hash_shuffle,
+                                table_bytes)
+
+PACK_PARTITIONS = 16       # fixed, deterministic — NOT cluster-derived
+PACK_BUDGET = 256          # tokens per bin
+
+
+def _token_counts(t: pa.Table) -> np.ndarray:
+    """Whitespace token count per row — one Arrow split, no Python."""
+    split = pc.split_pattern(t["text"], " ").combine_chunks()
+    lens = np.diff(np.asarray(split.offsets).astype(np.int64))
+    # empty tokens from space runs don't count
+    empt = pc.equal(split.values, "").to_numpy(zero_copy_only=False)
+    row_id = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+    return lens - np.bincount(row_id[empt], minlength=t.num_rows)
+
+
+def _pack_block(doc_ids: np.ndarray, toks: np.ndarray, part: int,
+                budget: int) -> list[dict]:
+    """Greedy next-fit over one partition's docs (sorted by doc_id).
+    The loop iterates once per BIN: cumulative token sums +
+    searchsorted find each bin's last doc. A doc longer than the
+    budget gets its own (oversize) bin."""
+    order = np.argsort(doc_ids, kind="stable")
+    doc_ids, toks = doc_ids[order], toks[order]
+    cs = np.cumsum(toks)
+    bins, start, base = [], 0, 0
+    while start < len(doc_ids):
+        end = int(np.searchsorted(cs, base + budget, side="right"))
+        if end == start:           # oversize doc: own bin
+            end = start + 1
+        total = int(cs[end - 1] - base)
+        bins.append({"part": part, "bin_id": len(bins),
+                     "n_docs": end - start, "total_tokens": total,
+                     "first_doc": int(doc_ids[start]),
+                     "oversize": total > budget})
+        base, start = int(cs[end - 1]), end
+    return bins
+
+
+def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET,
+                   num_partitions: int = PACK_PARTITIONS) -> pd.DataFrame:
+    """One row per bin: (part, bin_id, n_docs, total_tokens, first_doc,
+    oversize). Token counts are computed distributed (one Arrow split
+    per block); the (doc_id, part, tokens) triples — three int64s per
+    document, never the text — take ONE hash exchange on `part`, and
+    each partition packs locally in a single map_batches."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(ids),
+                         "part": pa.array(ids % num_partitions),
+                         "tokens": pa.array(_token_counts(t))})
+
+    ex = ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+    ensure_hash_shuffle(ex)
+    ex = ex.repartition(
+        min(num_partitions,
+            default_partitions(size_bytes=table_bytes(sf_dir, "documents"))),
+        keys=["part"])
+
+    def pack(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("part", pa.int64()), ("bin_id", pa.int64()),
+                            ("n_docs", pa.int64()),
+                            ("total_tokens", pa.int64()),
+                            ("first_doc", pa.int64()),
+                            ("oversize", pa.bool_())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        part = t["part"].combine_chunks().to_numpy(zero_copy_only=False)
+        tok = t["tokens"].combine_chunks().to_numpy(zero_copy_only=False)
+        rows: list[dict] = []
+        for p in np.unique(part):    # ≤ num_partitions iterations
+            m = part == p
+            rows.extend(_pack_block(ids[m], tok[m], int(p), budget))
+        return pa.Table.from_pylist(rows, schema=schema)
+
+    out = (ex.map_batches(pack, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+           .to_pandas())
+    return (out.sort_values(["part", "bin_id"])
+            .reset_index(drop=True))
+
+
+def pack_sequences_reference(doc_ids: list[int], token_counts: list[int],
+                             budget: int = PACK_BUDGET,
+                             num_partitions: int = PACK_PARTITIONS
+                             ) -> pd.DataFrame:
+    """Sequential pure-Python oracle: identical partition assignment and
+    greedy next-fit semantics."""
+    by_part: dict[int, list[tuple[int, int]]] = {}
+    for d, n in zip(doc_ids, token_counts):
+        by_part.setdefault(d % num_partitions, []).append((d, n))
+    rows = []
+    for p in sorted(by_part):
+        docs = sorted(by_part[p])
+        bin_id, cur_docs, cur_tok, first = 0, 0, 0, None
+        for d, n in docs:
+            if cur_docs and cur_tok + n > budget:
+                rows.append({"part": p, "bin_id": bin_id,
+                             "n_docs": cur_docs, "total_tokens": cur_tok,
+                             "first_doc": first,
+                             "oversize": cur_tok > budget})
+                bin_id, cur_docs, cur_tok, first = bin_id + 1, 0, 0, None
+            if first is None:
+                first = d
+            cur_docs, cur_tok = cur_docs + 1, cur_tok + n
+        if cur_docs:
+            rows.append({"part": p, "bin_id": bin_id, "n_docs": cur_docs,
+                         "total_tokens": cur_tok, "first_doc": first,
+                         "oversize": cur_tok > budget})
+    df = pd.DataFrame(rows, columns=["part", "bin_id", "n_docs",
+                                     "total_tokens", "first_doc",
+                                     "oversize"])
+    for c in df.columns[:-1]:
+        df[c] = df[c].astype("int64")
+    return df

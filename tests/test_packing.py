@@ -1,0 +1,51 @@
+"""Sequence packing: exact equality vs the sequential reference packer
+on the fixture corpus, plus structural invariants."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from spardaqus_ray.pipelines import packing
+from tests.conftest import SF001, has_testdata
+
+pytestmark = pytest.mark.skipif(not has_testdata(), reason="no testdata")
+
+
+def _ref_from_parquet(sf_dir: str, budget=packing.PACK_BUDGET) -> pd.DataFrame:
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    ids = t["doc_id"].to_pylist()
+    toks = [len([w for w in s.split(" ") if w]) for s in t["text"].to_pylist()]
+    return packing.pack_sequences_reference(ids, toks, budget=budget)
+
+
+def test_pack_matches_reference(ray_session):
+    got = packing.pack_sequences(SF001)
+    ref = _ref_from_parquet(SF001)
+    pd.testing.assert_frame_equal(got, ref)
+    assert len(got) > 0
+
+
+def test_pack_invariants(ray_session):
+    got = packing.pack_sequences(SF001)
+    t = pq.read_table(f"{SF001}/documents.parquet", columns=["doc_id"])
+    # every document is in exactly one bin
+    assert got.n_docs.sum() == t.num_rows
+    # no bin over budget unless flagged oversize (single huge doc)
+    over = got[got.total_tokens > packing.PACK_BUDGET]
+    assert (over.oversize & (over.n_docs == 1)).all()
+    # bin ids dense per partition
+    for p, g in got.groupby("part"):
+        assert g.bin_id.tolist() == list(range(len(g)))
+
+
+def test_pack_oversize_and_order():
+    # partition 0: docs 0 (300 toks, oversize), 16 (100), 32 (100),
+    # 48 (100) at budget 256 -> bins [300], [100+100], [100]
+    ref = packing.pack_sequences_reference(
+        [0, 16, 32, 48], [300, 100, 100, 100], budget=256)
+    assert ref.total_tokens.tolist() == [300, 200, 100]
+    assert ref.oversize.tolist() == [True, False, False]
+    assert ref.first_doc.tolist() == [0, 16, 48]
