@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": cluster.kmeans_embeddings,
         "bpe_merges": bpe.bpe_merges,
         "pack_sequences": packing.pack_sequences,
+        "bpe_encode_symbols": bpe.bpe_encode_symbols,
         "pmi_bigrams": textops.pmi_bigrams,
         "textrank_keywords": graph.textrank_keywords,
         "bm25_search": search.bm25_search,

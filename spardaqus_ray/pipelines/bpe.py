@@ -106,6 +106,16 @@ def bpe_merges(sf_dir: str, n_merges: int = BPE_MERGES,
     """Learn `n_merges` BPE merges over the corpus. Returns one row per
     merge: (rank, left, right, n) where n is the pair's weighted corpus
     count at the time of the merge."""
+    merges, _ = _train(sf_dir, n_merges, table)
+    return merges
+
+
+def _train(sf_dir: str, n_merges: int,
+           table: str) -> tuple[pd.DataFrame, ray.data.Dataset]:
+    """Run the merge loop; returns (merges df, final word-table state).
+    The final state IS the corpus encoded with the learned merges —
+    tokenizer APPLICATION falls out of training for free (each round's
+    rewrite is exactly the greedy merge application)."""
     state = _word_table(sf_dir, table).materialize()
     out = []
     for rank in range(n_merges):
@@ -174,13 +184,82 @@ def bpe_merges(sf_dir: str, n_merges: int = BPE_MERGES,
     df = pd.DataFrame(out, columns=["rank", "left", "right", "n"])
     for c in ("rank", "n"):
         df[c] = df[c].astype("int64")
-    return df
+    return df, state
+
+
+BPE_VOCAB_TOP = 30
+
+
+def bpe_encode_symbols(sf_dir: str, n_merges: int = BPE_MERGES,
+                       k: int = BPE_VOCAB_TOP,
+                       table: str = "documents") -> pd.DataFrame:
+    """ENCODE the corpus with the learned merges and return the top-k
+    subword symbols by weighted corpus frequency — the tokenizer-
+    application half of the BPE story (what fraction of the corpus each
+    learned subword covers). The trainer's final state is already the
+    encoded distinct-word table, so application costs one extra
+    symbol-count reduce: per-block weighted symbol counts driver-reduce
+    (the symbol vocabulary is corpus-size-independent, the same bound
+    as the trainer's pair counts). Rows-only driver entry; exact
+    equality vs the sequential reference encoder gated in pytest."""
+    _, state = _train(sf_dir, n_merges, table)
+
+    def sym_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"symbol": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        split = pc.split_pattern(t["syms"], SEP).combine_chunks()
+        flat = split.values
+        if len(flat) == 0:
+            return empty
+        row_id = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                           np.diff(np.asarray(split.offsets)
+                                   .astype(np.int64)))
+        freq = t["freq"].combine_chunks().to_numpy(zero_copy_only=False)
+        g = (pd.DataFrame({"symbol": flat.to_numpy(zero_copy_only=False),
+                           "n": freq[row_id]})
+             .groupby("symbol", sort=False).sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = (state.map_batches(sym_partial, batch_format="pyarrow",
+                               zero_copy_batch=True).take_all())
+    df = (pd.DataFrame(parts).groupby("symbol", sort=False)["n"]
+          .sum().reset_index())
+    top = (df.sort_values(["n", "symbol"], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    top["n"] = top["n"].astype("int64")
+    return top
 
 
 def bpe_merges_reference(texts: list[str], n_merges: int) -> pd.DataFrame:
     """Sequential pure-Python oracle: identical tokenization (lowercase,
     U+0020 split, empties dropped), identical greedy left-to-right merge
     and (count DESC, left, right) tie break."""
+    out, _, _ = _reference_train(texts, n_merges)
+    df = pd.DataFrame(out, columns=["rank", "left", "right", "n"])
+    for c in ("rank", "n"):
+        df[c] = df[c].astype("int64")
+    return df
+
+
+def bpe_encode_reference(texts: list[str], n_merges: int,
+                         k: int = BPE_VOCAB_TOP) -> pd.DataFrame:
+    """Sequential oracle for bpe_encode_symbols: train, encode, count."""
+    from collections import Counter
+
+    _, words, freqs = _reference_train(texts, n_merges)
+    syms: Counter = Counter()
+    for w, s in words.items():
+        for x in s:
+            syms[x] += freqs[w]
+    rows = sorted(syms.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    df = pd.DataFrame(rows, columns=["symbol", "n"])
+    df["n"] = df["n"].astype("int64")
+    return df
+
+
+def _reference_train(texts: list[str], n_merges: int):
     from collections import Counter
 
     freqs = Counter()
@@ -213,7 +292,4 @@ def bpe_merges_reference(texts: list[str], n_merges: int) -> pd.DataFrame:
                     merged.append(syms[i])
                     i += 1
             words[w] = merged
-    df = pd.DataFrame(out, columns=["rank", "left", "right", "n"])
-    for c in ("rank", "n"):
-        df[c] = df[c].astype("int64")
-    return df
+    return out, words, freqs

@@ -32,3 +32,15 @@ def test_bpe_greedy_overlap_and_ties(ray_session, tmp_path):
     got = bpe.bpe_merges(str(tmp_path), n_merges=4)
     pd.testing.assert_frame_equal(got, ref)
     assert got["left"].iloc[0] == "a" and got["right"].iloc[0] == "a"
+
+
+def test_bpe_encode_matches_reference(ray_session):
+    texts = pq.read_table(f"{SF001}/documents.parquet",
+                          columns=["text"])["text"].to_pylist()
+    ref = bpe.bpe_encode_reference(texts, bpe.BPE_MERGES)
+    got = bpe.bpe_encode_symbols(SF001)
+    pd.testing.assert_frame_equal(got, ref)
+    assert len(got) == bpe.BPE_VOCAB_TOP
+    # the learned merges must actually appear in the encoded corpus:
+    # at least one top symbol is multi-character
+    assert (got.symbol.str.len() > 1).any()
