@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q56_label_centroids": decomp.q56_label_centroids,
         "q57_big_spenders": relational.q57_big_spenders,
         "q58_chunk_dedup": quality.q58_chunk_dedup,
+        "q59_mixture_sample": quality.q59_mixture_sample,
         "approx_distinct_hll": repo_stats.approx_distinct_hll,
         "doc_length_histogram": stats.doc_length_histogram,
         # --- dedup family (exact is SQL-checkable; rest rows-only) ---
@@ -217,6 +218,7 @@ def oracle_sql() -> dict[str, str]:
         "q56_label_centroids": decomp.Q56_SQL,
         "q57_big_spenders": relational.Q57_SQL,
         "q58_chunk_dedup": quality.Q58_SQL,
+        "q59_mixture_sample": quality.Q59_SQL,
         "sample_docs_stratified": repo_stats.SAMPLE_STRAT_SQL,
         "vocab_bigrams": textops.BIGRAM_SQL,
         "pmi_bigrams": textops.PMI_SQL,

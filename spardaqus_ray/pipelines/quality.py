@@ -609,3 +609,61 @@ FROM kept k JOIN n USING (doc_id)
 GROUP BY k.doc_id
 ORDER BY k.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Q59: data-mixture subsampling — cap each source's contribution at a
+# fixed character budget, taking its highest-priority documents first
+# (priority = multiplicative hash of doc_id: a deterministic,
+# partition-invariant pseudo-random permutation, so the selection is a
+# uniform sample that is reproducible across cluster widths and runs).
+# The standard "mix N sources at fixed proportions" move between
+# curation and tokenization (The Pile / ROOTS-style mixture weights).
+# --------------------------------------------------------------------------
+
+MIXTURE_BUDGET_CHARS = 3000
+_MIX_PRIO_MULT = 2654435761          # Knuth multiplicative hash
+
+
+def q59_mixture_sample(sf_dir: str,
+                       budget: int = MIXTURE_BUDGET_CHARS) -> pd.DataFrame:
+    """Selected (doc_id, source, n_chars) rows: per source, docs in
+    priority order until the cumulative n_chars would exceed `budget`.
+    Plan: stateless priority map -> ONE keyed exchange (inside
+    windows.running_agg's per-source running sum) -> vectorized filter.
+    Selection is running_sum <= budget, i.e. the same prefix rule the
+    SQL window expresses."""
+    from spardaqus_ray.pipelines import windows
+
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "source", "n_chars"])
+
+    def prio(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        p = (ids.astype(np.int64) * _MIX_PRIO_MULT) % (1 << 32)
+        return t.append_column("prio", pa.array(p))
+
+    ds = ds.map_batches(prio, batch_format="pyarrow", zero_copy_batch=True)
+    ds = windows.running_agg(
+        ds, key="source", order=["prio", "doc_id"], value="n_chars",
+        how="sum", out_name="cum_chars",
+        num_partitions=default_partitions(
+            size_bytes=table_bytes(sf_dir, "documents")))
+    out = (ds.filter(expr="cum_chars <= {}".format(float(budget)))
+           .select_columns(["doc_id", "source", "n_chars"])
+           .to_pandas())
+    out = out.astype({"doc_id": "int64", "n_chars": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q59_SQL = f"""
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         SUM(n_chars) OVER (
+           PARTITION BY source
+           ORDER BY (doc_id * {_MIX_PRIO_MULT}) % 4294967296, doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents)
+WHERE cum <= {MIXTURE_BUDGET_CHARS}
+ORDER BY doc_id
+"""
