@@ -96,6 +96,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q57_big_spenders": relational.q57_big_spenders,
         "q58_chunk_dedup": quality.q58_chunk_dedup,
         "q59_mixture_sample": quality.q59_mixture_sample,
+        "q60_first_last_price": relational.q60_first_last_price,
+        "q61_price_quartiles_disc": relational.q61_price_quartiles_disc,
+        "q62_pareto_orders": relational.q62_pareto_orders,
         "approx_distinct_hll": repo_stats.approx_distinct_hll,
         "doc_length_histogram": stats.doc_length_histogram,
         # --- dedup family (exact is SQL-checkable; rest rows-only) ---
@@ -219,6 +222,9 @@ def oracle_sql() -> dict[str, str]:
         "q57_big_spenders": relational.Q57_SQL,
         "q58_chunk_dedup": quality.Q58_SQL,
         "q59_mixture_sample": quality.Q59_SQL,
+        "q60_first_last_price": relational.Q60_SQL,
+        "q61_price_quartiles_disc": relational.Q61_SQL,
+        "q62_pareto_orders": relational.Q62_SQL,
         "sample_docs_stratified": repo_stats.SAMPLE_STRAT_SQL,
         "vocab_bigrams": textops.BIGRAM_SQL,
         "pmi_bigrams": textops.PMI_SQL,

@@ -1344,3 +1344,165 @@ FROM j JOIN av USING (c_mktsegment)
 WHERE j.s > 2 * av.a
 ORDER BY j.c_custkey
 """
+
+
+def q60_first_last_price(sf_dir: str) -> pd.DataFrame:
+    """FIRST_VALUE / LAST_VALUE window: every order carries its
+    customer's first and last order price in (o_orderdate, o_orderkey)
+    order — delegates to windows.first_last_value (one keyed exchange,
+    segment-endpoint gather)."""
+    from spardaqus_ray.pipelines import windows
+
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_custkey", "o_orderdate",
+                             "o_totalprice"])
+    ds = windows.first_last_value(
+        ds, key="o_custkey", order=["o_orderdate", "o_orderkey"],
+        value="o_totalprice", first_name="first_price",
+        last_name="last_price",
+        num_partitions=default_partitions(
+            size_bytes=table_bytes(sf_dir, "orders")))
+    out = (ds.select_columns(["o_orderkey", "o_custkey", "first_price",
+                              "last_price"]).to_pandas())
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+Q60_SQL = """
+SELECT o_orderkey, o_custkey,
+       FIRST_VALUE(o_totalprice) OVER w AS first_price,
+       LAST_VALUE(o_totalprice) OVER w AS last_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_orderkey
+"""
+
+
+def q61_price_quartiles_disc(sf_dir: str) -> pd.DataFrame:
+    """Grouped multi-quantile with PERCENTILE_DISC semantics (smallest
+    value whose cumulative share >= p — an ACTUAL data value, unlike
+    q22's interpolating PERCENTILE_CONT): price quartiles per market
+    segment. Same plan as q22 — capped-broadcast segment attach, ONE
+    keyed exchange, per-block sorted-index gather; the 100-TB path is
+    the mergeable bottom-k sketch (repo_stats.approx_median_price)."""
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    ds = _attach_segment(ds, sf_dir, keep=["o_totalprice"])
+    ensure_hash_shuffle(ds)
+    ds = ds.repartition(
+        default_partitions(size_bytes=table_bytes(sf_dir, "orders")),
+        keys=["c_mktsegment"])
+
+    def quart(t: pa.Table) -> pa.Table:
+        empty = pa.table({"c_mktsegment": pa.array([], pa.string()),
+                          "q25": pa.array([], pa.float64()),
+                          "q50": pa.array([], pa.float64()),
+                          "q75": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        seg = np.asarray(t["c_mktsegment"].to_pylist(), object)
+        price = t["o_totalprice"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        idx = np.lexsort((price, seg))
+        seg, price = seg[idx], price[idx]
+        starts = np.flatnonzero(np.r_[True, seg[1:] != seg[:-1]])
+        sizes = np.diff(np.r_[starts, len(seg)])
+        rows = {"c_mktsegment": seg[starts].astype(str)}
+        for p, name in ((0.25, "q25"), (0.5, "q50"), (0.75, "q75")):
+            # PERCENTILE_DISC: element at ceil(p*n)-1 of the sorted group
+            at = starts + np.maximum(np.ceil(p * sizes).astype(np.int64) - 1,
+                                     0)
+            rows[name] = np.round(price[at], 4)
+        return pa.table(rows)
+
+    out = (ds.map_batches(quart, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+           .to_pandas())
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+Q61_SQL = """
+SELECT c_mktsegment,
+       ROUND(quantile_disc(o_totalprice, 0.25), 4) AS q25,
+       ROUND(quantile_disc(o_totalprice, 0.50), 4) AS q50,
+       ROUND(quantile_disc(o_totalprice, 0.75), 4) AS q75
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def q62_pareto_orders(sf_dir: str) -> pd.DataFrame:
+    """Per-customer Pareto frontier (skyline): orders NOT strictly
+    dominated by an earlier-AND-cheaper order of the same customer —
+    the classic NOT EXISTS non-equi self-join, evaluated without any
+    pairwise work: after ONE keyed exchange and a whole-block lexsort
+    on (custkey, date, price), a row is dominated iff the running
+    minimum price over strictly-earlier dates of its segment is below
+    its own price. Equal-date rows never dominate each other (strict
+    inequality), which the scan honors by carrying the running min at
+    DATE-GROUP granularity (prefix min shifted by one date group)."""
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_custkey", "o_orderdate",
+                             "o_totalprice"])
+    ensure_hash_shuffle(ds)
+    ds = ds.repartition(
+        default_partitions(size_bytes=table_bytes(sf_dir, "orders")),
+        keys=["o_custkey"])
+
+    def skyline(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        cust = t["o_custkey"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        date = t["o_orderdate"].combine_chunks().cast(
+            pa.timestamp("us")).to_numpy(zero_copy_only=False)
+        date = date.astype("datetime64[us]").astype(np.int64)
+        price = t["o_totalprice"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        idx = np.lexsort((price, date, cust))
+        cust_s, date_s, price_s = cust[idx], date[idx], price[idx]
+        n = len(cust_s)
+        seg_first = np.r_[True, cust_s[1:] != cust_s[:-1]]
+        # date-group firsts within each customer segment
+        grp_first = seg_first | np.r_[True, date_s[1:] != date_s[:-1]]
+        # running min price up to and including each row, reset per
+        # customer: groupby cummin (cython)
+        seg_id = np.cumsum(seg_first) - 1
+        run_min = pd.Series(price_s).groupby(seg_id, sort=False).cummin() \
+            .to_numpy()
+        # min over STRICTLY earlier dates = running min at the END of the
+        # previous date group (rows in the same date group must not see
+        # each other): gather run_min at (start of own group - 1),
+        # +inf at each segment's first date group
+        grp_start = np.maximum.accumulate(
+            np.where(grp_first, np.arange(n, dtype=np.int64), 0))
+        prev_end = grp_start - 1
+        first_grp = grp_start <= np.maximum.accumulate(
+            np.where(seg_first, np.arange(n, dtype=np.int64), 0))
+        before_min = np.where(first_grp, np.inf, run_min[prev_end])
+        keep = np.flatnonzero(price_s <= before_min)
+        return pa.table({
+            "o_orderkey": pa.array(
+                t["o_orderkey"].combine_chunks().to_numpy(
+                    zero_copy_only=False)[idx][keep]),
+            "o_custkey": pa.array(cust_s[keep]),
+            "o_totalprice": pa.array(price_s[keep])})
+
+    out = (ds.map_batches(skyline, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+           .to_pandas())
+    out = out.astype({"o_orderkey": "int64", "o_custkey": "int64"})
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+Q62_SQL = """
+SELECT a.o_orderkey, a.o_custkey, a.o_totalprice
+FROM orders a
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders b
+  WHERE b.o_custkey = a.o_custkey
+    AND b.o_orderdate < a.o_orderdate
+    AND b.o_totalprice < a.o_totalprice)
+ORDER BY a.o_orderkey
+"""

@@ -203,6 +203,44 @@ def running_sum(ds: ray.data.Dataset, key: str, order: list[str], value: str,
                        num_partitions=num_partitions)
 
 
+def first_last_value(ds: ray.data.Dataset, key: str, order: list[str],
+                     value: str, first_name: str = "first_value",
+                     last_name: str = "last_value",
+                     num_partitions: int | None = None) -> ray.data.Dataset:
+    """FIRST_VALUE / LAST_VALUE(value) OVER (PARTITION BY key ORDER BY
+    order ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING):
+    each row receives its partition's first and last `value` in the
+    given sort. Same plan as the rest of the library — ONE hash
+    repartition, whole-block lexsort, segment-endpoint gather (no
+    per-group dispatch). Ties are deterministic only when `order` ends
+    in a unique column — the caller's responsibility, as in SQL."""
+    ds = _keyed(ds, key, num_partitions)
+
+    def block(t: pa.Table) -> pa.Table:
+        vt = t.schema.field(value).type
+        if t.num_rows == 0:
+            return (t.append_column(first_name, pa.array([], vt))
+                    .append_column(last_name, pa.array([], vt)))
+        k = _np(t[key])
+        ords = _order_arrays(t, order, None)
+        idx = np.lexsort(tuple(reversed(ords)) + (k,))
+        t = t.take(pa.array(idx))
+        k = k[idx]
+        n = len(k)
+        seg_first = np.empty(n, bool)
+        seg_first[0] = True
+        seg_first[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(seg_first)
+        ends = np.append(starts[1:], n) - 1
+        seg_id = np.cumsum(seg_first) - 1
+        v = t[value].combine_chunks()
+        return (t.append_column(first_name, v.take(pa.array(starts[seg_id])))
+                .append_column(last_name, v.take(pa.array(ends[seg_id]))))
+
+    return ds.map_batches(block, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+
+
 def _order_arrays(t: pa.Table, order: list[str],
                   descending: list[bool] | None) -> list[np.ndarray]:
     """Order columns as numpy arrays with descending flags applied

@@ -166,3 +166,49 @@ def test_range_count_partition_invariance(ray_session):
                .to_pandas().sort_values("id")["n_near"].tolist())
         res.append(out)
     assert res[0] == res[1] == res[2]
+
+
+def test_first_last_value(ray_session):
+    from spardaqus_ray.pipelines.windows import first_last_value
+
+    df = pd.DataFrame({
+        "k": ["a", "a", "a", "b", "b"],
+        "o": [3, 1, 2, 10, 9],
+        "v": [30.0, 10.0, 20.0, 100.0, 90.0],
+    })
+    out = (first_last_value(_ds(df), key="k", order=["o"], value="v",
+                            num_partitions=2)
+           .to_pandas().sort_values(["k", "o"]).reset_index(drop=True))
+    assert out["first_value"].tolist() == [10.0, 10.0, 10.0, 90.0, 90.0]
+    assert out["last_value"].tolist() == [30.0, 30.0, 30.0, 100.0, 100.0]
+
+
+def test_pareto_skyline_equal_dates(ray_session, tmp_path):
+    """Strict dominance: same-date rows never dominate each other, and
+    the frontier matches a brute-force NOT EXISTS scan."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spardaqus_ray.pipelines.relational import q62_pareto_orders
+
+    rng = np.random.default_rng(11)
+    n = 400
+    t = pa.table({
+        "o_orderkey": pa.array(np.arange(n)),
+        "o_custkey": pa.array(rng.integers(0, 12, n)),
+        "o_orderdate": pa.array(
+            rng.integers(0, 15, n).astype("datetime64[D]")).cast(
+                pa.timestamp("us")),
+        "o_totalprice": pa.array(np.round(rng.uniform(10, 99, n), 2)),
+    })
+    pq.write_table(t, tmp_path / "orders.parquet")
+    got = q62_pareto_orders(str(tmp_path))
+    df = t.to_pandas()
+    keep = []
+    for _, a in df.iterrows():
+        dom = ((df.o_custkey == a.o_custkey)
+               & (df.o_orderdate < a.o_orderdate)
+               & (df.o_totalprice < a.o_totalprice)).any()
+        if not dom:
+            keep.append(int(a.o_orderkey))
+    assert got.o_orderkey.tolist() == sorted(keep)
