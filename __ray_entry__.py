@@ -30,10 +30,10 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from spardaqus_ray.pipelines import (ann, bloom, bpe, cluster, decomp,
-                                         dedup, funnel, fuzzy, multimodal,
-                                         graph, packing, quality, relational,
-                                         repo_stats, search, stats, textops,
-                                         winnow)
+                                         dedup, funnel, fuzzy, learn,
+                                         multimodal, graph, packing, quality,
+                                         relational, repo_stats, search,
+                                         stats, textops, winnow)
 
     return {
         # --- relational layer (SURVEY.md §2.8 Q1-Q10) ---
@@ -99,6 +99,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q60_first_last_price": relational.q60_first_last_price,
         "q61_price_quartiles_disc": relational.q61_price_quartiles_disc,
         "q62_pareto_orders": relational.q62_pareto_orders,
+        "q63_source_overlap": quality.q63_source_overlap,
+        "q64_unpivot_lineitem": relational.q64_unpivot_lineitem,
+        "q65_segment_revenue_share": relational.q65_segment_revenue_share,
         "approx_distinct_hll": repo_stats.approx_distinct_hll,
         "doc_length_histogram": stats.doc_length_histogram,
         # --- dedup family (exact is SQL-checkable; rest rows-only) ---
@@ -123,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": search.bm25_search,
         "pca_embeddings": decomp.pca_embeddings,
         "pca_projection": decomp.pca_project,
+        "logreg_train": learn.logreg_train,
         # --- text analysis / flagship slices (rows-only unless noted) ---
         "flagship_keep_stats": textops.flagship_keep_stats,
         "langid_agreement": textops.langid_agreement,
@@ -225,6 +229,9 @@ def oracle_sql() -> dict[str, str]:
         "q60_first_last_price": relational.Q60_SQL,
         "q61_price_quartiles_disc": relational.Q61_SQL,
         "q62_pareto_orders": relational.Q62_SQL,
+        "q63_source_overlap": quality.Q63_SQL,
+        "q64_unpivot_lineitem": relational.Q64_SQL,
+        "q65_segment_revenue_share": relational.Q65_SQL,
         "sample_docs_stratified": repo_stats.SAMPLE_STRAT_SQL,
         "vocab_bigrams": textops.BIGRAM_SQL,
         "pmi_bigrams": textops.PMI_SQL,

@@ -161,8 +161,8 @@ def bench_flagship() -> dict:
 
 def bench_queries() -> dict:
     from spardaqus_ray.pipelines import (ann, bloom, bpe, dedup, funnel,
-                                         graph, quality, relational, search,
-                                         textops, winnow)
+                                         graph, learn, packing, quality,
+                                         relational, search, textops, winnow)
 
     out = {}
     for name, fn in [
@@ -189,6 +189,13 @@ def bench_queries() -> dict:
         ("dedup_winnow", winnow.winnow_dup_pairs),
         ("textrank_keywords", graph.textrank_keywords),
         ("bm25_search", search.bm25_search),
+        ("q58_chunk_dedup", quality.q58_chunk_dedup),
+        ("q59_mixture_sample", quality.q59_mixture_sample),
+        ("q62_pareto_orders", relational.q62_pareto_orders),
+        ("q63_source_overlap", quality.q63_source_overlap),
+        ("pack_sequences", packing.pack_sequences),
+        ("bpe_encode_symbols", bpe.bpe_encode_symbols),
+        ("logreg_train", learn.logreg_train),
     ]:
         t0 = time.time()
         fn(SF_DIR)

@@ -1,0 +1,144 @@
+"""Distributed supervised training ON the engine: full-batch logistic
+regression (one-vs-rest on one label) over the embeddings table — the
+"train a quality classifier on engine-computed features" step of a
+curation pipeline (fastText-style quality scorers are trained exactly
+this way at corpus scale).
+
+Physical shape (the kmeans/PCA pattern): the (X, y) design matrix is
+materialized ONCE as float64 blocks; each of the `iters` rounds
+broadcasts the weight vector in a map_batches closure and reduces
+per-block gradient partials on the driver — partial size is (dim+1)
+floats per block (corpus-size-independent), so the driver sees
+#blocks x (dim+2) numbers per round and the corpus is never re-read
+or re-shuffled. No SQL oracle (iterative optimizer): rows-only driver
+entry; near-exact (1e-6 relative) weight equality vs the sequential
+numpy reference plus a planted-separability accuracy gate in pytest.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from spardaqus_ray.sources.code_parquet import read_table
+
+LR_ITERS = 25
+LR_RATE = 0.5
+LR_TARGET_LABEL = 0
+
+
+def _design_block(t: pa.Table, target: int) -> pa.Table:
+    """(embedding list<float>, label) block -> flat float64 design rows
+    carried as fixed-width list columns (x: list<double>, y: double)."""
+    emb = t["embedding"].combine_chunks()
+    offs = np.asarray(emb.offsets).astype(np.int64)
+    widths = np.diff(offs)
+    if len(widths) and not (widths == widths[0]).all():
+        raise ValueError("ragged embedding column")
+    x = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    dim = int(widths[0]) if len(widths) else 0
+    lab = t["label"].combine_chunks().to_numpy(zero_copy_only=False)
+    y = (lab == target).astype(np.float64)
+    lst = pa.FixedSizeListArray.from_arrays(pa.array(x), dim)
+    return pa.table({"x": lst, "y": pa.array(y)})
+
+
+def _xy(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    xl = t["x"].combine_chunks()
+    dim = xl.type.list_size
+    X = xl.values.to_numpy(zero_copy_only=False).reshape(-1, dim)
+    y = t["y"].combine_chunks().to_numpy(zero_copy_only=False)
+    return X, y
+
+
+def logreg_train(sf_dir: str, iters: int = LR_ITERS, lr: float = LR_RATE,
+                 target: int = LR_TARGET_LABEL) -> pd.DataFrame:
+    """Train w, b for P(label == target | embedding) by full-batch
+    gradient descent; returns one row per parameter plus summary rows:
+    (feature, value) with feature in {w_000.., intercept, accuracy,
+    log_loss, n_rows}. Values rounded to 6 decimals (block-sum order
+    perturbs the last ~1e-10)."""
+    ds = read_table(sf_dir, "embeddings", columns=["embedding", "label"])
+    state = ds.map_batches(lambda t: _design_block(t, target),
+                           batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    head = state.take_batch(1, batch_format="pyarrow")
+    dim = head["x"].type.list_size
+    w = np.zeros(dim, np.float64)
+    b = 0.0
+    for _ in range(iters):
+        def grad(t: pa.Table, w=w, b=b) -> pa.Table:
+            X, y = _xy(t)
+            p = 1.0 / (1.0 + np.exp(-(X @ w + b)))
+            e = p - y
+            g = X.T @ e
+            return pa.table({
+                "g": pa.FixedSizeListArray.from_arrays(pa.array(g), dim),
+                "gb": pa.array([float(e.sum())]),
+                "n": pa.array([len(y)])})
+
+        parts = state.map_batches(grad, batch_format="pyarrow",
+                                  zero_copy_batch=True,
+                                  batch_size=None).take_all()
+        n = sum(p["n"] for p in parts)
+        gsum = np.sum([np.asarray(p["g"], np.float64) for p in parts],
+                      axis=0)
+        gbsum = sum(p["gb"] for p in parts)
+        w = w - lr * gsum / n
+        b = b - lr * gbsum / n
+
+    def score(t: pa.Table, w=w, b=b) -> pa.Table:
+        X, y = _xy(t)
+        z = X @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        eps = 1e-12
+        ll = -(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps)).sum()
+        acc = ((p >= 0.5) == (y >= 0.5)).sum()
+        return pa.table({"ll": pa.array([float(ll)]),
+                         "acc": pa.array([int(acc)]),
+                         "n": pa.array([len(y)])})
+
+    sparts = state.map_batches(score, batch_format="pyarrow",
+                               zero_copy_batch=True,
+                               batch_size=None).take_all()
+    n = sum(p["n"] for p in sparts)
+    rows = [{"feature": f"w_{i:03d}", "value": v} for i, v in enumerate(w)]
+    rows.append({"feature": "intercept", "value": b})
+    rows.append({"feature": "accuracy",
+                 "value": sum(p["acc"] for p in sparts) / n})
+    rows.append({"feature": "log_loss",
+                 "value": sum(p["ll"] for p in sparts) / n})
+    rows.append({"feature": "n_rows", "value": float(n)})
+    out = pd.DataFrame(rows)
+    out["value"] = out["value"].astype(np.float64).round(6)
+    return out
+
+
+def logreg_reference(X: np.ndarray, labels: np.ndarray,
+                     iters: int = LR_ITERS, lr: float = LR_RATE,
+                     target: int = LR_TARGET_LABEL) -> pd.DataFrame:
+    """Sequential numpy oracle — same init, step rule and rounding."""
+    X = X.astype(np.float64)
+    y = (labels == target).astype(np.float64)
+    n, dim = X.shape
+    w = np.zeros(dim, np.float64)
+    b = 0.0
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(X @ w + b)))
+        e = p - y
+        w = w - lr * (X.T @ e) / n
+        b = b - lr * e.sum() / n
+    p = 1.0 / (1.0 + np.exp(-(X @ w + b)))
+    eps = 1e-12
+    ll = -(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps)).mean()
+    acc = ((p >= 0.5) == (y >= 0.5)).mean()
+    rows = [{"feature": f"w_{i:03d}", "value": v} for i, v in enumerate(w)]
+    rows += [{"feature": "intercept", "value": b},
+             {"feature": "accuracy", "value": acc},
+             {"feature": "log_loss", "value": ll},
+             {"feature": "n_rows", "value": float(n)}]
+    out = pd.DataFrame(rows)
+    out["value"] = out["value"].astype(np.float64).round(6)
+    return out

@@ -667,3 +667,110 @@ SELECT doc_id, source, n_chars FROM (
 WHERE cum <= {MIXTURE_BUDGET_CHARS}
 ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Q63: cross-source contamination matrix — for every pair of sources,
+# how many distinct word-shingles they share. The corpus-level
+# companion to q45's per-document decontamination: tells a curator
+# WHICH feeds overlap (mirror detection, benchmark bleed, scraped
+# re-posts) before deciding what to drop.
+# --------------------------------------------------------------------------
+
+OVERLAP_SHINGLE = 5
+
+
+def q63_source_overlap(sf_dir: str,
+                       shingle: int = OVERLAP_SHINGLE) -> pd.DataFrame:
+    """(source_a, source_b, shared_shingles) for source_a < source_b,
+    pairs with zero overlap omitted. Plan: blocks emit in-block-distinct
+    (shingle, source) pairs; ONE hash exchange on the shingle key
+    co-locates each shingle's source set; per-block segmented pair
+    emission (sources-per-shingle is bounded by the source vocabulary,
+    so the pair explosion is m(m-1)/2 over a TINY m) pre-aggregates
+    into pair partials; the final groupby exchanges at most
+    #sources^2/2 rows per block. Shingle TEXT is the exchange key to
+    stay byte-exact with the string-keyed oracle; the 100-TB variant
+    keys on the q53 8-byte gram hash."""
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+    width = default_partitions(size_bytes=table_bytes(sf_dir, "documents"))
+
+    def explode(t: pa.Table) -> pa.Table:
+        empty = pa.table({"shingle": pa.array([], pa.string()),
+                          "source": pa.array([], pa.string())})
+        if t.num_rows == 0:
+            return empty
+        sh, rid = _shingles(t, shingle)
+        if len(sh) == 0:
+            return empty
+        src = t["source"].combine_chunks().to_numpy(
+            zero_copy_only=False)[rid]
+        df = (pd.DataFrame({"shingle": sh.to_numpy(zero_copy_only=False),
+                            "source": src})
+              .drop_duplicates())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    ex = ds.map_batches(explode, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    ensure_hash_shuffle(ex)
+    ex = ex.repartition(width, keys=["shingle"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"source_a": pa.array([], pa.string()),
+                          "source_b": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        df = pd.DataFrame({
+            "shingle": t["shingle"].to_numpy(zero_copy_only=False),
+            "source": t["source"].to_numpy(zero_copy_only=False),
+        }).drop_duplicates().sort_values(["shingle", "source"])
+        sh = df["shingle"].to_numpy()
+        src = df["source"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
+        sizes = np.diff(np.r_[starts, len(sh)])
+        out_a, out_b = [], []
+        # segments batched by SIZE (the winnow pattern): one gather +
+        # triu per distinct segment size, never a per-shingle loop
+        for m in np.unique(sizes):
+            if m < 2:
+                continue
+            segs = starts[sizes == m]
+            block = src[segs[:, None] + np.arange(m)]
+            iu, ju = np.triu_indices(m, 1)
+            out_a.append(block[:, iu].ravel())
+            out_b.append(block[:, ju].ravel())
+        if not out_a:
+            return empty
+        g = (pd.DataFrame({"source_a": np.concatenate(out_a),
+                           "source_b": np.concatenate(out_b)})
+             .groupby(["source_a", "source_b"], sort=False)
+             .size().reset_index(name="n"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ex.map_batches(pairs, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+           .groupby(["source_a", "source_b"])
+           .aggregate(Sum("n", alias_name="shared_shingles"))
+           .to_pandas())
+    out["shared_shingles"] = out["shared_shingles"].astype("int64")
+    return (out.sort_values(["source_a", "source_b"])
+            .reset_index(drop=True))
+
+
+Q63_SQL = f"""
+WITH d AS (
+  SELECT source,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents),
+g AS (
+  SELECT DISTINCT source,
+         array_to_string(toks[u.pos : u.pos + {OVERLAP_SHINGLE - 1}],
+                         ' ') AS shingle
+  FROM d, unnest(range(1, len(toks) - {OVERLAP_SHINGLE - 2})) AS u(pos))
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_shingles
+FROM g a JOIN g b ON a.shingle = b.shingle AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY source_a, source_b
+"""

@@ -1506,3 +1506,77 @@ WHERE NOT EXISTS (
     AND b.o_totalprice < a.o_totalprice)
 ORDER BY a.o_orderkey
 """
+
+
+def q64_unpivot_lineitem(sf_dir: str) -> pd.DataFrame:
+    """UNPIVOT (wide -> long): melt lineitem's three measure columns
+    into (measure, value) rows, then aggregate per measure and
+    returnflag — the inverse of q30's pivot, completing the OLAP
+    reshaping pair. The melt is a stateless in-block explode (three
+    column takes, one concat — rows never touch the driver); the only
+    exchange is the final small groupby."""
+    measures = ["l_quantity", "l_extendedprice", "l_discount"]
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag"] + measures)
+
+    def melt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"l_returnflag": pa.array([], pa.string()),
+                             "measure": pa.array([], pa.string()),
+                             "value": pa.array([], pa.float64())})
+        flag = t["l_returnflag"].combine_chunks()
+        parts = [pa.table({"l_returnflag": flag,
+                           "measure": pa.array([m] * t.num_rows),
+                           "value": t[m].combine_chunks()
+                           .cast(pa.float64())})
+                 for m in measures]
+        return pa.concat_tables(parts)
+
+    out = (ds.map_batches(melt, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["l_returnflag", "measure"])
+           .aggregate(Sum("value", alias_name="total"),
+                      Count(alias_name="n"))
+           .to_pandas())
+    out["total"] = out["total"].round(2)
+    out["n"] = out["n"].astype("int64")
+    return (out.sort_values(["l_returnflag", "measure"])
+            .reset_index(drop=True))
+
+
+Q64_SQL = """
+SELECT l_returnflag, measure, ROUND(SUM(value), 2) AS total,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT l_returnflag, measure, value
+  FROM lineitem
+  UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount)))
+GROUP BY l_returnflag, measure
+ORDER BY l_returnflag, measure
+"""
+
+
+def q65_segment_revenue_share(sf_dir: str) -> pd.DataFrame:
+    """Percent-of-total (RATIO_TO_REPORT): each market segment's share
+    of total order revenue. Plan: ONE small grouped SUM (5 rows), the
+    global total reduces on the driver from those 5 rows — the window
+    SUM() OVER () never rescans the data."""
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    seg = (_attach_segment(ds, sf_dir, keep=["o_totalprice"])
+           .groupby("c_mktsegment")
+           .aggregate(Sum("o_totalprice", alias_name="revenue"))
+           .to_pandas())
+    total = seg["revenue"].sum()
+    seg["revenue"] = seg["revenue"].round(2)
+    seg["share"] = (seg["revenue"] / total).round(6)
+    return seg.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+Q65_SQL = """
+SELECT c_mktsegment, ROUND(revenue, 2) AS revenue,
+       ROUND(revenue / SUM(revenue) OVER (), 6) AS share
+FROM (
+  SELECT c_mktsegment, SUM(o_totalprice) AS revenue
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment)
+ORDER BY c_mktsegment
+"""

@@ -1,0 +1,43 @@
+"""Distributed logistic regression vs the sequential numpy reference
+(same init/step/rounding), plus a planted-separability accuracy gate."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from spardaqus_ray.pipelines import learn
+from tests.conftest import SF001, has_testdata
+
+pytestmark = pytest.mark.skipif(not has_testdata(), reason="no testdata")
+
+
+def test_logreg_matches_reference(ray_session):
+    t = pq.read_table(f"{SF001}/embeddings.parquet")
+    X = np.asarray(t["embedding"].combine_chunks().values,
+                   np.float64).reshape(t.num_rows, -1)
+    labels = np.asarray(t["label"])
+    ref = learn.logreg_reference(X, labels)
+    got = learn.logreg_train(SF001)
+    assert got.feature.tolist() == ref.feature.tolist()
+    # block-partial summation order perturbs the last ~1e-10; both sides
+    # round to 6 decimals, so allow one rounding step of slack
+    assert (got.value - ref.value).abs().max() <= 2e-6
+
+
+def test_logreg_planted_separable(ray_session, tmp_path):
+    rng = np.random.default_rng(3)
+    n, dim = 400, 8
+    X = rng.normal(0, 1, (n, dim)).astype(np.float32)
+    y = (rng.random(n) < 0.5).astype(np.int32)
+    X[y == 0] += 3.0            # well-separated blob for label 0
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(X.ravel()), dim).cast(pa.list_(pa.float32())),
+        "label": pa.array(y, pa.int32())})
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    out = learn.logreg_train(str(tmp_path), iters=60, lr=1.0, target=0)
+    acc = out.loc[out.feature == "accuracy", "value"].iloc[0]
+    assert acc > 0.95
