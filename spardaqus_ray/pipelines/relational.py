@@ -1580,3 +1580,207 @@ FROM (
   GROUP BY c_mktsegment)
 ORDER BY c_mktsegment
 """
+
+
+def q69_priority_price_flags(sf_dir: str) -> pd.DataFrame:
+    """Grouped boolean aggregates (SQL BOOL_AND / BOOL_OR): per
+    o_orderpriority, whether EVERY order tops 1000 and whether ANY tops
+    400k. Partial shape: booleans fold to per-block int min/max partials
+    (bool_and = all = min, bool_or = any = max), one tiny groupby."""
+    from ray.data.aggregate import Max, Min
+
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        price = (t["o_totalprice"].combine_chunks()
+                 .to_numpy(zero_copy_only=False).astype(np.float64))
+        df = pd.DataFrame({
+            "o_orderpriority": t["o_orderpriority"].combine_chunks()
+            .to_numpy(zero_copy_only=False),
+            "all_over_1k": (price > 1_000).astype(np.int64),
+            "any_over_400k": (price > 400_000).astype(np.int64),
+        })
+        g = (df.groupby("o_orderpriority", sort=False)
+             .agg(all_over_1k=("all_over_1k", "min"),
+                  any_over_400k=("any_over_400k", "max")).reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("o_orderpriority")
+           .aggregate(Min("all_over_1k", alias_name="all_over_1k"),
+                      Max("any_over_400k", alias_name="any_over_400k"))
+           .to_pandas())
+    out["all_over_1k"] = out["all_over_1k"].astype(bool)
+    out["any_over_400k"] = out["any_over_400k"].astype(bool)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+Q69_SQL = """
+SELECT o_orderpriority,
+       BOOL_AND(o_totalprice > 1000)   AS all_over_1k,
+       BOOL_OR(o_totalprice > 400000)  AS any_over_400k
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q70_segments_above_avg(sf_dir: str) -> pd.DataFrame:
+    """HAVING against a global scalar subquery: market segments whose
+    average order price beats the all-orders average. ONE distributed
+    pass of (segment, n, sum) partials serves both sides — the global
+    average is the column-sum of the same n_segments-row aggregate, so
+    the HAVING filter is pure driver algebra (no second scan)."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    seg = (_attach_segment(ds, sf_dir, keep=["o_totalprice"])
+           .groupby("c_mktsegment")
+           .aggregate(Count(alias_name="n_orders"),
+                      Sum("o_totalprice", alias_name="rev"))
+           .to_pandas())
+    global_avg = seg["rev"].sum() / seg["n_orders"].sum()
+    seg["avg_price"] = (seg["rev"] / seg["n_orders"]).round(4)
+    out = (seg[seg["rev"] / seg["n_orders"] > global_avg]
+           [["c_mktsegment", "avg_price"]])
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+Q70_SQL = """
+SELECT c_mktsegment, ROUND(AVG(o_totalprice), 4) AS avg_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+HAVING AVG(o_totalprice) > (SELECT AVG(o_totalprice) FROM orders)
+ORDER BY c_mktsegment
+"""
+
+
+def q71_order_date_spans(sf_dir: str) -> pd.DataFrame:
+    """Temporal MIN/MAX + DATE_DIFF per group: first/last order date and
+    the day span per priority. Timestamps fold to int64 epoch-day
+    partials per block (min/max are order statistics — mergeable), so
+    the exchange carries two ints per (block, group)."""
+    from ray.data.aggregate import Max, Min
+
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderpriority", "o_orderdate"])
+    us_per_day = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (t["o_orderdate"].combine_chunks().cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // us_per_day)
+        df = pd.DataFrame({
+            "o_orderpriority": t["o_orderpriority"].combine_chunks()
+            .to_numpy(zero_copy_only=False), "day": day})
+        g = (df.groupby("o_orderpriority", sort=False)
+             .agg(first_day=("day", "min"), last_day=("day", "max"))
+             .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("o_orderpriority")
+           .aggregate(Min("first_day", alias_name="first_day"),
+                      Max("last_day", alias_name="last_day"))
+           .to_pandas())
+    out["span_days"] = (out["last_day"] - out["first_day"]).astype("int64")
+    for c in ("first_day", "last_day"):
+        out[c] = pd.to_datetime(out[c] * us_per_day, unit="us").dt.strftime(
+            "%Y-%m-%d")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+Q71_SQL = """
+SELECT o_orderpriority,
+       STRFTIME(MIN(o_orderdate), '%Y-%m-%d') AS first_day,
+       STRFTIME(MAX(o_orderdate), '%Y-%m-%d') AS last_day,
+       DATE_DIFF('day', CAST(MIN(o_orderdate) AS DATE),
+                 CAST(MAX(o_orderdate) AS DATE)) AS span_days
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q72_price_tier_counts(sf_dir: str) -> pd.DataFrame:
+    """CASE-expression bucketing + two-key groupby: orders counted by
+    (status, price tier). The CASE is one vectorized np.select per
+    block; the exchange is the usual tiny grouped-partial sum."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderstatus", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        price = (t["o_totalprice"].combine_chunks()
+                 .to_numpy(zero_copy_only=False).astype(np.float64))
+        tier = np.select([price < 50_000, price < 200_000],
+                         ["low", "mid"], "high")
+        df = pd.DataFrame({
+            "o_orderstatus": t["o_orderstatus"].combine_chunks()
+            .to_numpy(zero_copy_only=False),
+            "tier": tier, "n": np.ones(t.num_rows, np.int64)})
+        g = df.groupby(["o_orderstatus", "tier"], sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["o_orderstatus", "tier"])
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    return (out.sort_values(["o_orderstatus", "tier"])
+            .reset_index(drop=True))
+
+
+Q72_SQL = """
+SELECT o_orderstatus,
+       CASE WHEN o_totalprice < 50000 THEN 'low'
+            WHEN o_totalprice < 200000 THEN 'mid'
+            ELSE 'high' END AS tier,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY o_orderstatus, tier
+ORDER BY o_orderstatus, tier
+"""
+
+
+def q73_weighted_avg_price(sf_dir: str) -> pd.DataFrame:
+    """Quantity-weighted average unit price per returnflag — the
+    weighted-mean aggregate as two mergeable sums (Σw·x, Σw) per group."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = (t["l_quantity"].combine_chunks()
+             .to_numpy(zero_copy_only=False).astype(np.float64))
+        p = (t["l_extendedprice"].combine_chunks()
+             .to_numpy(zero_copy_only=False).astype(np.float64))
+        df = pd.DataFrame({
+            "l_returnflag": t["l_returnflag"].combine_chunks()
+            .to_numpy(zero_copy_only=False),
+            "wx": q * p, "w": q})
+        g = df.groupby("l_returnflag", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("l_returnflag")
+           .aggregate(Sum("wx", alias_name="wx"), Sum("w", alias_name="w"))
+           .to_pandas())
+    out["weighted_avg_price"] = (out["wx"] / out["w"]).round(4)
+    return (out[["l_returnflag", "weighted_avg_price"]]
+            .sort_values("l_returnflag").reset_index(drop=True))
+
+
+Q73_SQL = """
+SELECT l_returnflag,
+       ROUND(SUM(l_quantity * l_extendedprice) / SUM(l_quantity), 4)
+           AS weighted_avg_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""

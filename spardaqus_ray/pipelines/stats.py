@@ -634,3 +634,147 @@ FROM orders
 WINDOW w AS (PARTITION BY o_orderstatus)
 ORDER BY o_orderkey
 """
+
+
+def _price_higher_moments(sf_dir: str) -> pd.DataFrame:
+    """Per-l_returnflag mergeable power sums of shifted
+    y=l_extendedprice up to the 4th order: (n, s1..s4). Same
+    offset-stabilized pattern as _lineitem_moments — skewness/kurtosis
+    are shift-invariant, so the offset only kills cancellation. The 4th
+    power reaches ~1e19 per row; float64's 1e-16 relative error leaves
+    ~8 digits of headroom over the 4-dp rounding (verified vs DuckDB at
+    both fixture scales)."""
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        y = (t["l_extendedprice"].combine_chunks()
+             .to_numpy(zero_copy_only=False).astype(np.float64) - _Y_OFF)
+        df = pd.DataFrame({
+            "l_returnflag": t["l_returnflag"].combine_chunks()
+            .to_numpy(zero_copy_only=False),
+            "n": np.ones(t.num_rows, np.int64),
+            "s1": y, "s2": y * y, "s3": y ** 3, "s4": y ** 4,
+        })
+        g = df.groupby("l_returnflag", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("l_returnflag")
+            .aggregate(Sum("n", alias_name="n"), Sum("s1", alias_name="s1"),
+                       Sum("s2", alias_name="s2"), Sum("s3", alias_name="s3"),
+                       Sum("s4", alias_name="s4"))
+            .to_pandas())
+
+
+def q66_price_skew_kurtosis(sf_dir: str) -> pd.DataFrame:
+    """Grouped SKEWNESS + KURTOSIS (DuckDB's bias-adjusted estimators:
+    g1*sqrt(n(n-1))/(n-2) and ((n+1)g2+6)(n-1)/((n-2)(n-3)) — pinned
+    numerically against DuckDB before registration) from ONE pass of
+    mergeable 1st..4th power sums. Same scale shape as q28: each block
+    collapses to <=n_groups partial rows, one tiny groupby, driver
+    algebra over n_groups rows."""
+    agg = _price_higher_moments(sf_dir)
+    n = agg["n"].astype(float)
+    mu = agg["s1"] / n
+    # central sample moments m_k = E[(y - mu)^k] from raw power sums
+    m2 = agg["s2"] / n - mu ** 2
+    m3 = agg["s3"] / n - 3 * mu * agg["s2"] / n + 2 * mu ** 3
+    m4 = (agg["s4"] / n - 4 * mu * agg["s3"] / n
+          + 6 * mu ** 2 * agg["s2"] / n - 3 * mu ** 4)
+    g1 = m3 / m2 ** 1.5
+    g2 = m4 / m2 ** 2 - 3
+    out = pd.DataFrame({
+        "l_returnflag": agg["l_returnflag"],
+        "skew_price": (g1 * np.sqrt(n * (n - 1)) / (n - 2)).round(4),
+        "kurt_price": (((n + 1) * g2 + 6) * (n - 1)
+                       / ((n - 2) * (n - 3))).round(4),
+    })
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+Q66_SQL = """
+SELECT l_returnflag,
+       ROUND(skewness(l_extendedprice), 4) AS skew_price,
+       ROUND(kurtosis(l_extendedprice), 4) AS kurt_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q67_qty_price_covariance(sf_dir: str) -> pd.DataFrame:
+    """Grouped COVAR_SAMP / COVAR_POP(l_quantity, l_extendedprice) —
+    reuses q28/q54's shared mergeable moment partials verbatim (the
+    whole query is different driver algebra over the same n_groups-row
+    aggregate; zero new distributed work when fused with them)."""
+    agg = _lineitem_moments(sf_dir)
+    n = agg["n"].astype(float)
+    sxy_c = agg["sxy"] - agg["sx"] * agg["sy"] / n
+    out = pd.DataFrame({
+        "l_returnflag": agg["l_returnflag"],
+        "covar_s": (sxy_c / (n - 1)).round(4),
+        "covar_p": (sxy_c / n).round(4),
+    })
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+Q67_SQL = """
+SELECT l_returnflag,
+       ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS covar_s,
+       ROUND(COVAR_POP(l_quantity, l_extendedprice), 4)  AS covar_p
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q68_filtered_aggs(sf_dir: str) -> pd.DataFrame:
+    """SQL FILTER-clause conditional aggregates per o_orderstatus:
+    COUNT of big orders, SUM of urgent-order revenue, and the plain
+    COUNT — all as masked per-block partials in ONE pass (the q30
+    pivot's conditional-aggregation shape with mixed predicates)."""
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderstatus", "o_orderpriority",
+                             "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        price = (t["o_totalprice"].combine_chunks()
+                 .to_numpy(zero_copy_only=False).astype(np.float64))
+        prio = t["o_orderpriority"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        df = pd.DataFrame({
+            "o_orderstatus": t["o_orderstatus"].combine_chunks()
+            .to_numpy(zero_copy_only=False),
+            "n_orders": np.ones(t.num_rows, np.int64),
+            "n_big": (price > 100_000).astype(np.int64),
+            "urgent_rev": np.where(prio == "1-URGENT", price, 0.0),
+        })
+        g = df.groupby("o_orderstatus", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("o_orderstatus")
+           .aggregate(Sum("n_orders", alias_name="n_orders"),
+                      Sum("n_big", alias_name="n_big"),
+                      Sum("urgent_rev", alias_name="urgent_rev"))
+           .to_pandas())
+    out["urgent_rev"] = out["urgent_rev"].round(4)
+    return (out[["o_orderstatus", "n_orders", "n_big", "urgent_rev"]]
+            .sort_values("o_orderstatus").reset_index(drop=True))
+
+
+Q68_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) FILTER (WHERE o_totalprice > 100000) AS BIGINT)
+           AS n_big,
+       ROUND(COALESCE(SUM(o_totalprice)
+                      FILTER (WHERE o_orderpriority = '1-URGENT'), 0), 4)
+           AS urgent_rev
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
