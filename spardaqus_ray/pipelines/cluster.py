@@ -49,6 +49,57 @@ def _init_centroids(sf_dir: str, k: int, seed: int) -> np.ndarray:
     return np.stack(cents)
 
 
+def _make_partial(c: np.ndarray, with_cos: bool):
+    """Per-block Lloyd partial: assign every vector to its nearest
+    centroid and collapse the block to k rows of (cluster, count,
+    vector_sum [, cos_sum])."""
+    def partial(t: pa.Table) -> pa.Table:
+        unit = _unit(_mat(t)).astype(np.float64)
+        cos = unit @ c.T                       # (n, k)
+        assign = cos.argmax(axis=1)
+        n = np.bincount(assign, minlength=len(c)).astype(np.int64)
+        # per-cluster vector sums: one reduceat-style matmul via
+        # one-hot-free indexing (add.at over rows)
+        sums = np.zeros_like(c)
+        np.add.at(sums, assign, unit)
+        cols = {
+            "c": pa.array(np.arange(len(c), dtype=np.int64)),
+            "n": pa.array(n),
+            "s": pa.array(list(sums), pa.list_(pa.float64())),
+        }
+        if with_cos:
+            csum = np.zeros(len(c))
+            np.add.at(csum, assign, cos[np.arange(len(assign)), assign])
+            cols["cos_sum"] = pa.array(csum)
+        return pa.table(cols)
+    return partial
+
+
+def train_centroids(sf_dir: str, k: int = 8, iters: int = 5,
+                    seed: int = 7) -> np.ndarray:
+    """Final spherical-k-means centroids after `iters` streaming Lloyd
+    passes — the shared trainer behind kmeans_embeddings and
+    semdedup_embeddings (identical partials, so both see the SAME
+    clustering for a given (k, iters, seed)). Runs iters-1 update
+    passes: kmeans_embeddings' final pass only reads stats, so the
+    centroids IT assigns with are these."""
+    ds = read_table(sf_dir, "embeddings", columns=["embedding"])
+    cents = _init_centroids(sf_dir, k, seed)
+    for _ in range(iters - 1):
+        parts = (ds.map_batches(_make_partial(cents, with_cos=False),
+                                batch_format="pyarrow", zero_copy_batch=True)
+                 .to_pandas())                      # #blocks x k rows — tiny
+        g = parts.groupby("c", sort=True)
+        counts = g["n"].sum().to_numpy()
+        sums = np.stack(g["s"].apply(
+            lambda v: np.sum(np.stack([np.asarray(x) for x in v]), axis=0)))
+        nz = counts > 0
+        new = cents.copy()
+        new[nz] = _unit(sums[nz])
+        cents = new
+    return cents
+
+
 def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5,
                       seed: int = 7) -> pd.DataFrame:
     """Spherical k-means (cosine/Lloyd's): returns per-cluster
@@ -57,28 +108,7 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5,
     per-cluster cohesion diagnostic."""
     ds = read_table(sf_dir, "embeddings", columns=["embedding"])
     cents = _init_centroids(sf_dir, k, seed)
-
-    def make_partial(c: np.ndarray, with_cos: bool):
-        def partial(t: pa.Table) -> pa.Table:
-            unit = _unit(_mat(t)).astype(np.float64)
-            cos = unit @ c.T                       # (n, k)
-            assign = cos.argmax(axis=1)
-            n = np.bincount(assign, minlength=len(c)).astype(np.int64)
-            # per-cluster vector sums: one reduceat-style matmul via
-            # one-hot-free indexing (add.at over rows)
-            sums = np.zeros_like(c)
-            np.add.at(sums, assign, unit)
-            cols = {
-                "c": pa.array(np.arange(len(c), dtype=np.int64)),
-                "n": pa.array(n),
-                "s": pa.array(list(sums), pa.list_(pa.float64())),
-            }
-            if with_cos:
-                csum = np.zeros(len(c))
-                np.add.at(csum, assign, cos[np.arange(len(assign)), assign])
-                cols["cos_sum"] = pa.array(csum)
-            return pa.table(cols)
-        return partial
+    make_partial = _make_partial
 
     for it in range(iters):
         last = it == iters - 1

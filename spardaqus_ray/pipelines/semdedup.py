@@ -1,0 +1,128 @@
+"""SemDeDup-style semantic deduplication over the `embeddings` table
+(Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+through semantic deduplication" — public arXiv): cluster embeddings
+with k-means, then inside each cluster drop every vector that has a
+semantic near-duplicate (cosine >= tau) with a smaller id.
+
+Scale shape (the paper's own design): the quadratic compare runs ONLY
+within clusters, so k is chosen to bound cluster size (k ~ N /
+target_cluster_size; the paper uses 50k clusters for LAION). Here:
+  1. centroids via cluster.train_centroids — iterative broadcast,
+     #blocks x k driver rows per pass, no shuffle;
+  2. ONE assignment pass (map_batches matmul against the broadcast
+     k x d matrix) emitting (vec_id, cluster_id, unit vector);
+  3. ONE hash repartition on cluster_id co-locating each cluster;
+  4. per-cluster keep-first-by-id dedup: a row-chunked U @ U.T
+     upper-triangle test — memory bounded at chunk x cluster floats.
+Driver traffic = the (vec_id, cluster_id, kept) verdicts only.
+
+Keep rule (deterministic, retry/partition-invariant): vector v is
+dropped iff SOME u < v in the same cluster has cosine(u, v) >= tau —
+no greedy chain, so the verdict depends only on the cluster's member
+set, never on arrival order. Non-SQL-expressible (iterative k-means);
+driver check is rows-only; pytest pins the keep rule exactly against a
+sequential recompute, planted-duplicate collapse, determinism, and
+partition invariance (tests/test_semdedup.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from spardaqus_ray.pipelines.ann import _mat, _unit
+from spardaqus_ray.pipelines.cluster import train_centroids
+from spardaqus_ray.sources.code_parquet import read_table
+from spardaqus_ray.util import (default_partitions, ensure_hash_shuffle,
+                                table_bytes)
+
+# Matmul row-chunk inside a cluster: bounds the (chunk, m) cosine block
+# to ~8 MB of float64 at m=1024 — cluster size itself is bounded by k.
+_CHUNK = 1024
+
+SEMDEDUP_TAU = 0.4  # fixture-meaningful (max off-diag cosine ~0.51)
+
+
+def _dedup_cluster(ids: np.ndarray, unit: np.ndarray, tau: float
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """(kept bool, max cosine to any smaller-id member) for ONE cluster.
+    ids must be sorted ascending; rows of `unit` are unit-normalized."""
+    m = len(ids)
+    kept = np.ones(m, bool)
+    max_prior = np.zeros(m)
+    for lo in range(0, m, _CHUNK):
+        hi = min(lo + _CHUNK, m)
+        cos = unit[lo:hi] @ unit.T                 # (chunk, m)
+        # strictly-smaller-id mask: column j counts for row i iff j < i
+        col = np.arange(m)[None, :]
+        row = np.arange(lo, hi)[:, None]
+        prior = np.where(col < row, cos, -np.inf)
+        if m > 1:
+            mp = prior.max(axis=1)
+            has = np.isfinite(mp)
+            max_prior[lo:hi][has] = mp[has]
+            kept[lo:hi] &= ~(mp >= tau)
+    return kept, max_prior
+
+
+def semdedup_embeddings(sf_dir: str, k: int = 8, iters: int = 5,
+                        tau: float = SEMDEDUP_TAU,
+                        seed: int = 7) -> pd.DataFrame:
+    """Per-vector SemDeDup verdicts: (vec_id, cluster_id, kept,
+    max_prior_cos) for every row of the embeddings table, sorted by
+    vec_id. max_prior_cos = highest cosine to any smaller-id member of
+    the same cluster (0 for each cluster's first member)."""
+    cents = train_centroids(sf_dir, k, iters, seed)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ensure_hash_shuffle(ds)
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cluster_id": pa.array([], pa.int64()),
+                             "vec": pa.array([], pa.list_(pa.float64()))})
+        unit = _unit(_mat(t)).astype(np.float64)
+        cl = (unit @ cents.T).argmax(axis=1).astype(np.int64)
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "cluster_id": pa.array(cl),
+            "vec": pa.array(unit.tolist(), pa.list_(pa.float64())),
+        })
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    assigned = assigned.repartition(
+        default_partitions(size_bytes=table_bytes(sf_dir, "embeddings")),
+        keys=["cluster_id"])
+
+    def verdicts(t: pa.Table) -> pa.Table:
+        empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                          "cluster_id": pa.array([], pa.int64()),
+                          "kept": pa.array([], pa.bool_()),
+                          "max_prior_cos": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        ids = (t["vec_id"].combine_chunks()
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+        cl = (t["cluster_id"].combine_chunks()
+              .to_numpy(zero_copy_only=False).astype(np.int64))
+        unit = np.asarray(t["vec"].combine_chunks().flatten(),
+                          np.float64).reshape(t.num_rows, -1)
+        # a repartitioned block can hold several (whole) clusters:
+        # lexsort by (cluster, id) and walk the segments
+        order = np.lexsort((ids, cl))
+        ids, cl, unit = ids[order], cl[order], unit[order]
+        seg = np.concatenate(([0], np.nonzero(np.diff(cl))[0] + 1, [len(cl)]))
+        kept = np.empty(len(ids), bool)
+        mp = np.empty(len(ids))
+        for s, e in zip(seg[:-1], seg[1:]):
+            kept[s:e], mp[s:e] = _dedup_cluster(ids[s:e], unit[s:e], tau)
+        return pa.table({"vec_id": pa.array(ids),
+                         "cluster_id": pa.array(cl),
+                         "kept": pa.array(kept),
+                         "max_prior_cos": pa.array(np.round(mp, 4))})
+
+    out = (assigned.map_batches(verdicts, batch_format="pyarrow",
+                                batch_size=None).to_pandas())
+    return out.sort_values("vec_id").reset_index(drop=True)

@@ -1,0 +1,118 @@
+"""SemDeDup gates: the keep rule pinned exactly against a sequential
+recompute, kernel-vs-naive property check, planted-duplicate collapse,
+and determinism (SURVEY.md §5 conventions)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tests.conftest import SF001, has_testdata
+
+pytestmark = pytest.mark.skipif(not has_testdata(), reason="no testdata")
+
+
+def test_dedup_cluster_kernel_matches_naive():
+    """The chunked upper-triangle kernel == the naive O(m^2) loop,
+    including across the _CHUNK boundary (m > chunk via monkey-size)."""
+    import spardaqus_ray.pipelines.semdedup as sd
+
+    rng = np.random.default_rng(3)
+    m, d, tau = 200, 16, 0.8
+    unit = rng.standard_normal((m, d))
+    unit /= np.linalg.norm(unit, axis=1, keepdims=True)
+    # plant exact duplicates so the rule actually fires
+    unit[50] = unit[10]
+    unit[51] = unit[10]
+    ids = np.arange(m, dtype=np.int64)
+    old = sd._CHUNK
+    sd._CHUNK = 64  # force several chunks
+    try:
+        kept, mp = sd._dedup_cluster(ids, unit, tau)
+    finally:
+        sd._CHUNK = old
+    cos = unit @ unit.T
+    for j in range(m):
+        prior = cos[j, :j]
+        exp_kept = not (prior >= tau).any() if j else True
+        assert kept[j] == exp_kept, j
+        if j:
+            assert mp[j] == pytest.approx(prior.max())
+        else:
+            assert mp[j] == 0.0
+    assert not kept[50] and not kept[51] and kept[10]
+
+
+def test_semdedup_rule_consistent_on_fixture(ray_session):
+    """Every fixture verdict is reproducible from the returned
+    assignment: rerunning the SAME kernel per cluster sequentially on
+    the raw embeddings gives identical kept flags (pins co-location,
+    in-cluster ordering and the unit normalization)."""
+    from spardaqus_ray.pipelines.ann import _mat, _unit
+    from spardaqus_ray.pipelines.semdedup import (_dedup_cluster,
+                                                  SEMDEDUP_TAU,
+                                                  semdedup_embeddings)
+
+    out = semdedup_embeddings(SF001)
+    t = pq.read_table(f"{SF001}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    unit = _unit(_mat(t)).astype(np.float64)
+    ids = t["vec_id"].to_numpy()
+    by_id = {int(v): unit[i] for i, v in enumerate(ids)}
+    assert len(out) == len(ids)
+    assert (~out["kept"]).sum() > 0  # non-vacuous at sf0.001
+    for cl, g in out.groupby("cluster_id"):
+        g = g.sort_values("vec_id")
+        gids = g["vec_id"].to_numpy(np.int64)
+        mat = np.stack([by_id[int(v)] for v in gids])
+        kept, mp = _dedup_cluster(gids, mat, SEMDEDUP_TAU)
+        assert (g["kept"].to_numpy() == kept).all(), cl
+        assert np.allclose(g["max_prior_cos"].to_numpy(), np.round(mp, 4))
+
+
+def test_semdedup_planted_duplicates_collapse(ray_session, tmp_path):
+    """Three well-separated direction clusters, each with a planted
+    exact-duplicate group -> exactly the min-id member of each dup
+    group is kept; all singletons survive."""
+    from spardaqus_ray.pipelines.semdedup import semdedup_embeddings
+
+    rng = np.random.default_rng(11)
+    d = 8
+    base = np.eye(3, d) * 10.0
+    rows = []
+    vid = 0
+    dup_groups = []
+    for c in range(3):
+        members = []
+        for i in range(20):
+            # spread keeps distinct-member cosine ~0.99 < tau=0.999
+            # while exact duplicates hit 1.0
+            v = base[c] + rng.normal(0, 0.5, d)
+            rows.append((vid, v))
+            members.append(vid)
+            vid += 1
+        # plant: ids 100+3c..102+3c duplicate the cluster's first vector
+        for j in range(3):
+            rows.append((100 + 3 * c + j, rows[members[0]][1].copy()))
+        dup_groups.append([members[0]] + [100 + 3 * c + j for j in range(3)])
+    tbl = pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array([r[1].tolist() for r in rows],
+                              pa.list_(pa.float32())),
+    })
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    out = semdedup_embeddings(str(tmp_path), k=3, iters=4, tau=0.999)
+    verdict = dict(zip(out["vec_id"], out["kept"]))
+    for grp in dup_groups:
+        kept = [v for v in grp if verdict[v]]
+        assert kept == [min(grp)], grp
+
+
+def test_semdedup_deterministic(ray_session):
+    from spardaqus_ray.pipelines.semdedup import semdedup_embeddings
+
+    a = semdedup_embeddings(SF001)
+    b = semdedup_embeddings(SF001)
+    assert a.equals(b)
