@@ -1,0 +1,188 @@
+"""DSIR-style importance resampling over the `documents` table
+(Xie et al. 2023, "Data Selection for Language Models via Importance
+Resampling" — public arXiv): fit hashed-n-gram bag models for a TARGET
+distribution (docs from one source) and the RAW pool (everything
+else), weight every raw doc by its log importance ratio, and resample
+via deterministic Gumbel-top-k.
+
+Scale shape:
+  1. ONE feature pass — per block, word unigram+bigram hashes from
+     the shared vectorized `words_block` kernel fold into m hashed
+     buckets; each block emits its nonzero (bucket, tgt_n, raw_n)
+     partial rows (<= m per block).
+  2. ONE grouped SUM over those partials — the exchange is bounded by
+     the m-bucket feature space, never the corpus (m rows total out).
+  3. The m-row log-ratio vector broadcasts back in a closure; pass 2
+     scores each doc locally (lambda[buckets].sum() in token order)
+     and keeps a per-block top-k; the driver merges #blocks x k rows.
+Integer bucket counts make the lambda vector — and hence every score —
+bit-deterministic, so the resample is reproducible and
+partition-invariant.
+
+Non-SQL-expressible (hashed features + Gumbel sampling): driver check
+is rows-only; pytest pins the whole chain EXACTLY against a sequential
+zlib.crc32 / dict-count reference (tests/test_dsir.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data.aggregate import Sum
+
+from spardaqus_ray.pipelines.dedup import words_block
+from spardaqus_ray.sources.code_parquet import read_table
+
+DSIR_BUCKETS = 8192
+DSIR_ALPHA = 0.5            # Laplace smoothing per bucket
+DSIR_TARGET_SOURCE = "src0"
+DSIR_TOP_K = 100
+_BG = np.uint64(0x100000001B3)  # FNV-ish odd multiplier for bigram mix
+
+
+def _doc_buckets(texts) -> tuple[np.ndarray, np.ndarray]:
+    """(flat int64 bucket ids in doc order — unigrams then bigrams per
+    doc, int64 per-doc id counts) over the hashed m-bucket feature
+    space. Bigram hash = w[i]*_BG + w[i+1] (uint64 wraparound), fully
+    vectorized off the flat words_block output."""
+    w, counts = words_block(texts)
+    m = np.uint64(DSIR_BUCKETS)
+    off = np.concatenate(([0], np.cumsum(counts)))
+    with np.errstate(over="ignore"):
+        uni = (w % m).astype(np.int64)
+        bg_all = w[:-1] * _BG + w[1:]
+    # bigrams never cross a doc boundary: valid positions are those
+    # whose successor is in the same doc
+    pos = np.arange(len(w) - 1) if len(w) else np.empty(0, np.int64)
+    interior = np.ones(len(pos), bool)
+    # last word of each doc starts no bigram; empty docs make these
+    # boundary indices collide (-1 when leading docs are empty,
+    # == len(pos) when trailing docs are) — clip both
+    bnd = off[1:-1] - 1
+    bnd = bnd[(bnd >= 0) & (bnd < len(pos))]
+    interior[bnd] = False
+    bg = (bg_all[pos[interior]] % m).astype(np.int64) if len(pos) else \
+        np.empty(0, np.int64)
+    bgc = np.maximum(counts - 1, 0)
+    assert len(bg) == int(bgc.sum()), "bigram segmentation mismatch"
+    # interleave per doc: doc i contributes counts[i] unigrams then
+    # bgc[i] bigrams
+    out_counts = counts + bgc
+    out_off = np.concatenate(([0], np.cumsum(out_counts)))
+    out = np.empty(out_off[-1], np.int64)
+    bg_off = np.concatenate(([0], np.cumsum(bgc)))
+    for arr, src_off, dst_shift in ((uni, off, np.zeros(len(counts), np.int64)),
+                                    (bg, bg_off, counts)):
+        if not len(arr):
+            continue
+        reps = np.diff(src_off)
+        idx = (np.repeat(out_off[:-1] + dst_shift, reps)
+               + (np.arange(len(arr))
+                  - np.repeat(src_off[:-1], reps)))
+        out[idx] = arr
+    return out, out_counts
+
+
+def _bucket_totals(sf_dir: str, target_source: str) -> pd.DataFrame:
+    """m-row (bucket, tgt_n, raw_n) aggregate via grouped SUM of
+    per-block nonzero partials."""
+    ds = read_table(sf_dir, "documents", columns=["text", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"bucket": pa.array([], pa.int64()),
+                          "tgt_n": pa.array([], pa.int64()),
+                          "raw_n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        ids, counts = _doc_buckets(t["text"])
+        is_tgt = np.repeat(
+            t["source"].combine_chunks().to_numpy(zero_copy_only=False)
+            == target_source, counts)
+        tgt = np.bincount(ids[is_tgt], minlength=DSIR_BUCKETS)
+        raw = np.bincount(ids[~is_tgt], minlength=DSIR_BUCKETS)
+        nz = np.nonzero(tgt | raw)[0]
+        return pa.table({"bucket": pa.array(nz.astype(np.int64)),
+                         "tgt_n": pa.array(tgt[nz].astype(np.int64)),
+                         "raw_n": pa.array(raw[nz].astype(np.int64))})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("bucket")
+            .aggregate(Sum("tgt_n", alias_name="tgt_n"),
+                       Sum("raw_n", alias_name="raw_n"))
+            .to_pandas())
+
+
+def _log_ratio(tot: pd.DataFrame) -> np.ndarray:
+    """Dense m-vector of Laplace-smoothed log(p_tgt/p_raw)."""
+    tgt = np.zeros(DSIR_BUCKETS, np.int64)
+    raw = np.zeros(DSIR_BUCKETS, np.int64)
+    b = tot["bucket"].to_numpy(np.int64)
+    tgt[b] = tot["tgt_n"].to_numpy(np.int64)
+    raw[b] = tot["raw_n"].to_numpy(np.int64)
+    lam = (np.log(tgt + DSIR_ALPHA) - np.log(tgt.sum() + DSIR_ALPHA * DSIR_BUCKETS)
+           - np.log(raw + DSIR_ALPHA) + np.log(raw.sum() + DSIR_ALPHA * DSIR_BUCKETS))
+    return lam
+
+
+def _gumbel(doc_ids: np.ndarray) -> np.ndarray:
+    """Deterministic per-doc Gumbel noise from a splitmix64 of doc_id
+    (same finalizer as the repo's KMV/sample hashes)."""
+    with np.errstate(over="ignore"):
+        h = doc_ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(32)
+    u = (h.astype(np.float64) + 1.0) / 2.0 ** 64   # (0, 1]
+    return -np.log(-np.log(u))
+
+
+def dsir_sample(sf_dir: str, target_source: str = DSIR_TARGET_SOURCE,
+                k: int = DSIR_TOP_K) -> pd.DataFrame:
+    """Top-k raw-pool docs by Gumbel-perturbed importance weight:
+    (doc_id, source, weight, score), score-descending. Docs of the
+    target source itself are excluded from the resample (they define
+    the target distribution)."""
+    lam = _log_ratio(_bucket_totals(sf_dir, target_source))
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def score(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "source": pa.array([], pa.string()),
+                          "weight": pa.array([], pa.float64()),
+                          "score": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        src = t["source"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = src != target_source
+        if not keep.any():
+            return empty
+        t = t.filter(pa.array(keep))
+        src = src[keep]
+        ids, counts = _doc_buckets(t["text"])
+        off = np.concatenate(([0], np.cumsum(counts)))
+        # per-doc lambda sums in token order (add.reduceat on the flat
+        # gather — empty docs get 0)
+        vals = lam[ids]
+        w = np.zeros(t.num_rows)
+        nz = counts > 0
+        if vals.size:
+            seg = np.add.reduceat(vals, off[:-1][nz]) if nz.any() else []
+            w[nz] = seg
+        doc_ids = (t["doc_id"].combine_chunks()
+                   .to_numpy(zero_copy_only=False).astype(np.int64))
+        s = w + _gumbel(doc_ids)
+        top = np.argsort(-s, kind="stable")[:k]    # local top-k only
+        return pa.table({"doc_id": pa.array(doc_ids[top]),
+                         "source": pa.array(src[top]),
+                         "weight": pa.array(w[top]),
+                         "score": pa.array(s[top])})
+
+    cand = (ds.map_batches(score, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas())
+    out = cand.sort_values(["score", "doc_id"],
+                           ascending=[False, True]).head(k)
+    out["weight"] = out["weight"].round(4)
+    out["score"] = out["score"].round(4)
+    return out.reset_index(drop=True)

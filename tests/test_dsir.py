@@ -1,0 +1,98 @@
+"""DSIR gates: hashed-feature segmentation vs a naive per-doc mirror
+(incl. empty/one-word/leading/trailing-empty docs), and the full
+resample pinned EXACTLY against a sequential zlib.crc32 / dict-count
+reference on the fixture."""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from tests.conftest import SF001, has_testdata
+
+pytestmark = pytest.mark.skipif(not has_testdata(), reason="no testdata")
+
+M = 8192
+BG = 0x100000001B3
+
+
+def _seq_buckets(text: str) -> list[int]:
+    """Naive mirror of _doc_buckets for one doc: unigram buckets in
+    word order, then bigram buckets in order."""
+    w = [zlib.crc32(x.encode()) for x in text.lower().split()]
+    uni = [h % M for h in w]
+    bg = [((w[i] * BG + w[i + 1]) % 2 ** 64) % M for i in range(len(w) - 1)]
+    return uni + bg
+
+
+def test_doc_buckets_matches_naive():
+    from spardaqus_ray.pipelines.dsir import _doc_buckets
+
+    texts = ["the quick brown fox", "", "single", "a b", "  ", "x  y z ",
+             "", "tail words here"]
+    ids, counts = _doc_buckets(texts)
+    off = np.concatenate(([0], np.cumsum(counts)))
+    for i, t in enumerate(texts):
+        exp = _seq_buckets(t)
+        got = ids[off[i]:off[i + 1]].tolist()
+        assert got == exp, (i, t, got, exp)
+
+
+def _seq_dsir(sf_dir: str, target_source: str, k: int):
+    """Sequential reference: same smoothing, same splitmix Gumbel,
+    same left-to-right float accumulation order."""
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text", "source"])
+    docs = t.to_pylist()
+    tgt = np.zeros(M, np.int64)
+    raw = np.zeros(M, np.int64)
+    feats = {}
+    for r in docs:
+        b = _seq_buckets(r["text"] or "")
+        feats[r["doc_id"]] = b
+        dst = tgt if r["source"] == target_source else raw
+        for x in b:
+            dst[x] += 1
+    lam = (np.log(tgt + 0.5) - np.log(tgt.sum() + 0.5 * M)
+           - np.log(raw + 0.5) + np.log(raw.sum() + 0.5 * M))
+    out = []
+    for r in docs:
+        if r["source"] == target_source:
+            continue
+        vals = lam[np.asarray(feats[r["doc_id"]], np.int64)] \
+            if feats[r["doc_id"]] else np.empty(0)
+        w = np.add.reduceat(vals, [0])[0] if len(vals) else 0.0
+        h = np.uint64(r["doc_id"])
+        with np.errstate(over="ignore"):
+            h = h * np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(29)
+            h *= np.uint64(0xBF58476D1CE4E5B9)
+            h ^= h >> np.uint64(32)
+        u = (np.float64(h) + 1.0) / 2.0 ** 64
+        g = -np.log(-np.log(u))
+        out.append((r["doc_id"], r["source"], w, w + g))
+    out.sort(key=lambda x: (-x[3], x[0]))
+    return out[:k]
+
+
+def test_dsir_matches_sequential_reference(ray_session):
+    from spardaqus_ray.pipelines.dsir import dsir_sample
+
+    got = dsir_sample(SF001, k=50)
+    exp = _seq_dsir(SF001, "src0", 50)
+    assert len(got) == len(exp) == 50
+    assert got["doc_id"].tolist() == [e[0] for e in exp]
+    assert got["source"].tolist() == [e[1] for e in exp]
+    assert np.allclose(got["weight"], np.round([e[2] for e in exp], 4))
+    assert np.allclose(got["score"], np.round([e[3] for e in exp], 4))
+    # target-source docs never appear in the resample
+    assert (got["source"] != "src0").all()
+
+
+def test_dsir_deterministic(ray_session):
+    from spardaqus_ray.pipelines.dsir import dsir_sample
+
+    assert dsir_sample(SF001).equals(dsir_sample(SF001))
