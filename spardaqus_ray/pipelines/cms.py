@@ -1,0 +1,116 @@
+"""Count-Min sketch over the document token stream (Cormode &
+Muthukrishnan 2005 — public): fixed d x w counter matrix answering
+point frequency queries with one-sided error (est >= true;
+est <= true + 2N/w with probability >= 1 - 2^-d per query).
+
+Completes the repo's mergeable-sketch family (KMV distinct, HLL
+cardinality, Misra-Gries heavy hitters, bottom-k quantiles): CMS is the
+one that answers ARBITRARY point queries after the fact, which none of
+the others can.
+
+Scale shape: per block, ONE words_block pass + d vectorized
+multiply-shift hashes + d bincounts collapse the block to <= d*w
+nonzero (cell, n) rows; the only exchange is a grouped SUM over those
+partials (bounded by the d*w = 16k-cell sketch, never the corpus); the
+driver reconstructs the dense matrix from <= d*w rows. Merge = cell-wise
+addition, so the grouped SUM IS the sketch union (associativity pinned
+by pytest).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data.aggregate import Sum
+
+from spardaqus_ray.pipelines.dedup import words_block
+from spardaqus_ray.sources.code_parquet import read_table
+
+CMS_D = 4
+CMS_W = 4096
+# one odd splitmix-style seed per row — d independent hash functions
+_ROW_SEEDS = np.array([0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9,
+                       0x94D049BB133111EB, 0xD6E8FEB86659FD93],
+                      dtype=np.uint64)
+
+
+def _cms_cols(word_hashes: np.ndarray) -> np.ndarray:
+    """(d, n) column indices for uint64 word hashes: per-row splitmix
+    finalizer seeded by _ROW_SEEDS, modulo w."""
+    h = word_hashes.astype(np.uint64)[None, :]
+    with np.errstate(over="ignore"):
+        x = h * _ROW_SEEDS[:, None]
+        x ^= x >> np.uint64(29)
+        x *= np.uint64(0x2545F4914F6CDD1D)
+        x ^= x >> np.uint64(32)
+    return (x % np.uint64(CMS_W)).astype(np.int64)
+
+
+def cms_add(sketch: np.ndarray, word_hashes: np.ndarray) -> None:
+    """Fold a flat uint64 token-hash stream into a (d, w) sketch in
+    place — d bincounts, no per-token Python."""
+    cols = _cms_cols(word_hashes)
+    for i in range(CMS_D):
+        sketch[i] += np.bincount(cols[i], minlength=CMS_W)
+
+
+def cms_query(sketch: np.ndarray, word_hashes: np.ndarray) -> np.ndarray:
+    """Point-frequency estimates (min over the d rows) for each hash."""
+    cols = _cms_cols(word_hashes)
+    return np.min(sketch[np.arange(CMS_D)[:, None], cols], axis=0)
+
+
+def build_cms(sf_dir: str, table: str = "documents") -> np.ndarray:
+    """Distributed (d, w) token-count sketch: nonzero per-block cell
+    partials -> grouped SUM -> dense driver matrix (<= d*w rows pulled)."""
+    ds = read_table(sf_dir, table, columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"cell": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        w, _ = words_block(t["text"])
+        if not len(w):
+            return empty
+        sk = np.zeros((CMS_D, CMS_W), np.int64)
+        cms_add(sk, w)
+        flat = sk.ravel()
+        nz = np.flatnonzero(flat)
+        return pa.table({"cell": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(flat[nz])})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("cell").aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    sketch = np.zeros(CMS_D * CMS_W, np.int64)
+    sketch[agg["cell"].to_numpy(np.int64)] = agg["n"].to_numpy(np.int64)
+    return sketch.reshape(CMS_D, CMS_W)
+
+
+def approx_token_counts_cms(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """CMS point estimates for the exact top-k tokens: (token, true_n,
+    est_n, overcount). true_n comes from the exact distributed vocab
+    aggregate (vocab_top_tokens); est_n >= true_n always, and the gap
+    is the sketch's collision overcount — both properties pytest-pinned.
+    (est>=true relies on both sides tokenizing identically: true on the
+    fixtures, where text whitespace is only U+0020 — see
+    _block_token_counts; words_block splits on ANY whitespace.)"""
+    import zlib
+
+    from spardaqus_ray.pipelines.textops import vocab_top_tokens
+
+    top = vocab_top_tokens(sf_dir, k=k)
+    sketch = build_cms(sf_dir)
+    hashes = np.array([zlib.crc32(t.encode()) for t in top["token"]],
+                      np.uint64)
+    est = cms_query(sketch, hashes)
+    out = pd.DataFrame({
+        "token": top["token"],
+        "true_n": top["n"].astype("int64"),
+        "est_n": est.astype("int64"),
+    })
+    out["overcount"] = out["est_n"] - out["true_n"]
+    return out.reset_index(drop=True)

@@ -1,0 +1,67 @@
+"""Count-Min sketch gates: never-underestimate, bounded overcount on
+the fixture, distributed == sequential build, and merge = addition."""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from tests.conftest import SF001, has_testdata
+
+pytestmark = pytest.mark.skipif(not has_testdata(), reason="no testdata")
+
+
+def test_cms_kernel_point_queries():
+    from spardaqus_ray.pipelines.cms import CMS_D, CMS_W, cms_add, cms_query
+
+    words = ["alpha"] * 7 + ["beta"] * 3 + ["gamma"]
+    hashes = np.array([zlib.crc32(w.encode()) for w in words], np.uint64)
+    sk = np.zeros((CMS_D, CMS_W), np.int64)
+    cms_add(sk, hashes)
+    uniq = {w: zlib.crc32(w.encode()) for w in ("alpha", "beta", "gamma")}
+    est = cms_query(sk, np.array(list(uniq.values()), np.uint64))
+    true = np.array([7, 3, 1])
+    assert (est >= true).all()
+    # 3 tokens in a 4x4096 sketch: collisions impossible to matter
+    assert (est == true).all()
+    # a token never added estimates 0 (its cells are untouched or tiny)
+    ghost = cms_query(sk, np.array([zlib.crc32(b"delta")], np.uint64))
+    assert ghost[0] <= true.sum()
+
+
+def test_cms_distributed_equals_sequential(ray_session):
+    from spardaqus_ray.pipelines.cms import CMS_D, CMS_W, build_cms, cms_add
+    from spardaqus_ray.pipelines.dedup import words_block
+
+    got = build_cms(SF001)
+    texts = pq.read_table(f"{SF001}/documents.parquet",
+                          columns=["text"])["text"]
+    w, _ = words_block(texts)
+    exp = np.zeros((CMS_D, CMS_W), np.int64)
+    cms_add(exp, w)
+    assert (got == exp).all()
+    # merge = cell-wise addition: two halves sum to the whole
+    half = len(texts) // 2
+    a = np.zeros((CMS_D, CMS_W), np.int64)
+    b = np.zeros((CMS_D, CMS_W), np.int64)
+    cms_add(a, words_block(texts.slice(0, half))[0])
+    cms_add(b, words_block(texts.slice(half))[0])
+    assert (a + b == exp).all()
+
+
+def test_cms_top_tokens_never_underestimate(ray_session):
+    from spardaqus_ray.pipelines.cms import CMS_W, approx_token_counts_cms
+    from spardaqus_ray.pipelines.dedup import words_block
+
+    out = approx_token_counts_cms(SF001, k=20)
+    assert len(out) == 20
+    assert (out["overcount"] >= 0).all()          # one-sided error
+    texts = pq.read_table(f"{SF001}/documents.parquet",
+                          columns=["text"])["text"]
+    n_tokens = len(words_block(texts)[0])
+    # per-query bound 4N/w fails with prob < (1/4)^d — deterministic
+    # fixture, so this pins the actual hash spread, not luck
+    assert (out["overcount"] <= 4 * n_tokens / CMS_W).all()
