@@ -1019,3 +1019,50 @@ def embedding_neardup_pairs_moderate(sf_dir: str) -> pd.DataFrame:
                                    threshold=EMB_LSH_MODERATE_THRESHOLD,
                                    n_tables=EMB_LSH_MODERATE_TABLES,
                                    bits=EMB_LSH_MODERATE_BITS)
+
+
+def neardup_keeplist(sf_dir: str, jaccard_threshold: float = 0.7,
+                     table: str = "documents") -> pd.DataFrame:
+    """The dedup verdict a pipeline actually applies: one row PER
+    DOCUMENT with (doc_id, kept, rep_id). rep_id = the component's min
+    doc_id for grouped docs (the canonical survivor), the doc itself
+    for singletons; kept = (doc_id == rep_id).
+
+    Scale shape: the grouped-doc table is pair-bounded (orders of
+    magnitude smaller than the corpus), so it broadcasts into one
+    map_batches pass over the full table — an Arrow index_in lookup per
+    batch, no shuffle of the corpus (same plan as the flagship's capped
+    broadcast dedup; above that cap the same verdict is a left join of
+    the corpus against the group table on doc_id — G4's documented
+    fallback). Rows-only driver check; exactly-one-survivor-per-group
+    and consistency with neardup_groups pinned by pytest."""
+    import ray
+
+    groups = neardup_groups(sf_dir, jaccard_threshold, table)
+    gid = ray.put((pa.array(groups["doc_id"].to_numpy(np.int64)),
+                   groups["group_id"].to_numpy(np.int64)))
+    ds = read_table(sf_dir, table, columns=["doc_id"])
+
+    def verdict(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "kept": pa.array([], pa.bool_()),
+                             "rep_id": pa.array([], pa.int64())})
+        g_ids, g_reps = ray.get(gid)
+        ids = (t["doc_id"].combine_chunks()
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+        pos = pc.index_in(t["doc_id"].combine_chunks().cast(pa.int64()),
+                          value_set=g_ids)
+        hit = pc.is_valid(pos).to_numpy(zero_copy_only=False)
+        posnp = (pos.fill_null(-1).to_numpy(zero_copy_only=False)
+                 .astype(np.int64))
+        rep = ids.copy()
+        if hit.any():
+            rep[hit] = g_reps[posnp[hit]]
+        return pa.table({"doc_id": pa.array(ids),
+                         "kept": pa.array(rep == ids),
+                         "rep_id": pa.array(rep)})
+
+    out = (ds.map_batches(verdict, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -350,3 +350,28 @@ def test_embedding_lsh_moderate_nonvacuous_subset(ray_session):
     assert set(le) <= set(ee)
     for k, v in le.items():
         assert abs(v - ee[k]) < 1e-6, k
+
+
+def test_neardup_keeplist_consistent(ray_session):
+    """Keep-list verdicts == neardup_groups: every doc present, exactly
+    the min member of each group kept, singletons kept with rep_id =
+    themselves."""
+    import pyarrow.parquet as pq
+
+    from spardaqus_ray.pipelines.dedup import neardup_groups, neardup_keeplist
+    from tests.conftest import SF001
+
+    out = neardup_keeplist(SF001)
+    groups = neardup_groups(SF001)
+    all_ids = pq.read_table(f"{SF001}/documents.parquet",
+                            columns=["doc_id"])["doc_id"].to_pylist()
+    assert sorted(out["doc_id"]) == sorted(all_ids)
+    gmap = dict(zip(groups["doc_id"], groups["group_id"]))
+    for _, r in out.iterrows():
+        exp_rep = gmap.get(r["doc_id"], r["doc_id"])
+        assert r["rep_id"] == exp_rep, r["doc_id"]
+        assert r["kept"] == (r["doc_id"] == exp_rep)
+    # exactly one survivor per group of size >= 2
+    grouped = out[out["doc_id"].isin(gmap)]
+    for rep, g in grouped.groupby("rep_id"):
+        assert g["kept"].sum() == (1 if rep in set(g["doc_id"]) else 0)
