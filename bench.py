@@ -160,9 +160,10 @@ def bench_flagship() -> dict:
 
 
 def bench_queries() -> dict:
-    from spardaqus_ray.pipelines import (ann, bloom, bpe, dedup, funnel,
-                                         graph, learn, packing, quality,
-                                         relational, search, textops, winnow)
+    from spardaqus_ray.pipelines import (ann, bloom, bpe, cms, dedup, dsir,
+                                         funnel, graph, learn, packing,
+                                         quality, relational, search,
+                                         semdedup, stats, textops, winnow)
 
     out = {}
     for name, fn in [
@@ -196,6 +197,12 @@ def bench_queries() -> dict:
         ("pack_sequences", packing.pack_sequences),
         ("bpe_encode_symbols", bpe.bpe_encode_symbols),
         ("logreg_train", learn.logreg_train),
+        ("q66_price_skew_kurtosis", stats.q66_price_skew_kurtosis),
+        ("q71_order_date_spans", relational.q71_order_date_spans),
+        ("semdedup_embeddings", semdedup.semdedup_embeddings),
+        ("dsir_sample", dsir.dsir_sample),
+        ("approx_token_counts_cms", cms.approx_token_counts_cms),
+        ("dedup_neardup_keeplist", dedup.neardup_keeplist),
     ]:
         t0 = time.time()
         fn(SF_DIR)
