@@ -13,6 +13,7 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Mean, Sum
 
@@ -722,4 +723,78 @@ WHERE bg.n >= {PMI_MIN_COUNT}
 ORDER BY ln((bg.n / tot.B) / ((ua.n / tot.T) * (ub.n / tot.T))) DESC,
          bigram ASC
 LIMIT {PMI_TOP_K}
+"""
+
+
+OOV_VOCAB_K = 1000
+
+
+def oov_rate_by_source(sf_dir: str, vocab_k: int = OOV_VOCAB_K
+                       ) -> pd.DataFrame:
+    """Out-of-vocabulary token rate per source against the corpus'
+    exact top-`vocab_k` vocabulary — the tokenizer-coverage diagnostic
+    run before committing to a vocab size. Two bounded phases: the
+    distributed exact vocab aggregate (vocab_top_tokens' plan) yields a
+    k-row token set that broadcasts into ONE membership pass
+    (pc.is_in per block, per-source partial sums; the exchange is
+    n_sources rows per block). Tokenization = string_split(lower, ' ')
+    drop-empties on BOTH sides (fixture whitespace is U+0020-only, see
+    _block_token_counts)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    vocab = vocab_top_tokens(sf_dir, k=vocab_k)
+    vocab_ref = ray.put(pa.array(vocab["token"], pa.string()))
+    ds = read_table(sf_dir, "documents", columns=["text", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "n_oov": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        toks = pc.split_pattern(pc.utf8_lower(t["text"].combine_chunks()),
+                                " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        src = np.repeat(t["source"].combine_chunks()
+                        .to_numpy(zero_copy_only=False), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        inv = pc.is_in(flat, value_set=ray.get(vocab_ref)).to_numpy(
+            zero_copy_only=False)
+        df = pd.DataFrame({
+            "source": src,
+            "n_tokens": keep.astype(np.int64),
+            "n_oov": (keep & ~inv).astype(np.int64)})
+        g = df.groupby("source", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("source")
+           .aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                      Sum("n_oov", alias_name="n_oov"))
+           .to_pandas())
+    out["oov_rate"] = (out["n_oov"] / out["n_tokens"]).round(6)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+OOV_SQL = """
+WITH toks AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents),
+t2 AS (SELECT * FROM toks WHERE token <> ''),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, COUNT(*) AS n FROM t2 GROUP BY token
+    ORDER BY n DESC, token ASC LIMIT 1000))
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) FILTER (WHERE token NOT IN (SELECT token FROM vocab))
+            AS BIGINT) AS n_oov,
+       ROUND(COUNT(*) FILTER (WHERE token NOT IN (SELECT token FROM vocab))
+             * 1.0 / COUNT(*), 6) AS oov_rate
+FROM t2
+GROUP BY source
+ORDER BY source
 """
