@@ -774,3 +774,76 @@ FROM g a JOIN g b ON a.shingle = b.shingle AND a.source < b.source
 GROUP BY a.source, b.source
 ORDER BY source_a, source_b
 """
+
+
+def dedup_within_doc(sf_dir: str, sep: str = "\n") -> pd.DataFrame:
+    """In-place repetition-removal REWRITE (CCNet/Gopher-style cleanup
+    as a transform, not a flag like q46): drop every repeated `sep`-
+    separated unit of a document, keeping first occurrences in order,
+    and emit the rewritten text. Embarrassingly parallel — no shuffle;
+    the whole rewrite is Arrow/pandas kernels (split_pattern -> flat
+    (doc, unit) first-occurrence mask via pandas duplicated ->
+    ListArray reassembly -> pc.binary_join), zero per-row Python.
+
+    The driver query runs sep=' ': the documents fixture is single-line
+    (no chr(10) anywhere, verified), so token-level dedup is the
+    non-vacuous configuration there; real corpora use the default
+    line separator."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_units": pa.array([], pa.int64()),
+                          "n_kept": pa.array([], pa.int64()),
+                          "text_dedup": pa.array([], pa.string())})
+        if t.num_rows == 0:
+            return empty
+        txt = t["text"].combine_chunks().fill_null("")
+        units = pc.split_pattern(txt, sep)
+        lens = pc.list_value_length(units).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(units)
+        doc = np.repeat(np.arange(t.num_rows), lens)
+        keep = ~pd.DataFrame(
+            {"d": doc,
+             "u": flat.to_numpy(zero_copy_only=False)}
+        ).duplicated(["d", "u"]).to_numpy()
+        kept_counts = np.bincount(doc[keep], minlength=t.num_rows)
+        off = np.concatenate(([0], np.cumsum(kept_counts)))
+        la = pa.ListArray.from_arrays(pa.array(off, pa.int32()),
+                                      flat.filter(pa.array(keep)))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_units": pa.array(lens.astype(np.int64)),
+            "n_kept": pa.array(kept_counts.astype(np.int64)),
+            "text_dedup": pc.binary_join(la, sep),
+        })
+
+    out = (ds.map_batches(rewrite, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q74_dedup_within_doc(sf_dir: str) -> pd.DataFrame:
+    return dedup_within_doc(sf_dir, sep=" ")
+
+
+# UNNEST + generate_subscripts(list, 1) unnest in lockstep (the same
+# lateral-unnest idiom as q56's oracle), giving each unit its 1-based
+# position; MIN(idx) per (doc, unit) = first occurrence.
+Q74_SQL = """
+WITH units AS (
+  SELECT doc_id,
+         UNNEST(string_split(text, ' ')) AS u,
+         generate_subscripts(string_split(text, ' '), 1) AS idx
+  FROM documents),
+firsts AS (
+  SELECT doc_id, u, MIN(idx) AS idx FROM units GROUP BY doc_id, u)
+SELECT doc_id,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM units x
+        WHERE x.doc_id = f.doc_id) AS n_units,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       string_agg(u, ' ' ORDER BY idx) AS text_dedup
+FROM firsts f
+GROUP BY doc_id
+ORDER BY doc_id
+"""
