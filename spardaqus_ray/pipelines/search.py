@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from spardaqus_ray.pipelines.quality import _tokens_rows
 from spardaqus_ray.sources.code_parquet import read_table
@@ -95,3 +96,56 @@ def bm25_search(sf_dir: str, query: tuple[str, ...] = BM25_QUERY,
     out = (local.sort_values(["score", "doc_id"], ascending=[False, True])
            .head(k).reset_index(drop=True))
     return out.astype({"doc_id": "int64", "score": "float64"})
+
+
+def inverted_index_postings(sf_dir: str, min_tf: int = 2) -> pd.DataFrame:
+    """Inverted-index build in long form: one (token, doc_id, tf) row
+    per distinct token per document with tf >= min_tf — the posting
+    artifact a BM25/boolean search layer consumes (bm25_search above
+    recomputes these on the fly; a real deployment materializes this
+    once and serves from it).
+
+    Scale shape: each document lives wholly inside one block, so the
+    per-block pandas value_counts over (doc, token) already yields
+    FINAL tf values — the operator is a pure map with NO shuffle; at
+    100 TB you write the long-form rows straight to token-range-
+    partitioned parquet. The min_tf floor is the standard
+    posting-pruning knob (tf-1 entries dominate raw postings ~10:1).
+    SQL-oracle-checked (POSTINGS_SQL)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def postings(t: pa.Table) -> pa.Table:
+        empty = pa.table({"token": pa.array([], pa.string()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "tf": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        toks = pc.split_pattern(
+            pc.utf8_lower(t["text"].combine_chunks().fill_null("")), " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        doc = np.repeat(t["doc_id"].combine_chunks()
+                        .to_numpy(zero_copy_only=False), lens)[keep]
+        df = pd.DataFrame({"token": flat.filter(pa.array(keep))
+                           .to_numpy(zero_copy_only=False), "doc_id": doc})
+        g = (df.groupby(["token", "doc_id"], sort=False).size()
+             .reset_index(name="tf"))
+        g = g[g["tf"] >= min_tf]
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(postings, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas())
+    return (out.sort_values(["token", "doc_id"]).reset_index(drop=True)
+            .astype({"doc_id": "int64", "tf": "int64"}))
+
+
+POSTINGS_SQL = """
+SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents)
+WHERE token <> ''
+GROUP BY token, doc_id
+HAVING COUNT(*) >= 2
+ORDER BY token, doc_id
+"""
