@@ -1784,3 +1784,58 @@ FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
+
+
+Q75_MIN_PRICE = 300_000.0
+
+
+def q75_customer_orders_right(sf_dir: str) -> pd.DataFrame:
+    """RIGHT outer join (big orders RIGHT JOIN customer): every
+    customer appears; customers with no order above Q75_MIN_PRICE come
+    through the null-preserving side (non-vacuous on the fixtures —
+    every customer HAS some order, so the unfiltered join would never
+    exercise right preservation). Physical plan = the mirrored
+    left_outer join (how every engine executes RIGHT — build/probe
+    sides swap, same q21 machinery), keyed aggregate on top."""
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_mktsegment"])
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+                        filter=(pc.field("o_totalprice") > Q75_MIN_PRICE))
+    jb = table_bytes(sf_dir, "customer", "orders")
+    tune_hash_width(cust, jb)
+    tune_hash_width(orders, jb)
+    width = default_partitions(size_bytes=jb)
+    joined = cust.join(orders, "left_outer", num_partitions=width,
+                       on=("c_custkey",), right_on=("o_custkey",))
+
+    def prep(t: pa.Table) -> pa.Table:
+        has = pc.is_valid(t["o_orderkey"]).cast(pa.int64())
+        rev = pc.coalesce(t["o_totalprice"], pa.scalar(0.0))
+        return pa.table({"c_mktsegment": t["c_mktsegment"],
+                         "has": has, "rev": rev,
+                         "lonely": pc.invert(pc.is_valid(t["o_orderkey"]))
+                         .cast(pa.int64())})
+
+    out = (joined.map_batches(prep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("c_mktsegment")
+           .aggregate(Sum("has", alias_name="n_orders"),
+                      Sum("lonely", alias_name="n_orderless_custs"),
+                      Sum("rev", alias_name="revenue"))
+           .to_pandas())
+    out = _r4(out, ["revenue"])
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+Q75_SQL = """
+SELECT c_mktsegment,
+       CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT)
+           AS n_orderless_custs,
+       ROUND(COALESCE(SUM(o_totalprice), 0), 4) AS revenue
+FROM (SELECT * FROM orders WHERE o_totalprice > 300000) orders
+RIGHT JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
