@@ -798,3 +798,66 @@ FROM t2
 GROUP BY source
 ORDER BY source
 """
+
+
+def ppl_filter_preview(sf_dir: str) -> pd.DataFrame:
+    """Perplexity-filter preview per source: (source, n_docs, n_scored,
+    avg_ppl, p_drop) under the char-n-gram LMs' self-calibrated
+    per-language thresholds — the mixture diagnostic run before
+    committing a ppl cut to a new corpus slice (the flagship applies
+    the same rule inline via PerplexityScorer).
+
+    Scale shape: models train once on a bounded hash-sample
+    (models_from_documents), ship once per worker in the closure, and
+    the scoring pass is the scorers' batched n-gram kernel
+    (ppl_block over a flat heads buffer, one call per language present
+    in the batch); the exchange is n_sources partial rows per block.
+    Rows-only driver check; sequential-equality + determinism pinned by
+    pytest (tests/test_fuzzy_textops.py)."""
+    from spardaqus_ray.stages.scorers import _heads_buffer
+
+    models = models_from_documents(sf_dir)
+    ds = read_table(sf_dir, "documents", columns=["text", "lang", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "n_docs": pa.array([], pa.int64()),
+                          "n_scored": pa.array([], pa.int64()),
+                          "ppl_sum": pa.array([], pa.float64()),
+                          "n_drop": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        langs = np.asarray(t["lang"].to_pylist(), object)
+        ppl = np.full(t.num_rows, np.nan)
+        drop = np.zeros(t.num_rows, bool)
+        for lang in set(langs):
+            if lang not in models.lms:
+                continue
+            mask = langs == lang
+            buf, off, idx = _heads_buffer(t["text"], mask)
+            vals = models.lms[lang].ppl_block(buf, off)
+            ppl[idx] = vals
+            drop[idx] = vals > models.ppl_threshold[lang]
+        scored = ~np.isnan(ppl)
+        df = pd.DataFrame({
+            "source": t["source"].combine_chunks()
+            .to_numpy(zero_copy_only=False),
+            "n_docs": np.ones(t.num_rows, np.int64),
+            "n_scored": scored.astype(np.int64),
+            "ppl_sum": np.where(scored, ppl, 0.0),
+            "n_drop": drop.astype(np.int64)})
+        g = df.groupby("source", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_scored", alias_name="n_scored"),
+                      Sum("ppl_sum", alias_name="ppl_sum"),
+                      Sum("n_drop", alias_name="n_drop"))
+           .to_pandas())
+    out["avg_ppl"] = (out["ppl_sum"]
+                      / out["n_scored"].replace(0, 1)).round(4)
+    out["p_drop"] = (out["n_drop"] / out["n_scored"].replace(0, 1)).round(4)
+    out = out[["source", "n_docs", "n_scored", "avg_ppl", "p_drop"]]
+    return out.sort_values("source").reset_index(drop=True)

@@ -90,3 +90,43 @@ def test_q39_partition_invariance(ray_session):
     finally:
         u.default_partitions = orig
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_ppl_filter_preview_matches_sequential(ray_session):
+    """Distributed ppl preview == a sequential per-doc recompute with
+    the same models (kernel identical; aggregation compared with float
+    tolerance since sum order differs)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from spardaqus_ray.pipelines.textops import (models_from_documents,
+                                                 ppl_filter_preview)
+    from spardaqus_ray.stages.scorers import _heads_buffer
+    from tests.conftest import SF001
+
+    out = ppl_filter_preview(SF001)
+    models = models_from_documents(SF001)
+    t = pq.read_table(f"{SF001}/documents.parquet",
+                      columns=["text", "lang", "source"])
+    rows = t.to_pylist()
+    agg = {}
+    for r in rows:
+        a = agg.setdefault(r["source"], [0, 0, 0.0, 0])
+        a[0] += 1
+        if r["lang"] in models.lms:
+            import pyarrow as pa
+
+            buf, off, _ = _heads_buffer(pa.chunked_array([pa.array([r["text"]])]),
+                                        np.array([True]))
+            v = models.lms[r["lang"]].ppl_block(buf, off)[0]
+            a[1] += 1
+            a[2] += v
+            a[3] += int(v > models.ppl_threshold[r["lang"]])
+    assert len(out) == len(agg)
+    for _, row in out.iterrows():
+        n, ns, s, nd = agg[row["source"]]
+        assert row["n_docs"] == n and row["n_scored"] == ns
+        assert row["n_drop" if "n_drop" in out.columns else "p_drop"] is not None
+        assert abs(row["avg_ppl"] - round(s / max(ns, 1), 4)) <= 1e-3
+        assert row["p_drop"] == round(nd / max(ns, 1), 4)
+    assert ppl_filter_preview(SF001).equals(out)
