@@ -1,0 +1,42 @@
+"""Ray-free host-scaling probe (BASELINE.md "8->32 root cause"): N
+worker processes each do IDENTICAL fixed CPU work (numpy matmul +
+integer hashing, BLAS pinned to 1 thread). On an honest 32-core host
+wall time is identical at any N <= 32. Measured here (2026-08-18,
+quiet window): per-task CPU 4.25 s at N=8 vs 5.75-6.4 s at N=32, with
+hypervisor steal jumping ~2% -> 9-11.5% exactly when all 32 vCPUs
+load — i.e. the host is OVERSUBSCRIBED and full-width steal is
+invisible at partial load. Host-side ceiling on 4x scaling:
+(32/7.9)/(8/4.65)/4 ~= 0.59 with ZERO coordination — below the
+flagship's measured 0.688, so the engine adds no serialization of its
+own; the 8->32 shortfall vs the 0.8 bar is the substrate, not the
+code (the 6->24 pair, which leaves headroom, clears the bar)."""
+import json, multiprocessing as mp, os, sys, time
+
+def work(_):
+    import numpy as np
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((400, 400))
+    x = np.arange(2_000_000, dtype=np.uint64)
+    t0 = time.time()
+    for _ in range(150):
+        a = a @ a / np.linalg.norm(a)
+        y = x * np.uint64(0x9E3779B97F4A7C15)
+        y ^= y >> np.uint64(29)
+        int(y.sum())
+    return time.time() - t0
+
+def steal():
+    v = [int(x) for x in open("/proc/stat").readline().split()[1:]]
+    return v[7], sum(v)
+
+if __name__ == "__main__":
+    os.environ["OMP_NUM_THREADS"] = "1"  # one core per worker, no BLAS fanout
+    for n in (8, 32, 8, 32):
+        s0 = steal(); t0 = time.time()
+        with mp.get_context("fork").Pool(n) as p:
+            per = p.map(work, range(n))
+        wall = time.time() - t0; s1 = steal()
+        print(json.dumps({"workers": n, "wall_s": round(wall, 2),
+                          "per_task_mean_s": round(sum(per)/len(per), 2),
+                          "steal_pct": round(100*(s1[0]-s0[0])/max(1, s1[1]-s0[1]), 2)}))
+        sys.stdout.flush()
