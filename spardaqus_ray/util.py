@@ -126,9 +126,25 @@ class _EmptySchemaDivergenceFilter:
                     and "new schema: ." in msg)
 
 
+class _SchemaHashNoiseFilter:
+    """Drops Ray's "Failed to hash the schemas (for deduplication):
+    unhashable type: 'dict'" warning — fired per read task because the
+    fixtures' parquet footers carry pandas metadata (a dict) in the
+    Arrow schema, which only defeats an internal early-exit CACHE in
+    schema unification (transform_pyarrow falls through to the real
+    unify path); nothing is wrong with the schemas themselves."""
+
+    def filter(self, record) -> bool:
+        try:
+            msg = record.getMessage()
+        except Exception:
+            return True
+        return "Failed to hash the schemas" not in msg
+
+
 def silence_empty_schema_warning() -> None:
-    """Idempotently install _EmptySchemaDivergenceFilter on the streaming
-    executor's logger (driver-side — that's where the warning logs)."""
+    """Idempotently install the two benign-noise filters (driver-side —
+    that's where these warnings log)."""
     import logging
 
     lg = logging.getLogger(
@@ -136,3 +152,6 @@ def silence_empty_schema_warning() -> None:
     if not any(isinstance(f, _EmptySchemaDivergenceFilter)
                for f in lg.filters):
         lg.addFilter(_EmptySchemaDivergenceFilter())
+    lg2 = logging.getLogger("ray.data._internal.arrow_ops.transform_pyarrow")
+    if not any(isinstance(f, _SchemaHashNoiseFilter) for f in lg2.filters):
+        lg2.addFilter(_SchemaHashNoiseFilter())
