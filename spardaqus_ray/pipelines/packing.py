@@ -146,3 +146,93 @@ def pack_sequences_reference(doc_ids: list[int], token_counts: list[int],
     for c in df.columns[:-1]:
         df[c] = df[c].astype("int64")
     return df
+
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+def chunk_documents(sf_dir: str, size: int = CHUNK_TOKENS,
+                    stride: int = CHUNK_STRIDE) -> pd.DataFrame:
+    """Split every document into overlapping fixed-token training
+    windows (size-token chunks every stride tokens — the standard
+    long-document preparation before packing/tokenization; overlap =
+    size - stride tokens of context carry-over). Docs with <= size
+    tokens yield one whole-doc chunk.
+
+    Embarrassingly parallel explode: NO shuffle — per block, ONE
+    split_pattern pass, the chunk gather indices are computed flat
+    (repeat + arange over per-doc chunk counts, the shingle-gather
+    shape), and chunk texts reassemble via ListArray + binary_join.
+    SQL-oracle-checked against DuckDB lateral generate_series + list
+    slicing (CHUNK_SQL)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "chunk_id": pa.array([], pa.int64()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "chunk_text": pa.array([], pa.string())})
+        if t.num_rows == 0:
+            return empty
+        toks = pc.split_pattern(
+            pc.utf8_lower(t["text"].combine_chunks().fill_null("")), " ")
+        lens = (pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+                .astype(np.int64))
+        flat = pc.list_flatten(toks)
+        doc_off = np.concatenate(([0], np.cumsum(lens)))
+        nc = np.where(lens <= size, 1,
+                      -(-(lens - size) // stride) + 1).astype(np.int64)
+        total = int(nc.sum())
+        out_doc = np.repeat(np.arange(t.num_rows), nc)
+        chunk_id = np.arange(total) - np.repeat(
+            np.concatenate(([0], np.cumsum(nc)))[:-1], nc)
+        starts = chunk_id * stride
+        ends = np.minimum(starts + size, lens[out_doc])
+        clen = ends - starts
+        # flat gather: for chunk c, tokens doc_off[doc]+starts[c] ..+clen
+        coff = np.concatenate(([0], np.cumsum(clen)))
+        gidx = (np.repeat(doc_off[out_doc] + starts, clen)
+                + (np.arange(coff[-1]) - np.repeat(coff[:-1], clen)))
+        la = pa.ListArray.from_arrays(pa.array(coff, pa.int32()),
+                                      flat.take(pa.array(gidx)))
+        ids = (t["doc_id"].combine_chunks()
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({"doc_id": pa.array(ids[out_doc]),
+                         "chunk_id": pa.array(chunk_id),
+                         "n_tokens": pa.array(clen),
+                         "chunk_text": pc.binary_join(la, " ")})
+
+    out = (ds.map_batches(explode, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas())
+    return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
+def q76_chunk_documents(sf_dir: str) -> pd.DataFrame:
+    return chunk_documents(sf_dir)
+
+
+# DuckDB list slicing l[a:b] is 1-based with inclusive end; UNNEST of
+# generate_series in the SELECT is the lateral per-row explode (same
+# idiom as q53's span oracle).
+CHUNK_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+c AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) <= 32 THEN 1
+              ELSE CAST(CEIL((len(toks) - 32) / 24.0) AS BIGINT) + 1
+         END AS nc
+  FROM t),
+e AS (
+  SELECT doc_id, toks, UNNEST(generate_series(0, nc - 1)) AS chunk_id
+  FROM c)
+SELECT doc_id, chunk_id,
+       CAST(LEAST(chunk_id * 24 + 32, len(toks)) - chunk_id * 24 AS BIGINT)
+           AS n_tokens,
+       array_to_string(toks[chunk_id * 24 + 1
+                            : LEAST(chunk_id * 24 + 32, len(toks))], ' ')
+           AS chunk_text
+FROM e
+ORDER BY doc_id, chunk_id
+"""
