@@ -1839,3 +1839,82 @@ RIGHT JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
+
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+def q77_winsorize_prices(sf_dir: str) -> pd.DataFrame:
+    """Percentile-clipping REWRITE (winsorization): order prices clipped
+    to each segment's [p05, p95] — the outlier-taming normalization
+    applied before training on heavy-tailed features. Two bounded
+    phases: the q22 exact-quantile plan (segment broadcast + ONE keyed
+    exchange + per-block pandas quantile = PERCENTILE_CONT) yields an
+    n_segments-row clip table that broadcasts back into an
+    embarrassingly-parallel clip pass — the corpus itself shuffles
+    once and streams once."""
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    seg = _attach_segment(ds, sf_dir, keep=["o_orderkey", "o_totalprice"])
+    ensure_hash_shuffle(seg)
+    q = seg.repartition(
+        default_partitions(size_bytes=table_bytes(sf_dir, "orders")),
+        keys=["c_mktsegment"])
+
+    def quants(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"c_mktsegment": pa.array([], pa.string()),
+                             "lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64())})
+        g = t.to_pandas().groupby("c_mktsegment", sort=True)["o_totalprice"]
+        lo = g.quantile(WINSOR_LO, interpolation="linear")
+        hi = g.quantile(WINSOR_HI, interpolation="linear")
+        return pa.table({"c_mktsegment": pa.array(lo.index),
+                         "lo": pa.array(lo.to_numpy()),
+                         "hi": pa.array(hi.to_numpy())})
+
+    clip = (q.map_batches(quants, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+            .to_pandas())
+    lut = {s: (l, h) for s, l, h in zip(clip["c_mktsegment"],
+                                        clip["lo"], clip["hi"])}
+
+    def apply_clip(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "c_mktsegment": pa.array([], pa.string()),
+                             "price_wins": pa.array([], pa.float64())})
+        segs = (t["c_mktsegment"].combine_chunks()
+                .to_numpy(zero_copy_only=False))
+        price = (t["o_totalprice"].combine_chunks()
+                 .to_numpy(zero_copy_only=False).astype(np.float64))
+        lo = np.empty(len(segs))
+        hi = np.empty(len(segs))
+        for s, (l, h) in lut.items():   # |segments| iterations, not rows
+            m = segs == s
+            lo[m] = l
+            hi[m] = h
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "c_mktsegment": t["c_mktsegment"],
+                         "price_wins": pa.array(
+                             np.round(np.clip(price, lo, hi), 4))})
+
+    out = (seg.map_batches(apply_clip, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas())
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+Q77_SQL = """
+WITH seg AS (
+  SELECT o_orderkey, c_mktsegment, o_totalprice
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+q AS (
+  SELECT c_mktsegment,
+         PERCENTILE_CONT(0.05) WITHIN GROUP (ORDER BY o_totalprice) AS lo,
+         PERCENTILE_CONT(0.95) WITHIN GROUP (ORDER BY o_totalprice) AS hi
+  FROM seg GROUP BY c_mktsegment)
+SELECT o_orderkey, c_mktsegment,
+       ROUND(LEAST(GREATEST(o_totalprice, lo), hi), 4) AS price_wins
+FROM seg JOIN q USING (c_mktsegment)
+ORDER BY o_orderkey
+"""
