@@ -73,6 +73,19 @@ def read_code_jsonl(paths, **kw) -> ray.data.Dataset:
     return ds
 
 
+def read_code_csv(paths, **kw) -> ray.data.Dataset:
+    """S1 variant: the code table from CSV (Arrow CSV reader handles
+    quoted multi-line content). Same schema fail-fast as the parquet
+    and JSONL readers; like JSONL it cannot column-prune — convert to
+    parquet for repeated runs."""
+    ds = ray.data.read_csv(paths, **kw)
+    schema = ds.schema()
+    missing = [c for c in CODE_COLUMNS if c not in schema.names]
+    if missing:
+        raise ValueError(f"csv input missing columns {missing}")
+    return ds
+
+
 def documents_as_code(sf_dir: str) -> ray.data.Dataset:
     """Map the driver's `documents` fixture onto the code-table schema
     (FIXTURES.md §B: source->repo, doc_id->path, text->content) — the

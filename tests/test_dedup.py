@@ -375,3 +375,37 @@ def test_neardup_keeplist_consistent(ray_session):
     grouped = out[out["doc_id"].isin(gmap)]
     for rep, g in grouped.groupby("rep_id"):
         assert g["kept"].sum() == (1 if rep in set(g["doc_id"]) else 0)
+
+
+def test_read_code_csv_roundtrip(ray_session, tmp_path):
+    """CSV source variant: quoted multi-line content round-trips and
+    schema validation fails fast on a missing column."""
+    import csv
+
+    import pytest
+
+    from spardaqus_ray.sources.code_parquet import read_code_csv
+    from spardaqus_ray.synth import generate_corpus
+
+    tbl, _ = generate_corpus(50, seed=9)
+    rows = tbl.to_pylist()
+    p = tmp_path / "corpus.csv"
+    with open(p, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["repo", "path", "commit", "lang",
+                                          "content"])
+        w.writeheader()
+        w.writerows(rows)
+    got = read_code_csv(str(p)).to_pandas()
+    assert len(got) == 50
+    byk = {(r["repo"], r["path"]): r["content"] for r in rows}
+    for _, r in got.iterrows():
+        exp = byk[(r["repo"], r["path"])]
+        # Arrow CSV reads empty fields as null; synth may plant "" rows
+        assert (r["content"] or "") == (exp or "")
+    bad = tmp_path / "bad.csv"
+    with open(bad, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["repo", "path"])
+        w.writeheader()
+        w.writerow({"repo": "r", "path": "p"})
+    with pytest.raises(ValueError, match="missing columns"):
+        read_code_csv(str(bad))
