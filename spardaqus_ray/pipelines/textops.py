@@ -861,3 +861,140 @@ def ppl_filter_preview(sf_dir: str) -> pd.DataFrame:
     out["p_drop"] = (out["n_drop"] / out["n_scored"].replace(0, 1)).round(4)
     out = out[["source", "n_docs", "n_scored", "avg_ppl", "p_drop"]]
     return out.sort_values("source").reset_index(drop=True)
+
+
+def train_models_distributed(sf_dir: str):
+    """FULL-CORPUS distributed model training — the scale-true variant
+    of models_from_documents (which trains on a bounded hash-sample by
+    design): langid trigram tables, per-language char-4-gram LMs and
+    self-calibrated ppl thresholds, all fit on EVERY document.
+
+    The model state is nothing but integer n-gram counts, which are
+    perfectly mergeable: pass 1 bincounts each block's head bytes into
+    the (NB3 + NB4 + NB3C)-bucket spaces per language (the scorers'
+    boundary-masked flat-buffer kernels) and emits nonzero (lang, kind,
+    bucket, n) rows; ONE grouped SUM is the whole reduction — the
+    exchange is bounded by the hash-bucket vocabulary (~1.1M rows per
+    language worst case), never the corpus. Pass 2 re-streams to score
+    per-doc ppl with the fitted LMs for the p99 threshold (driver pulls
+    one float per doc here; at 100 TB swap in the mergeable bottom-k
+    quantile sketch, repo_stats.approx_median_price's machinery).
+
+    EXACT equality with the sequential train_models_from_pairs on the
+    same corpus is pytest-pinned (integer counts -> identical float
+    model tables)."""
+    from ray.data.aggregate import Sum
+
+    from spardaqus_ray.stages.models import (NB3, NB3C, NB4, _K, PPL_MARGIN,
+                                             CharLM, LangIdModel, Models)
+    from spardaqus_ray.stages.scorers import _heads_buffer
+
+    ds = read_table(sf_dir, "documents", columns=["text", "lang"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"lang": pa.array([], pa.string()),
+                          "kind": pa.array([], pa.string()),
+                          "bucket": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        langs = np.asarray(t["lang"].to_pylist(), object)
+        outs = []
+        for lang in sorted(set(langs)):
+            mask = langs == lang
+            buf, off, _ = _heads_buffer(t["text"], mask)
+            rows = {"3": np.zeros(NB3, np.int64),
+                    "4": np.zeros(NB4, np.int64),
+                    "c": np.zeros(NB3C, np.int64)}
+            if len(buf) >= 3:
+                x = buf.astype(np.int64)
+                ids = (x[:-2] * 65599 + x[1:-1] * 257 + x[2:]) % NB3
+                pos = np.arange(len(ids))
+                row = np.searchsorted(off, pos, side="right") - 1
+                valid = pos + 2 < off[row + 1]
+                rows["3"] += np.bincount(ids[valid], minlength=NB3)
+            if len(buf) >= 4:
+                x = buf.astype(np.int64)
+                ctx = (x[:-3] * 65599 + x[1:-2] * 257 + x[2:-1]) % NB3C
+                full = (x[:-3] * 16777619 + x[1:-2] * 65599
+                        + x[2:-1] * 257 + x[3:]) % NB4
+                pos = np.arange(len(full))
+                row = np.searchsorted(off, pos, side="right") - 1
+                valid = pos + 3 < off[row + 1]
+                rows["4"] += np.bincount(full[valid], minlength=NB4)
+                rows["c"] += np.bincount(ctx[valid], minlength=NB3C)
+            for kind, c in rows.items():
+                nz = np.flatnonzero(c)
+                outs.append(pa.table({
+                    "lang": pa.array(np.repeat(lang, len(nz))),
+                    "kind": pa.array(np.repeat(kind, len(nz))),
+                    "bucket": pa.array(nz.astype(np.int64)),
+                    "n": pa.array(c[nz])}))
+        return pa.concat_tables(outs) if outs else empty
+
+    agg = (ds.map_batches(count_partial, batch_format="pyarrow")
+           .groupby(["lang", "kind", "bucket"])
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    langs = tuple(sorted(agg["lang"].unique()))
+    sizes = {"3": NB3, "4": NB4, "c": NB3C}
+    logp = np.empty((len(langs), NB3), np.float32)
+    lms: dict[str, CharLM] = {}
+    for li, lang in enumerate(langs):
+        dense = {}
+        for kind, size in sizes.items():
+            c = np.zeros(size, np.float64)
+            g = agg[(agg["lang"] == lang) & (agg["kind"] == kind)]
+            c[g["bucket"].to_numpy(np.int64)] = g["n"].to_numpy(np.float64)
+            dense[kind] = c
+        logp[li] = np.log((dense["3"] + _K)
+                          / (dense["3"].sum() + _K * NB3)).astype(np.float32)
+        lms[lang] = CharLM(
+            lp4=np.log(dense["4"] + _K).astype(np.float32),
+            lp3=np.log(dense["c"] + _K * 256).astype(np.float32))
+
+    # pass 2: per-doc train ppl for the p99 threshold
+    def score_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "ppl": pa.array([], pa.float64())})
+        lang_arr = np.asarray(t["lang"].to_pylist(), object)
+        outs = []
+        for lang in sorted(set(lang_arr)):
+            if lang not in lms:
+                continue
+            mask = lang_arr == lang
+            buf, off, _ = _heads_buffer(t["text"], mask)
+            vals = lms[lang].ppl_block(buf, off)
+            outs.append(pa.table({
+                "lang": pa.array(np.repeat(lang, len(vals))),
+                "ppl": pa.array(vals)}))
+        return pa.concat_tables(outs) if outs else pa.table(
+            {"lang": pa.array([], pa.string()),
+             "ppl": pa.array([], pa.float64())})
+
+    ppls = (ds.map_batches(score_partial, batch_format="pyarrow")
+            .to_pandas())
+    thresholds = {
+        lang: float(np.percentile(g["ppl"].to_numpy(), 99) * PPL_MARGIN)
+        for lang, g in ppls.groupby("lang")}
+    return Models(LangIdModel(langs, logp), lms, thresholds)
+
+
+def lm_train_stats(sf_dir: str) -> pd.DataFrame:
+    """Driver-visible slice of the full-corpus distributed trainer:
+    per language, the nonzero model-table occupancies and the
+    calibrated ppl threshold (rows-only; exact sequential equality of
+    the whole model is pytest-pinned)."""
+    models = train_models_distributed(sf_dir)
+    rows = []
+    for li, lang in enumerate(models.langid.langs):
+        lm = models.lms[lang]
+        rows.append({
+            "lang": lang,
+            "n_tri_nonzero": int((models.langid.logp[li]
+                                  > models.langid.logp[li].min()).sum()),
+            "n_four_nonzero": int((lm.lp4 > lm.lp4.min()).sum()),
+            "ppl_threshold": round(models.ppl_threshold[lang], 4),
+        })
+    return (pd.DataFrame(rows).sort_values("lang").reset_index(drop=True))

@@ -77,3 +77,29 @@ def test_langid_short_buffer_batch_matches_scalar(models):
     assert langs == [""]
     assert confs[0] == 0.0
     assert models.langid.score_text("ab") == ("", 0.0)
+
+
+def test_distributed_trainer_equals_sequential(ray_session):
+    """Full-corpus distributed training == train_models_from_pairs on
+    the same documents: identical langid table, identical LM tables
+    (integer count merges are exact), thresholds equal to float
+    tolerance (batched-vs-scalar ppl in the calibration pass)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import pytest
+
+    from spardaqus_ray.pipelines.textops import train_models_distributed
+    from spardaqus_ray.stages.models import train_models_from_pairs
+    from tests.conftest import SF001
+
+    got = train_models_distributed(SF001)
+    t = pq.read_table(f"{SF001}/documents.parquet", columns=["lang", "text"])
+    exp = train_models_from_pairs(
+        [(r["lang"], r["text"]) for r in t.to_pylist()])
+    assert got.langid.langs == exp.langid.langs
+    assert np.array_equal(got.langid.logp, exp.langid.logp)
+    for lang in exp.langid.langs:
+        assert np.array_equal(got.lms[lang].lp4, exp.lms[lang].lp4), lang
+        assert np.array_equal(got.lms[lang].lp3, exp.lms[lang].lp3), lang
+        assert got.ppl_threshold[lang] == pytest.approx(
+            exp.ppl_threshold[lang], rel=1e-9), lang
