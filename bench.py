@@ -203,6 +203,10 @@ def bench_queries() -> dict:
         ("dsir_sample", dsir.dsir_sample),
         ("approx_token_counts_cms", cms.approx_token_counts_cms),
         ("dedup_neardup_keeplist", dedup.neardup_keeplist),
+        ("q76_chunk_documents", packing.q76_chunk_documents),
+        ("q77_winsorize_prices", relational.q77_winsorize_prices),
+        ("oov_rate_by_source", textops.oov_rate_by_source),
+        ("lm_train_stats", textops.lm_train_stats),
     ]:
         t0 = time.time()
         fn(SF_DIR)
