@@ -1,0 +1,129 @@
+"""Resumable chunked-corpus export — a SECOND job built on the
+checkpoint layer (SURVEY.md §2.7 C1–C4), proving S3/S4 + the resume
+contract are a reusable engine surface, not flagship-only plumbing:
+chunk every document into overlapping training windows
+(packing.chunk_explode) and write one deterministic parquet file per
+hash partition with an atomic manifest.
+
+Plan: read → in-block chunk explode → part_id = doc_id % P (chunks of
+one doc stay together) → anti-join against completed partitions (the
+C3 resume filter) → ONE hash repartition on part_id → per-partition
+finalize (sort by (doc_id, chunk_id) → tmp+rename parquet → manifest).
+Same guarantees as the flagship output: job-level input-signature
+check (resume against different input refuses loudly), race-free
+split-partition claim (checkpoint.claim_fingerprint), byte-identical
+partition rewrites, per-partition metrics rows. Gated by
+tests/test_export.py (resume recomputes ONLY missing partitions,
+bytes-identical; wrong-input refusal)."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from spardaqus_ray.pipelines.packing import (CHUNK_STRIDE, CHUNK_TOKENS,
+                                             chunk_explode)
+from spardaqus_ray.sources.code_parquet import read_table
+from spardaqus_ray.state.checkpoint import (check_job_signature,
+                                            claim_fingerprint,
+                                            completed_partitions,
+                                            gc_stale_claims, input_signature,
+                                            manifest_dir,
+                                            partition_fingerprint)
+from spardaqus_ray.util import ensure_hash_shuffle
+
+
+def run_chunked_export(sf_dir: str, out_dir: str, num_partitions: int = 8,
+                       size: int = CHUNK_TOKENS,
+                       stride: int = CHUNK_STRIDE) -> list[dict]:
+    """Chunk `documents` and write `num_partitions` deterministic
+    parquet partitions under out_dir; returns the per-partition metrics
+    rows. Safe to re-run after a crash: completed partitions are
+    skipped, recomputed ones rewrite byte-identically."""
+    os.makedirs(out_dir, exist_ok=True)
+    sig = (input_signature([f"{sf_dir}/documents.parquet"])
+           + f":chunk{size}x{stride}x{num_partitions}")
+    check_job_signature(out_dir, hashlib.sha256(sig.encode()).hexdigest())
+    gc_stale_claims(out_dir)
+    done = completed_partitions(out_dir)
+    run_id = uuid.uuid4().hex
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ensure_hash_shuffle(ds)
+
+    def explode_keyed(t: pa.Table) -> pa.Table:
+        chunks = chunk_explode(t, size, stride)
+        pid = (chunks["doc_id"].combine_chunks()
+               .to_numpy(zero_copy_only=False).astype(np.int64)
+               % num_partitions)
+        chunks = chunks.append_column("part_id", pa.array(pid))
+        if done:   # C3 resume filter: drop completed partitions' rows
+            keep = ~np.isin(pid, list(done))
+            chunks = chunks.filter(pa.array(keep))
+        return chunks
+
+    keyed = ds.map_batches(explode_keyed, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    keyed = keyed.repartition(num_partitions, keys=["part_id"])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({"part_id": pa.array([], pa.int64()),
+                          "n_chunks": pa.array([], pa.int64()),
+                          "n_docs": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        rows = []
+        for pid in pc.unique(t["part_id"]).to_pylist():
+            part = t.filter(pc.equal(t["part_id"], pid))
+            part = part.take(pc.sort_indices(
+                part, sort_keys=[("doc_id", "ascending"),
+                                 ("chunk_id", "ascending")]))
+            part = part.drop_columns(["part_id"])
+            shas = [hashlib.sha256(s.encode()).hexdigest()
+                    for s in part["chunk_text"].to_pylist()]
+            fp = partition_fingerprint(shas, part.num_rows)
+            claim_fingerprint(out_dir, pid, run_id, fp)
+            fname = f"part-{pid:05d}.parquet"
+            fpath = os.path.join(out_dir, fname)
+            tmp = f"{fpath}.tmp.{os.getpid()}"
+            pq.write_table(part, tmp, row_group_size=64 * 1024)
+            os.replace(tmp, fpath)
+            row = {"part_id": int(pid), "input_rows": part.num_rows,
+                   "n_docs": len(set(part["doc_id"].to_pylist())),
+                   "input_fingerprint": fp, "output_file": fname,
+                   "run_id": run_id, "completed_at": time.time()}
+            mpath = os.path.join(manifest_dir(out_dir),
+                                 f"part-{pid:05d}.done.json")
+            tmpm = f"{mpath}.tmp.{os.getpid()}"
+            with open(tmpm, "w") as f:
+                json.dump(row, f)
+            os.replace(tmpm, mpath)
+            rows.append({"part_id": int(pid), "n_chunks": part.num_rows,
+                         "n_docs": row["n_docs"]})
+        return pa.Table.from_pylist(rows, schema=empty.schema)
+
+    return (keyed.map_batches(finalize, batch_format="pyarrow",
+                              batch_size=None)
+            .to_pandas().to_dict("records"))
+
+
+def chunked_export_stats(sf_dir: str) -> "pd.DataFrame":
+    """Driver-visible row per exported partition (fresh tmp dir per
+    call; rows-only — resume/idempotence/refusal are pytest-gated in
+    tests/test_export.py)."""
+    import tempfile
+
+    import pandas as pd
+
+    out = tempfile.mkdtemp(prefix="spdq_export_", dir="/tmp")
+    rows = run_chunked_export(sf_dir, out)
+    return (pd.DataFrame(rows).sort_values("part_id")
+            .reset_index(drop=True))

@@ -167,45 +167,50 @@ def chunk_documents(sf_dir: str, size: int = CHUNK_TOKENS,
     SQL-oracle-checked against DuckDB lateral generate_series + list
     slicing (CHUNK_SQL)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def explode(t: pa.Table) -> pa.Table:
-        empty = pa.table({"doc_id": pa.array([], pa.int64()),
-                          "chunk_id": pa.array([], pa.int64()),
-                          "n_tokens": pa.array([], pa.int64()),
-                          "chunk_text": pa.array([], pa.string())})
-        if t.num_rows == 0:
-            return empty
-        toks = pc.split_pattern(
-            pc.utf8_lower(t["text"].combine_chunks().fill_null("")), " ")
-        lens = (pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-                .astype(np.int64))
-        flat = pc.list_flatten(toks)
-        doc_off = np.concatenate(([0], np.cumsum(lens)))
-        nc = np.where(lens <= size, 1,
-                      -(-(lens - size) // stride) + 1).astype(np.int64)
-        total = int(nc.sum())
-        out_doc = np.repeat(np.arange(t.num_rows), nc)
-        chunk_id = np.arange(total) - np.repeat(
-            np.concatenate(([0], np.cumsum(nc)))[:-1], nc)
-        starts = chunk_id * stride
-        ends = np.minimum(starts + size, lens[out_doc])
-        clen = ends - starts
-        # flat gather: for chunk c, tokens doc_off[doc]+starts[c] ..+clen
-        coff = np.concatenate(([0], np.cumsum(clen)))
-        gidx = (np.repeat(doc_off[out_doc] + starts, clen)
-                + (np.arange(coff[-1]) - np.repeat(coff[:-1], clen)))
-        la = pa.ListArray.from_arrays(pa.array(coff, pa.int32()),
-                                      flat.take(pa.array(gidx)))
-        ids = (t["doc_id"].combine_chunks()
-               .to_numpy(zero_copy_only=False).astype(np.int64))
-        return pa.table({"doc_id": pa.array(ids[out_doc]),
-                         "chunk_id": pa.array(chunk_id),
-                         "n_tokens": pa.array(clen),
-                         "chunk_text": pc.binary_join(la, " ")})
-
-    out = (ds.map_batches(explode, batch_format="pyarrow",
+    out = (ds.map_batches(lambda t: chunk_explode(t, size, stride),
+                          batch_format="pyarrow",
                           zero_copy_batch=True).to_pandas())
     return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
+def chunk_explode(t: pa.Table, size: int = CHUNK_TOKENS,
+                  stride: int = CHUNK_STRIDE) -> pa.Table:
+    """The per-block chunking kernel behind chunk_documents and the
+    resumable chunked export (export.py) — one (doc_id, text) block in,
+    (doc_id, chunk_id, n_tokens, chunk_text) rows out."""
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "chunk_id": pa.array([], pa.int64()),
+                      "n_tokens": pa.array([], pa.int64()),
+                      "chunk_text": pa.array([], pa.string())})
+    if t.num_rows == 0:
+        return empty
+    toks = pc.split_pattern(
+        pc.utf8_lower(t["text"].combine_chunks().fill_null("")), " ")
+    lens = (pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+            .astype(np.int64))
+    flat = pc.list_flatten(toks)
+    doc_off = np.concatenate(([0], np.cumsum(lens)))
+    nc = np.where(lens <= size, 1,
+                  -(-(lens - size) // stride) + 1).astype(np.int64)
+    total = int(nc.sum())
+    out_doc = np.repeat(np.arange(t.num_rows), nc)
+    chunk_id = np.arange(total) - np.repeat(
+        np.concatenate(([0], np.cumsum(nc)))[:-1], nc)
+    starts = chunk_id * stride
+    ends = np.minimum(starts + size, lens[out_doc])
+    clen = ends - starts
+    # flat gather: for chunk c, tokens doc_off[doc]+starts[c] ..+clen
+    coff = np.concatenate(([0], np.cumsum(clen)))
+    gidx = (np.repeat(doc_off[out_doc] + starts, clen)
+            + (np.arange(coff[-1]) - np.repeat(coff[:-1], clen)))
+    la = pa.ListArray.from_arrays(pa.array(coff, pa.int32()),
+                                  flat.take(pa.array(gidx)))
+    ids = (t["doc_id"].combine_chunks()
+           .to_numpy(zero_copy_only=False).astype(np.int64))
+    return pa.table({"doc_id": pa.array(ids[out_doc]),
+                     "chunk_id": pa.array(chunk_id),
+                     "n_tokens": pa.array(clen),
+                     "chunk_text": pc.binary_join(la, " ")})
 
 
 def q76_chunk_documents(sf_dir: str) -> pd.DataFrame:

@@ -186,6 +186,39 @@ def completed_partitions(checkpoint_dir: str) -> set[int]:
     return done
 
 
+def claim_fingerprint(checkpoint_dir: str, part_id: int, run_id: str,
+                      fingerprint: str) -> None:
+    """Race-free split-partition guard shared by every resumable job
+    (flagship finalize_partition, chunked export): the FIRST attempt of
+    a (run, part) atomically publishes its row fingerprint via os.link
+    (exclusive: link fails if the target exists, and the target appears
+    fully written); every later attempt — sequential or concurrent —
+    reads the published fingerprint and raises iff its own differs
+    (same part_id, same run, DIFFERENT rows = the partition arrived
+    split across blocks). Identical rows = an idempotent Ray retry and
+    proceeds."""
+    mdir = manifest_dir(checkpoint_dir)
+    os.makedirs(mdir, exist_ok=True)
+    fp_claim = os.path.join(mdir, f"part-{part_id:05d}.fp.{run_id}")
+    tmp_claim = f"{fp_claim}.tmp.{os.getpid()}"
+    with open(tmp_claim, "w") as f:
+        f.write(fingerprint)
+    try:
+        os.link(tmp_claim, fp_claim)   # atomic publish-if-absent
+    except FileExistsError:
+        with open(fp_claim) as f:
+            published = f.read()
+        if published != fingerprint:
+            raise RuntimeError(
+                f"partition {part_id} finalized twice within run "
+                f"{run_id} with DIFFERENT rows: the partition arrived "
+                f"split across blocks (one-block-per-partition "
+                f"assumption violated); refusing to overwrite"
+            ) from None
+    finally:
+        os.remove(tmp_claim)
+
+
 def finalize_partition(part: pa.Table, part_id: int, checkpoint_dir: str,
                        run_id: str | None = None) -> dict:
     """C4: deterministic per-partition output + manifest. `part` must hold
@@ -211,27 +244,7 @@ def finalize_partition(part: pa.Table, part_id: int, checkpoint_dir: str,
     mpath = os.path.join(manifest_dir(checkpoint_dir),
                          f"part-{part_id:05d}.done.json")
     if run_id is not None:
-        mdir = manifest_dir(checkpoint_dir)
-        os.makedirs(mdir, exist_ok=True)
-        fp_claim = os.path.join(mdir, f"part-{part_id:05d}.fp.{run_id}")
-        tmp_claim = f"{fp_claim}.tmp.{os.getpid()}"
-        with open(tmp_claim, "w") as f:
-            f.write(fingerprint)
-        try:
-            os.link(tmp_claim, fp_claim)   # atomic publish-if-absent
-        except FileExistsError:
-            with open(fp_claim) as f:
-                published = f.read()
-            if published != fingerprint:
-                raise RuntimeError(
-                    f"partition {part_id} finalized twice within run "
-                    f"{run_id} with DIFFERENT rows: the partition arrived "
-                    f"split across blocks (one-block-per-partition "
-                    f"assumption violated); refusing to overwrite"
-                ) from None
-            # identical rows -> idempotent Ray retry, proceed
-        finally:
-            os.remove(tmp_claim)
+        claim_fingerprint(checkpoint_dir, part_id, run_id, fingerprint)
     idx = pa.compute.sort_indices(
         part, sort_keys=[("repo", "ascending"), ("path", "ascending"),
                          ("commit", "ascending")]

@@ -1,0 +1,56 @@
+"""Resumable chunked-export gates (the second checkpoint-layer job):
+clean run == chunk_documents content, resume recomputes ONLY missing
+partitions with byte-identical output, wrong-input resume refuses."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pytest
+
+from tests.conftest import SF001, has_testdata
+
+pytestmark = pytest.mark.skipif(not has_testdata(), reason="no testdata")
+
+
+def _sha(path: str) -> str:
+    with open(path, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def test_chunked_export_clean_and_resume(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from spardaqus_ray.pipelines.export import run_chunked_export
+    from spardaqus_ray.pipelines.packing import chunk_documents
+
+    out = str(tmp_path / "chunks")
+    metrics = run_chunked_export(SF001, out, num_partitions=4)
+    assert sorted(m["part_id"] for m in metrics) == [0, 1, 2, 3]
+    files = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+    assert files == [f"part-{i:05d}.parquet" for i in range(4)]
+    got = pd.concat([pq.read_table(os.path.join(out, f)).to_pandas()
+                     for f in files])
+    exp = chunk_documents(SF001)
+    got = got.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+    # resume: delete ONE partition (file + manifest), rerun
+    shas_before = {f: _sha(os.path.join(out, f)) for f in files}
+    os.remove(os.path.join(out, "part-00002.parquet"))
+    os.remove(os.path.join(out, "_manifest", "part-00002.done.json"))
+    m2 = run_chunked_export(SF001, out, num_partitions=4)
+    assert [m["part_id"] for m in m2] == [2]   # ONLY the missing one
+    for f in files:   # and the rewrite is byte-identical
+        assert _sha(os.path.join(out, f)) == shas_before[f], f
+
+
+def test_chunked_export_refuses_different_input(ray_session, tmp_path):
+    from spardaqus_ray.pipelines.export import run_chunked_export
+
+    out = str(tmp_path / "chunks")
+    run_chunked_export(SF001, out, num_partitions=2)
+    with pytest.raises(ValueError, match="DIFFERENT input"):
+        run_chunked_export(SF001, out, num_partitions=3)  # changed params
