@@ -1,0 +1,35 @@
+"""Int8 quantization gates: roundtrip error bound, fixture recall,
+grid == sequential, determinism."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from tests.conftest import SF001, has_testdata
+
+pytestmark = pytest.mark.skipif(not has_testdata(), reason="no testdata")
+
+
+def test_roundtrip_error_bound(ray_session):
+    from spardaqus_ray.pipelines.ann import _mat
+    from spardaqus_ray.pipelines.quantize import _grid, decode, encode
+
+    lo, scale = _grid(SF001)
+    t = pq.read_table(f"{SF001}/embeddings.parquet", columns=["embedding"])
+    m = _mat(t).astype(np.float64)
+    # distributed grid == sequential global min/max
+    assert np.allclose(lo, m.min(axis=0))
+    assert np.allclose(lo + scale * 255, m.max(axis=0))
+    err = np.abs(decode(encode(m, lo, scale), lo, scale) - m)
+    assert (err <= scale / 2 + 1e-12).all()   # half a cell per dim
+
+
+def test_quantized_recall_on_fixture(ray_session):
+    from spardaqus_ray.pipelines.quantize import quantized_recall
+
+    out = quantized_recall(SF001)
+    assert len(out) == 3
+    assert (out["recall_at_k"] >= 0.8).all()   # int8 keeps the top-10
+    assert quantized_recall(SF001).equals(out)  # deterministic
