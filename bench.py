@@ -162,8 +162,9 @@ def bench_flagship() -> dict:
 def bench_queries() -> dict:
     from spardaqus_ray.pipelines import (ann, bloom, bpe, cms, dedup, dsir,
                                          funnel, graph, learn, packing,
-                                         quality, relational, search,
-                                         semdedup, stats, textops, winnow)
+                                         quality, quantize, relational,
+                                         search, semdedup, stats, textops,
+                                         winnow)
 
     out = {}
     for name, fn in [
@@ -207,6 +208,7 @@ def bench_queries() -> dict:
         ("q77_winsorize_prices", relational.q77_winsorize_prices),
         ("oov_rate_by_source", textops.oov_rate_by_source),
         ("lm_train_stats", textops.lm_train_stats),
+        ("quantized_recall", quantize.quantized_recall),
     ]:
         t0 = time.time()
         fn(SF_DIR)
