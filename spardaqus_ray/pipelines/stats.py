@@ -778,3 +778,89 @@ FROM orders
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
+
+
+def q78_price_means_by_flag(sf_dir: str) -> pd.DataFrame:
+    """Geometric + harmonic mean of l_extendedprice per returnflag —
+    the two non-arithmetic Pythagorean means as mergeable sums
+    (Σ ln x and Σ 1/x; prices are strictly positive, so both are
+    total). Same partial shape as q28."""
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        y = (t["l_extendedprice"].combine_chunks()
+             .to_numpy(zero_copy_only=False).astype(np.float64))
+        df = pd.DataFrame({
+            "l_returnflag": t["l_returnflag"].combine_chunks()
+            .to_numpy(zero_copy_only=False),
+            "n": np.ones(t.num_rows, np.int64),
+            "sln": np.log(y), "sinv": 1.0 / y})
+        g = df.groupby("l_returnflag", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("l_returnflag")
+           .aggregate(Sum("n", alias_name="n"), Sum("sln", alias_name="sln"),
+                      Sum("sinv", alias_name="sinv"))
+           .to_pandas())
+    n = out["n"].astype(float)
+    out["geo_mean"] = np.exp(out["sln"] / n).round(4)
+    out["harm_mean"] = (n / out["sinv"]).round(4)
+    return (out[["l_returnflag", "geo_mean", "harm_mean"]]
+            .sort_values("l_returnflag").reset_index(drop=True))
+
+
+Q78_SQL = """
+SELECT l_returnflag,
+       ROUND(EXP(AVG(LN(l_extendedprice))), 4) AS geo_mean,
+       ROUND(COUNT(*) / SUM(1.0 / l_extendedprice), 4) AS harm_mean
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q79_event_anomalies(sf_dir: str, z: float = 2.0) -> pd.DataFrame:
+    """Hourly-volume anomaly detection per event type: hours whose
+    event count z-scores above `z` against that type's own hourly
+    distribution. ONE tumbling-window grouped count (the q11 exchange;
+    output is n_types x n_hours rows — bounded by the time range, not
+    the event count), then the per-type moments and the flag are driver
+    algebra over that small aggregate."""
+    from ray.data.aggregate import Count
+
+    from spardaqus_ray.pipelines.windows import tumbling_agg
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
+    hourly = (tumbling_agg(ds, ts="ts", every_us=3_600_000_000,
+                           aggs=[Count(alias_name="n")],
+                           keys=["event_type"], window_name="hour")
+              .to_pandas())
+    g = hourly.groupby("event_type")["n"]
+    mu = g.transform("mean")
+    sd = g.transform(lambda s: s.std(ddof=1))
+    hourly["zscore"] = ((hourly["n"] - mu) / sd).round(4)
+    out = hourly[hourly["n"] > mu + z * sd]
+    out = out.copy()
+    out["hour"] = pd.to_datetime(out["hour"]).dt.strftime(
+        "%Y-%m-%d %H:%M:%S")
+    return (out[["event_type", "hour", "n", "zscore"]]
+            .sort_values(["event_type", "hour"]).reset_index(drop=True))
+
+
+Q79_SQL = """
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, hour),
+st AS (
+  SELECT *, AVG(n) OVER w AS mu, STDDEV_SAMP(n) OVER w AS sd
+  FROM hourly WINDOW w AS (PARTITION BY event_type))
+SELECT event_type, STRFTIME(hour, '%Y-%m-%d %H:%M:%S') AS hour, n,
+       ROUND((n - mu) / sd, 4) AS zscore
+FROM st
+WHERE n > mu + 2.0 * sd
+ORDER BY event_type, hour
+"""
