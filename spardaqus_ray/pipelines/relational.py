@@ -1918,3 +1918,146 @@ SELECT o_orderkey, c_mktsegment,
 FROM seg JOIN q USING (c_mktsegment)
 ORDER BY o_orderkey
 """
+
+
+def q80_trailing_week_revenue(sf_dir: str) -> pd.DataFrame:
+    """Time-RANGE window frame (not ROWS — q40 covers that): 7-day
+    trailing revenue per order day. ONE grouped daily aggregate bounds
+    the exchange by the calendar (#days rows), then the RANGE frame is
+    driver algebra: prefix sums + a searchsorted to each day-6 — no
+    per-day rescan."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    us_per_day = 86_400_000_000
+
+    def daily(t: pa.Table) -> pa.Table:
+        day = (t["o_orderdate"].combine_chunks().cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // us_per_day)
+        df = pd.DataFrame({
+            "day": day,
+            "rev": t["o_totalprice"].combine_chunks()
+            .to_numpy(zero_copy_only=False).astype(np.float64)})
+        g = df.groupby("day", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(daily, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("day").aggregate(Sum("rev", alias_name="rev"))
+           .to_pandas().sort_values("day").reset_index(drop=True))
+    days = agg["day"].to_numpy(np.int64)
+    rev = agg["rev"].to_numpy(np.float64)
+    csum = np.concatenate(([0.0], np.cumsum(rev)))
+    lo = np.searchsorted(days, days - 6, side="left")
+    trailing = csum[np.arange(1, len(days) + 1)] - csum[lo]
+    return pd.DataFrame({
+        "day": pd.to_datetime(days * us_per_day, unit="us")
+        .strftime("%Y-%m-%d"),
+        "revenue": np.round(rev, 4),
+        "trailing7": np.round(trailing, 4),
+    })
+
+
+Q80_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, SUM(o_totalprice) AS rev
+  FROM orders GROUP BY d)
+SELECT STRFTIME(d, '%Y-%m-%d') AS day, ROUND(rev, 4) AS revenue,
+       ROUND(SUM(rev) OVER (ORDER BY d
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW), 4)
+           AS trailing7
+FROM daily
+ORDER BY day
+"""
+
+
+BASKET_MIN_SUPPORT = 2
+BASKET_TOP_K = 20
+BASKET_MAX_PARTS_PER_ORDER = 256  # pair explosion guard for mega-baskets
+
+
+def q81_part_basket_lift(sf_dir: str) -> pd.DataFrame:
+    """Market-basket co-occurrence mining: the top part pairs by lift
+    (= P(a,b) / (P(a)P(b)) over orders). Plan: ONE hash repartition on
+    l_orderkey co-locates each basket; pairs explode IN-BLOCK via a
+    per-block self-merge of the deduped (order, part) items (bounded by
+    BASKET_MAX_PARTS_PER_ORDER per order against mega-basket blowup);
+    pair partials + part marginals are two small grouped SUMs; lift and
+    top-k are driver algebra over the pair aggregate."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    ensure_hash_shuffle(ds)
+    keyed = ds.repartition(
+        default_partitions(size_bytes=table_bytes(sf_dir, "lineitem")),
+        keys=["l_orderkey"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "n_ab": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        items = (t.to_pandas().drop_duplicates()
+                 .groupby("l_orderkey").head(BASKET_MAX_PARTS_PER_ORDER))
+        pairs = items.merge(items, on="l_orderkey")
+        pairs = pairs[pairs["l_partkey_x"] < pairs["l_partkey_y"]]
+        g = (pairs.groupby(["l_partkey_x", "l_partkey_y"]).size()
+             .reset_index(name="n_ab")
+             .rename(columns={"l_partkey_x": "a", "l_partkey_y": "b"}))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    pair_counts = (keyed.map_batches(pair_partial, batch_format="pyarrow",
+                                     batch_size=None)
+                   .groupby(["a", "b"]).aggregate(Sum("n_ab",
+                                                      alias_name="n_ab"))
+                   .to_pandas())
+
+    def marg_partial(t: pa.Table) -> pa.Table:
+        items = t.to_pandas().drop_duplicates()
+        g = (items.groupby("l_partkey").size().reset_index(name="n")
+             .rename(columns={"l_partkey": "part"}))
+        g["orders"] = items["l_orderkey"].nunique()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    marg = (keyed.map_batches(marg_partial, batch_format="pyarrow",
+                              batch_size=None)
+            .groupby("part").aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+    n_orders = (keyed.map_batches(
+        lambda t: pa.table({"o": pa.compute.unique(t["l_orderkey"])}),
+        batch_format="pyarrow", batch_size=None)
+        .count())
+
+    lut = dict(zip(marg["part"], marg["n"]))
+    pc_ = pair_counts[pair_counts["n_ab"] >= BASKET_MIN_SUPPORT].copy()
+    na = pc_["a"].map(lut).to_numpy(np.int64)
+    nb = pc_["b"].map(lut).to_numpy(np.int64)
+    pc_["lift"] = (pc_["n_ab"].to_numpy(np.int64) * n_orders * 1.0
+                   / (na * nb))
+    out = (pc_.sort_values(["lift", "a", "b"],
+                           ascending=[False, True, True])
+           .head(BASKET_TOP_K).reset_index(drop=True))
+    out["lift"] = out["lift"].round(4)
+    return out[["a", "b", "n_ab", "lift"]].astype(
+        {"a": "int64", "b": "int64", "n_ab": "int64"})
+
+
+Q81_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT x.l_partkey AS a, y.l_partkey AS b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM items x JOIN items y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY a, b),
+marg AS (SELECT l_partkey AS part, CAST(COUNT(*) AS BIGINT) AS n FROM items
+         GROUP BY part),
+tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items)
+SELECT a, b, n_ab,
+       ROUND(n_ab * n_orders * 1.0 / (ma.n * mb.n), 4) AS lift
+FROM pairs JOIN marg ma ON ma.part = a JOIN marg mb ON mb.part = b
+     CROSS JOIN tot
+WHERE n_ab >= 2
+ORDER BY n_ab * n_orders * 1.0 / (ma.n * mb.n) DESC, a, b
+LIMIT 20
+"""
