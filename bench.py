@@ -209,6 +209,8 @@ def bench_queries() -> dict:
         ("oov_rate_by_source", textops.oov_rate_by_source),
         ("lm_train_stats", textops.lm_train_stats),
         ("quantized_recall", quantize.quantized_recall),
+        ("q79_event_anomalies", stats.q79_event_anomalies),
+        ("q81_part_basket_lift", relational.q81_part_basket_lift),
     ]:
         t0 = time.time()
         fn(SF_DIR)
