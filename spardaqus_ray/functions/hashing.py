@@ -140,11 +140,11 @@ def mark_dups(batch: pa.Table) -> pa.Table:
     loser = ~winner
     if not loser.any():
         return batch
-    keep = batch["keep"].combine_chunks().to_numpy(zero_copy_only=False)
-    reason = np.asarray(batch["drop_reason"].to_pylist(), object)
-    keep = keep & winner
-    reason[loser] = "dedup.exact"
+    loser_mask = pa.array(loser)
+    keep = pc.and_(batch["keep"].combine_chunks(), pa.array(winner))
+    reason = pc.if_else(loser_mask, pa.scalar("dedup.exact", pa.string()),
+                        batch["drop_reason"].combine_chunks())
     batch = batch.set_column(batch.schema.get_field_index("keep"), "keep",
-                             pa.array(keep))
+                             keep)
     return batch.set_column(batch.schema.get_field_index("drop_reason"),
-                            "drop_reason", pa.array(reason, pa.string()))
+                            "drop_reason", reason)

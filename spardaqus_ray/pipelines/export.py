@@ -38,16 +38,25 @@ from spardaqus_ray.state.checkpoint import (check_job_signature,
                                             gc_stale_claims, input_signature,
                                             manifest_dir,
                                             partition_fingerprint)
-from spardaqus_ray.util import ensure_hash_shuffle
+from spardaqus_ray.util import (default_partitions, ensure_hash_shuffle,
+                                table_bytes)
 
 
-def run_chunked_export(sf_dir: str, out_dir: str, num_partitions: int = 8,
+def run_chunked_export(sf_dir: str, out_dir: str,
+                       num_partitions: int | None = None,
                        size: int = CHUNK_TOKENS,
                        stride: int = CHUNK_STRIDE) -> list[dict]:
     """Chunk `documents` and write `num_partitions` deterministic
     parquet partitions under out_dir; returns the per-partition metrics
     rows. Safe to re-run after a crash: completed partitions are
-    skipped, recomputed ones rewrite byte-identically."""
+    skipped, recomputed ones rewrite byte-identically. The default
+    width is data-sized (util.default_partitions over the documents
+    bytes) — num_partitions is baked into the job signature, so a
+    resume at a different width refuses loudly instead of mixing
+    layouts."""
+    if num_partitions is None:
+        num_partitions = default_partitions(
+            size_bytes=table_bytes(sf_dir, "documents"))
     os.makedirs(out_dir, exist_ok=True)
     sig = (input_signature([f"{sf_dir}/documents.parquet"])
            + f":chunk{size}x{stride}x{num_partitions}")
@@ -119,11 +128,17 @@ def chunked_export_stats(sf_dir: str) -> "pd.DataFrame":
     """Driver-visible row per exported partition (fresh tmp dir per
     call; rows-only — resume/idempotence/refusal are pytest-gated in
     tests/test_export.py)."""
+    import shutil
     import tempfile
 
     import pandas as pd
 
     out = tempfile.mkdtemp(prefix="spdq_export_", dir="/tmp")
-    rows = run_chunked_export(sf_dir, out)
-    return (pd.DataFrame(rows).sort_values("part_id")
-            .reset_index(drop=True))
+    try:
+        rows = run_chunked_export(sf_dir, out)
+        return (pd.DataFrame(rows).sort_values("part_id")
+                .reset_index(drop=True))
+    finally:
+        # metrics-only entry point: drop the exported parquet+manifests
+        # so repeated driver/bench invocations don't accumulate in /tmp
+        shutil.rmtree(out, ignore_errors=True)

@@ -29,16 +29,23 @@ LR_RATE = 0.5
 LR_TARGET_LABEL = 0
 
 
-def _design_block(t: pa.Table, target: int) -> pa.Table:
+def _design_block(t: pa.Table, target: int, dim: int) -> pa.Table:
     """(embedding list<float>, label) block -> flat float64 design rows
-    carried as fixed-width list columns (x: list<double>, y: double)."""
+    carried as fixed-width list columns (x: list<double>, y: double).
+    `dim` comes from the driver so an EMPTY block still emits the
+    correct FixedSizeList<dim> schema (a dim=0 block would conflict
+    with non-empty blocks' schema at materialize)."""
+    if t.num_rows == 0:
+        return pa.table({
+            "x": pa.FixedSizeListArray.from_arrays(
+                pa.array([], pa.float64()), dim),
+            "y": pa.array([], pa.float64())})
     emb = t["embedding"].combine_chunks()
     offs = np.asarray(emb.offsets).astype(np.int64)
     widths = np.diff(offs)
-    if len(widths) and not (widths == widths[0]).all():
+    if not (widths == dim).all():
         raise ValueError("ragged embedding column")
     x = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
-    dim = int(widths[0]) if len(widths) else 0
     lab = t["label"].combine_chunks().to_numpy(zero_copy_only=False)
     y = (lab == target).astype(np.float64)
     lst = pa.FixedSizeListArray.from_arrays(pa.array(x), dim)
@@ -61,11 +68,16 @@ def logreg_train(sf_dir: str, iters: int = LR_ITERS, lr: float = LR_RATE,
     log_loss, n_rows}. Values rounded to 6 decimals (block-sum order
     perturbs the last ~1e-10)."""
     ds = read_table(sf_dir, "embeddings", columns=["embedding", "label"])
-    state = ds.map_batches(lambda t: _design_block(t, target),
+    # derive dim ONCE on the driver (one-row pull) so empty blocks keep
+    # the FixedSizeList<dim> schema; guard the empty-dataset case loudly
+    try:
+        head = ds.take_batch(1, batch_format="pyarrow")
+    except (ValueError, StopIteration) as exc:
+        raise ValueError("logreg_train: embeddings table is empty") from exc
+    dim = len(head["embedding"][0].as_py())
+    state = ds.map_batches(lambda t: _design_block(t, target, dim),
                            batch_format="pyarrow",
                            zero_copy_batch=True).materialize()
-    head = state.take_batch(1, batch_format="pyarrow")
-    dim = head["x"].type.list_size
     w = np.zeros(dim, np.float64)
     b = 0.0
     for _ in range(iters):

@@ -640,7 +640,13 @@ def q59_mixture_sample(sf_dir: str,
 
     def prio(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
-        p = (ids.astype(np.int64) * _MIX_PRIO_MULT) % (1 << 32)
+        # uint64 multiply wraps mod 2^64, whose low 32 bits equal the
+        # mathematical (doc_id * mult) mod 2^32 for ANY non-negative
+        # doc_id — no silent int64 wrap. The DuckDB oracle's BIGINT
+        # multiply is only valid for doc_id < 2^63 / mult (~3.4e9);
+        # the engine is exact beyond that, the SQL mirror is not.
+        p = ((ids.astype(np.uint64) * np.uint64(_MIX_PRIO_MULT))
+             & np.uint64(0xFFFFFFFF)).astype(np.int64)
         return t.append_column("prio", pa.array(p))
 
     ds = ds.map_batches(prio, batch_format="pyarrow", zero_copy_batch=True)

@@ -1974,16 +1974,53 @@ ORDER BY day
 BASKET_MIN_SUPPORT = 2
 BASKET_TOP_K = 20
 BASKET_MAX_PARTS_PER_ORDER = 256  # pair explosion guard for mega-baskets
+# Broadcast the part-marginal arrays (16 B/part) only while small; a
+# 10^9-part vocabulary would be multi-GiB per task closure, so above
+# the cap the lift attach falls back to two hash joins (the G4 /
+# _seg_lookup cap-and-fallback shape; both plans pinned equivalent by
+# tests/test_oracle.py::test_q81_plans_equivalent).
+BASKET_MARG_BROADCAST_MAX_BYTES = 256 << 20
 
 
-def q81_part_basket_lift(sf_dir: str) -> pd.DataFrame:
+def _basket_items(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Block -> deduped (orderkey, partkey) int64 arrays sorted by
+    (order, part), capped DETERMINISTICALLY at the
+    BASKET_MAX_PARTS_PER_ORDER *smallest* partkeys per order — the same
+    items set Q81_SQL's capped `items` CTE expresses, so engine and
+    oracle agree even when the cap triggers. Pure numpy (lexsort +
+    segment walk), no pandas."""
+    o = (t["l_orderkey"].combine_chunks()
+         .to_numpy(zero_copy_only=False).astype(np.int64))
+    p = (t["l_partkey"].combine_chunks()
+         .to_numpy(zero_copy_only=False).astype(np.int64))
+    order = np.lexsort((p, o))
+    o, p = o[order], p[order]
+    first = np.empty(len(o), bool)
+    first[0] = True
+    first[1:] = (o[1:] != o[:-1]) | (p[1:] != p[:-1])
+    o, p = o[first], p[first]
+    starts = np.concatenate(([0], np.nonzero(o[1:] != o[:-1])[0] + 1))
+    seg_len = np.diff(np.append(starts, len(o)))
+    rank = np.arange(len(o)) - np.repeat(starts, seg_len)
+    keep = rank < BASKET_MAX_PARTS_PER_ORDER
+    return o[keep], p[keep]
+
+
+def q81_part_basket_lift(
+        sf_dir: str,
+        marg_broadcast_max_bytes: int = BASKET_MARG_BROADCAST_MAX_BYTES,
+) -> pd.DataFrame:
     """Market-basket co-occurrence mining: the top part pairs by lift
     (= P(a,b) / (P(a)P(b)) over orders). Plan: ONE hash repartition on
-    l_orderkey co-locates each basket; pairs explode IN-BLOCK via a
-    per-block self-merge of the deduped (order, part) items (bounded by
-    BASKET_MAX_PARTS_PER_ORDER per order against mega-basket blowup);
-    pair partials + part marginals are two small grouped SUMs; lift and
-    top-k are driver algebra over the pair aggregate."""
+    l_orderkey co-locates each basket; pairs explode IN-BLOCK from the
+    deduped, deterministically capped (order, part) items via a
+    vectorized upper-triangle index construction; pair reduction is
+    repartition(keys=["ab"]) + block-local reduceat (8x over Ray's
+    HashAggregate at ~1M groups, measured); lift + top-k run in-block
+    against the part marginals — broadcast under
+    `marg_broadcast_max_bytes`, attached by two hash joins above it —
+    so the driver only ever sees #blocks x k candidate rows."""
+    import ray as _ray
     from ray.data.aggregate import Sum
 
     ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
@@ -1998,80 +2035,137 @@ def q81_part_basket_lift(sf_dir: str) -> pd.DataFrame:
     keyed = keyed.materialize()
 
     def marg_partial(t: pa.Table) -> pa.Table:
-        items = t.to_pandas().drop_duplicates()
-        g = (items.groupby("l_partkey").size().reset_index(name="n")
-             .rename(columns={"l_partkey": "part"}))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        empty = pa.table({"part": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        _, p = _basket_items(t)
+        parts, counts = np.unique(p, return_counts=True)
+        return pa.table({"part": pa.array(parts),
+                         "n": pa.array(counts.astype(np.int64))})
 
-    marg = (keyed.map_batches(marg_partial, batch_format="pyarrow",
-                              batch_size=None)
-            .groupby("part").aggregate(Sum("n", alias_name="n"))
-            .to_pandas().sort_values("part"))   # sorted: searchsorted below
+    # marginal aggregate stays a Dataset; its COUNT decides the attach
+    # plan before anything is pulled to the driver
+    marg_ds = (keyed.map_batches(marg_partial, batch_format="pyarrow",
+                                 batch_size=None)
+               .groupby("part").aggregate(Sum("n", alias_name="n"))
+               .materialize())
+    n_parts = marg_ds.count()
     # orderkeys are co-located, so per-block uniques are globally
     # disjoint: their count IS the distinct-order count
     n_orders = (keyed.map_batches(
         lambda t: pa.table({"o": pa.compute.unique(t["l_orderkey"])}),
         batch_format="pyarrow", batch_size=None)
         .count())
-    import ray as _ray
-
-    marg_ref = _ray.put((marg["part"].to_numpy(np.int64),
-                         marg["n"].to_numpy(np.int64)))
 
     def pair_partial(t: pa.Table) -> pa.Table:
         empty = pa.table({"ab": pa.array([], pa.int64()),
                           "n_ab": pa.array([], pa.int64())})
         if t.num_rows == 0:
             return empty
-        items = (t.to_pandas().drop_duplicates()
-                 .groupby("l_orderkey").head(BASKET_MAX_PARTS_PER_ORDER))
-        pairs = items.merge(items, on="l_orderkey")
-        pairs = pairs[pairs["l_partkey_x"] < pairs["l_partkey_y"]]
+        o, p = _basket_items(t)
+        starts = np.concatenate(([0], np.nonzero(o[1:] != o[:-1])[0] + 1))
+        seg_len = np.diff(np.append(starts, len(o)))
+        rank = np.arange(len(o)) - np.repeat(starts, seg_len)
+        # vectorized upper triangle: item i pairs with the (m-1-rank_i)
+        # items after it in its order segment; p sorted within segment
+        # so p[a] < p[b] holds by construction
+        reps = np.repeat(seg_len, seg_len) - 1 - rank
+        a_idx = np.repeat(np.arange(len(o)), reps)
+        if not len(a_idx):
+            return empty
+        run_starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        b_idx = a_idx + 1 + (np.arange(int(reps.sum()))
+                             - np.repeat(run_starts, reps))
         # fuse (a, b) into one int64 (partkeys < 2^31): ONE shuffle key
-        ab = ((pairs["l_partkey_x"].to_numpy(np.int64) << 32)
-              | pairs["l_partkey_y"].to_numpy(np.int64))
-        g = pd.Series(ab).value_counts()
-        return pa.table({"ab": pa.array(g.index.to_numpy(np.int64)),
-                         "n_ab": pa.array(g.to_numpy(np.int64))})
+        ab = (p[a_idx] << 32) | p[b_idx]
+        uab, n = np.unique(ab, return_counts=True)
+        return pa.table({"ab": pa.array(uab),
+                         "n_ab": pa.array(n.astype(np.int64))})
 
     # pair reduction as repartition(keys)+block-local combine: Ray 2.49's
     # HashAggregate at ~1M distinct groups measured 15.6 s where this
     # identical-result plan takes 1.9 s (8x) — per-group actor overhead,
-    # not shuffle volume. Lift + top-k then run IN-BLOCK against the
-    # broadcast marginals, so the driver sees #blocks x k rows, never
-    # the pair table.
+    # not shuffle volume.
     pairs_ds = keyed.map_batches(pair_partial, batch_format="pyarrow",
                                  batch_size=None)
     width = default_partitions(size_bytes=table_bytes(sf_dir, "lineitem"))
+    keyed_pairs = pairs_ds.repartition(width, keys=["ab"])
 
-    def local_topk(t: pa.Table) -> pa.Table:
-        empty = pa.table({"a": pa.array([], pa.int64()),
-                          "b": pa.array([], pa.int64()),
-                          "n_ab": pa.array([], pa.int64()),
-                          "lift": pa.array([], pa.float64())})
-        if t.num_rows == 0:
-            return empty
-        d = t.to_pandas().groupby("ab", sort=False)["n_ab"].sum()
-        d = d[d >= BASKET_MIN_SUPPORT]
-        if not len(d):
-            return empty
-        ab = d.index.to_numpy(np.int64)
-        a = ab >> 32
-        b = ab & 0xFFFFFFFF
-        parts, counts = _ray.get(marg_ref)
-        lut_idx_a = np.searchsorted(parts, a)
-        lut_idx_b = np.searchsorted(parts, b)
-        lift = (d.to_numpy(np.int64) * n_orders * 1.0
-                / (counts[lut_idx_a] * counts[lut_idx_b]))
-        df = pd.DataFrame({"a": a, "b": b, "n_ab": d.to_numpy(np.int64),
-                           "lift": lift})
-        df = df.sort_values(["lift", "a", "b"],
-                            ascending=[False, True, True]).head(BASKET_TOP_K)
-        return pa.Table.from_pandas(df, preserve_index=False)
+    if n_parts * 16 <= marg_broadcast_max_bytes:
+        # ---- broadcast plan: marginals ride the object store once ----
+        marg = marg_ds.to_pandas().sort_values("part")  # searchsorted below
+        marg_ref = _ray.put((marg["part"].to_numpy(np.int64),
+                             marg["n"].to_numpy(np.int64)))
 
-    cand = (pairs_ds.repartition(width, keys=["ab"])
-            .map_batches(local_topk, batch_format="pyarrow",
-                         batch_size=None).to_pandas())
+        def local_topk(t: pa.Table) -> pa.Table:
+            empty = pa.table({"a": pa.array([], pa.int64()),
+                              "b": pa.array([], pa.int64()),
+                              "n_ab": pa.array([], pa.int64()),
+                              "lift": pa.array([], pa.float64())})
+            if t.num_rows == 0:
+                return empty
+            ab, n_ab = _combine_ab(t)
+            if not len(ab):
+                return empty
+            a = ab >> 32
+            b = ab & 0xFFFFFFFF
+            parts, counts = _ray.get(marg_ref)
+            lift = (n_ab * n_orders * 1.0
+                    / (counts[np.searchsorted(parts, a)]
+                       * counts[np.searchsorted(parts, b)]))
+            sel = _topk_order(lift, a, b)
+            return pa.table({"a": pa.array(a[sel]), "b": pa.array(b[sel]),
+                             "n_ab": pa.array(n_ab[sel]),
+                             "lift": pa.array(lift[sel])})
+
+        cand = (keyed_pairs.map_batches(local_topk, batch_format="pyarrow",
+                                        batch_size=None).to_pandas())
+    else:
+        # ---- join fallback: marginal too big to ship per task ----
+        def combine_split(t: pa.Table) -> pa.Table:
+            ab, n_ab = _combine_ab(t)
+            return pa.table({"a": pa.array(ab >> 32),
+                             "b": pa.array(ab & 0xFFFFFFFF),
+                             "n_ab": pa.array(n_ab)})
+
+        agg = keyed_pairs.map_batches(combine_split, batch_format="pyarrow",
+                                      batch_size=None)
+        marg_a = marg_ds.map_batches(
+            lambda t: pa.table({"part_a": t["part"], "na": t["n"]}),
+            batch_format="pyarrow")
+        marg_b = marg_ds.map_batches(
+            lambda t: pa.table({"part_b": t["part"], "nb": t["n"]}),
+            batch_format="pyarrow")
+        ensure_hash_shuffle(agg)
+        joined = (agg.join(marg_a, "inner", num_partitions=width,
+                           on=("a",), right_on=("part_a",))
+                  .join(marg_b, "inner", num_partitions=width,
+                        on=("b",), right_on=("part_b",)))
+
+        def lift_topk(t: pa.Table) -> pa.Table:
+            empty = pa.table({"a": pa.array([], pa.int64()),
+                              "b": pa.array([], pa.int64()),
+                              "n_ab": pa.array([], pa.int64()),
+                              "lift": pa.array([], pa.float64())})
+            if t.num_rows == 0:
+                return empty
+            a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
+            b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+            n_ab = (t["n_ab"].combine_chunks()
+                    .to_numpy(zero_copy_only=False).astype(np.int64))
+            na = t["na"].combine_chunks().to_numpy(zero_copy_only=False)
+            nb = t["nb"].combine_chunks().to_numpy(zero_copy_only=False)
+            lift = n_ab * n_orders * 1.0 / (na * nb)
+            sel = _topk_order(lift, a, b)
+            return pa.table({"a": pa.array(a[sel].astype(np.int64)),
+                             "b": pa.array(b[sel].astype(np.int64)),
+                             "n_ab": pa.array(n_ab[sel]),
+                             "lift": pa.array(lift[sel])})
+
+        cand = (joined.map_batches(lift_topk, batch_format="pyarrow",
+                                   batch_size=None).to_pandas())
+
     out = (cand.sort_values(["lift", "a", "b"],
                             ascending=[False, True, True])
            .head(BASKET_TOP_K).reset_index(drop=True))
@@ -2080,8 +2174,41 @@ def q81_part_basket_lift(sf_dir: str) -> pd.DataFrame:
         {"a": "int64", "b": "int64", "n_ab": "int64"})
 
 
-Q81_SQL = """
-WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+def _combine_ab(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Block-local final reduce of (ab, n_ab) partials (each fused key
+    is fully co-located post-repartition): argsort + reduceat, then the
+    min-support filter. Pure numpy — this block is the hot interior of
+    the slowest bench query, keep pandas out of it."""
+    ab = t["ab"].combine_chunks().to_numpy(zero_copy_only=False)
+    n = t["n_ab"].combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.argsort(ab, kind="stable")
+    ab, n = ab[order], n[order]
+    starts = np.concatenate(([0], np.nonzero(ab[1:] != ab[:-1])[0] + 1))
+    sums = np.add.reduceat(n, starts).astype(np.int64)
+    uab = ab[starts]
+    keep = sums >= BASKET_MIN_SUPPORT
+    return uab[keep], sums[keep]
+
+
+def _topk_order(lift: np.ndarray, a: np.ndarray, b: np.ndarray
+                ) -> np.ndarray:
+    """Indices of the block-local top-BASKET_TOP_K rows under the
+    deterministic (lift DESC, a ASC, b ASC) order."""
+    sel = np.lexsort((b, a, -lift))[:BASKET_TOP_K]
+    return sel
+
+
+Q81_SQL = f"""
+WITH dist AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+items AS (
+  -- mirror of the engine's deterministic mega-basket cap: the
+  -- BASKET_MAX_PARTS_PER_ORDER smallest partkeys per order
+  SELECT l_orderkey, l_partkey FROM (
+    SELECT l_orderkey, l_partkey,
+           ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                              ORDER BY l_partkey) AS rn
+    FROM dist)
+  WHERE rn <= {BASKET_MAX_PARTS_PER_ORDER}),
 pairs AS (
   SELECT x.l_partkey AS a, y.l_partkey AS b, CAST(COUNT(*) AS BIGINT) AS n_ab
   FROM items x JOIN items y
@@ -2094,7 +2221,7 @@ SELECT a, b, n_ab,
        ROUND(n_ab * n_orders * 1.0 / (ma.n * mb.n), 4) AS lift
 FROM pairs JOIN marg ma ON ma.part = a JOIN marg mb ON mb.part = b
      CROSS JOIN tot
-WHERE n_ab >= 2
+WHERE n_ab >= {BASKET_MIN_SUPPORT}
 ORDER BY n_ab * n_orders * 1.0 / (ma.n * mb.n) DESC, a, b
-LIMIT 20
+LIMIT {BASKET_TOP_K}
 """

@@ -43,19 +43,31 @@ _CHUNK = 1024
 
 SEMDEDUP_TAU = 0.4  # fixture-meaningful (max off-diag cosine ~0.51)
 
+# A skewed cluster (most of the corpus landing in one centroid) must not
+# turn the in-block verdict walk into an uncapped O(m^2): members past
+# the cap are compared against the cap-smallest ids ONLY (deterministic
+# — the prior set is an id-ordered prefix, never arrival-order), and the
+# truncation is logged (the winnow/LSH capped-interior pattern).
+SEMDEDUP_CLUSTER_CAP = 65_536
 
-def _dedup_cluster(ids: np.ndarray, unit: np.ndarray, tau: float
+
+def _dedup_cluster(ids: np.ndarray, unit: np.ndarray, tau: float,
+                   cap: int | None = None
                    ) -> tuple[np.ndarray, np.ndarray]:
     """(kept bool, max cosine to any smaller-id member) for ONE cluster.
-    ids must be sorted ascending; rows of `unit` are unit-normalized."""
+    ids must be sorted ascending; rows of `unit` are unit-normalized.
+    With `cap`, the candidate prior set is the cluster's cap-smallest
+    ids (memory/work bound for skewed clusters; exact when m <= cap)."""
     m = len(ids)
+    ncmp = m if cap is None else min(m, cap)
+    base = unit[:ncmp]
     kept = np.ones(m, bool)
     max_prior = np.zeros(m)
     for lo in range(0, m, _CHUNK):
         hi = min(lo + _CHUNK, m)
-        cos = unit[lo:hi] @ unit.T                 # (chunk, m)
+        cos = unit[lo:hi] @ base.T                 # (chunk, ncmp)
         # strictly-smaller-id mask: column j counts for row i iff j < i
-        col = np.arange(m)[None, :]
+        col = np.arange(ncmp)[None, :]
         row = np.arange(lo, hi)[:, None]
         prior = np.where(col < row, cos, -np.inf)
         if m > 1:
@@ -66,15 +78,26 @@ def _dedup_cluster(ids: np.ndarray, unit: np.ndarray, tau: float
     return kept, max_prior
 
 
-def semdedup_embeddings(sf_dir: str, k: int = 8, iters: int = 5,
+def semdedup_embeddings(sf_dir: str, k: int | None = None, iters: int = 5,
                         tau: float = SEMDEDUP_TAU,
-                        seed: int = 7) -> pd.DataFrame:
+                        seed: int = 7,
+                        cluster_cap: int | None = SEMDEDUP_CLUSTER_CAP
+                        ) -> pd.DataFrame:
     """Per-vector SemDeDup verdicts: (vec_id, cluster_id, kept,
     max_prior_cos) for every row of the embeddings table, sorted by
     vec_id. max_prior_cos = highest cosine to any smaller-id member of
-    the same cluster (0 for each cluster's first member)."""
-    cents = train_centroids(sf_dir, k, iters, seed)
+    the same cluster (0 for each cluster's first member).
+
+    k defaults to ~sqrt(N) (floor 8) so expected cluster size grows as
+    sqrt(N), not N — the paper's k ~ N/target_cluster_size sizing; the
+    per-cluster quadratic then stays block-sized at corpus scale, with
+    `cluster_cap` bounding the skewed-cluster worst case (truncation is
+    logged; members past the cap compare against the cap-smallest ids)."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    if k is None:
+        # parquet-metadata count — no data pass
+        k = max(8, int(round(ds.count() ** 0.5)))
+    cents = train_centroids(sf_dir, k, iters, seed)
     ensure_hash_shuffle(ds)
 
     def assign(t: pa.Table) -> pa.Table:
@@ -117,7 +140,15 @@ def semdedup_embeddings(sf_dir: str, k: int = 8, iters: int = 5,
         kept = np.empty(len(ids), bool)
         mp = np.empty(len(ids))
         for s, e in zip(seg[:-1], seg[1:]):
-            kept[s:e], mp[s:e] = _dedup_cluster(ids[s:e], unit[s:e], tau)
+            if cluster_cap is not None and (e - s) > cluster_cap:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "semdedup: cluster %d has %d members > cap %d; "
+                    "verdicts compare against the cap-smallest ids only",
+                    int(cl[s]), e - s, cluster_cap)
+            kept[s:e], mp[s:e] = _dedup_cluster(ids[s:e], unit[s:e], tau,
+                                                cap=cluster_cap)
         return pa.table({"vec_id": pa.array(ids),
                          "cluster_id": pa.array(cl),
                          "kept": pa.array(kept),

@@ -753,8 +753,11 @@ def oov_rate_by_source(sf_dir: str, vocab_k: int = OOV_VOCAB_K
                           "n_oov": pa.array([], pa.int64())})
         if t.num_rows == 0:
             return empty
-        toks = pc.split_pattern(pc.utf8_lower(t["text"].combine_chunks()),
-                                " ")
+        # fill_null BEFORE split (matches postings/chunk_explode/words_block):
+        # a null text would make list_value_length nullable -> float lens
+        # with NaN -> np.repeat raises
+        text = pc.fill_null(t["text"].combine_chunks(), "")
+        toks = pc.split_pattern(pc.utf8_lower(text), " ")
         lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
         flat = pc.list_flatten(toks)
         src = np.repeat(t["source"].combine_chunks()

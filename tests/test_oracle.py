@@ -85,3 +85,14 @@ def test_query_matches_oracle(ray_session, name):
         ray_res = ray_res.to_pandas()
     sql_res = con.execute(sql).fetchdf()
     _compare(name, ray_res, sql_res)
+
+
+def test_q81_plans_equivalent(ray_session):
+    """The capped-broadcast and join-fallback lift-attach plans produce
+    identical top-k baskets (VERDICT r3 #1: the marginal broadcast must
+    be capped; forcing the cap to 0 bytes exercises the join path)."""
+    from spardaqus_ray.pipelines.relational import q81_part_basket_lift
+
+    bcast = q81_part_basket_lift(SF001)
+    joined = q81_part_basket_lift(SF001, marg_broadcast_max_bytes=0)
+    pd.testing.assert_frame_equal(bcast, joined)

@@ -116,3 +116,64 @@ def test_semdedup_deterministic(ray_session):
     a = semdedup_embeddings(SF001)
     b = semdedup_embeddings(SF001)
     assert a.equals(b)
+
+
+def test_semdedup_cluster_cap_truncates_deterministically(ray_session,
+                                                          tmp_path):
+    """A cluster larger than cluster_cap: members past the cap are
+    judged against the cap-smallest ids ONLY, exactly as the sequential
+    capped kernel computes — and a planted duplicate of a sub-cap
+    member is still dropped (VERDICT r3 #3: skewed clusters must not
+    run an uncapped O(m^2))."""
+    from spardaqus_ray.pipelines.ann import _mat, _unit
+    from spardaqus_ray.pipelines.semdedup import (_dedup_cluster,
+                                                  semdedup_embeddings)
+
+    rng = np.random.default_rng(23)
+    d = 8
+    rows = []
+    for vid in range(40):  # ONE big cluster around a common direction
+        v = np.full(d, 10.0) + rng.normal(0, 0.4, d)
+        rows.append((vid, v))
+    rows[30] = (30, rows[2][1].copy())   # dup of a sub-cap member
+    rows[35] = (35, rows[20][1].copy())  # dup of a PAST-cap member
+    tbl = pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array([r[1].tolist() for r in rows],
+                              pa.list_(pa.float32())),
+    })
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    cap = 16
+    out = semdedup_embeddings(str(tmp_path), k=1, iters=2, tau=0.9999,
+                              cluster_cap=cap)
+    # sequential recompute with the SAME capped kernel
+    t = pq.read_table(tmp_path / "embeddings.parquet")
+    unit = _unit(_mat(t)).astype(np.float64)
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    order = np.argsort(ids)
+    kept, mp = _dedup_cluster(ids[order], unit[order], 0.9999, cap=cap)
+    got = out.sort_values("vec_id")
+    assert (got["kept"].to_numpy() == kept).all()
+    assert np.allclose(got["max_prior_cos"].to_numpy(), np.round(mp, 4))
+    verdict = dict(zip(out["vec_id"], out["kept"]))
+    assert not verdict[30]  # dup of id 2 (inside cap) -> dropped
+    assert verdict[35]      # its original (id 20) is past the cap ->
+    #                         not in the prior set -> survives
+
+
+def test_semdedup_default_k_scales_with_n(ray_session, tmp_path):
+    """k=None derives ~sqrt(N) clusters (floor 8) instead of a fixed 8."""
+    import spardaqus_ray.pipelines.semdedup as sd
+
+    rng = np.random.default_rng(5)
+    n, d = 400, 8
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array(rng.standard_normal((n, d)).tolist(),
+                              pa.list_(pa.float32())),
+    })
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    out = sd.semdedup_embeddings(str(tmp_path), iters=2, tau=0.999)
+    # sqrt(400) = 20 centroids offered; at least several must be used
+    assert out["cluster_id"].nunique() > 8
+    assert out["cluster_id"].max() < 20
