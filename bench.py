@@ -276,7 +276,26 @@ def run_once() -> dict:
     return result
 
 
-def run_scaling(lo: int = 8, hi: int = 32, rounds: int | None = None) -> dict:
+def _host_probe(lo: int, hi: int) -> dict:
+    """Ray-free substrate ceiling for the SAME widths as the engine
+    scaling pair (host_probe.py: N identical fixed-CPU tasks; on an
+    honest host wall_lo == wall_hi). Stored in every scaling JSON so
+    engine-vs-host attribution lives in ONE artifact (VERDICT r3 #7).
+    efficiency = best wall_lo / best wall_hi — the zero-coordination
+    throughput-scaling ceiling this VM permits between the two widths."""
+    probe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "host_probe.py")
+    res = subprocess.run([sys.executable, probe, str(lo), str(hi)],
+                         capture_output=True, text=True, check=True)
+    rows = [json.loads(ln) for ln in res.stdout.strip().splitlines()]
+    best = {n: min(r["wall_s"] for r in rows if r["workers"] == n)
+            for n in (lo, hi)}
+    return {"samples": rows, "wall_lo_s": best[lo], "wall_hi_s": best[hi],
+            "efficiency": round(best[lo] / best[hi], 3)}
+
+
+def run_scaling(lo: int = 8, hi: int = 32, rounds: int | None = None,
+                probe: bool | None = None) -> dict:
     def run_one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_FLAGSHIP_ONLY="1")
@@ -335,6 +354,16 @@ def run_scaling(lo: int = 8, hi: int = 32, rounds: int | None = None) -> dict:
         out["note"] = ("single quick round embedded in the default bench; "
                        "see bench.py --scaling (best-of-3 both pairs) and "
                        "BASELINE.md for the headline scaling numbers")
+    # substrate ceiling at the same widths: on by default for the
+    # thorough --scaling mode, skipped in the quick embedded round
+    # (it costs ~1 min of full-width load)
+    if probe is None:
+        probe = rounds >= 2
+    if probe:
+        try:
+            out["host_probe"] = _host_probe(lo, hi)
+        except Exception as e:  # noqa: BLE001 - report, don't abort
+            out["host_probe"] = {"error": f"{type(e).__name__}: {e}"[:300]}
     return out
 
 

@@ -31,7 +31,13 @@ def steal():
 
 if __name__ == "__main__":
     os.environ["OMP_NUM_THREADS"] = "1"  # one core per worker, no BLAS fanout
-    for n in (8, 32, 8, 32):
+    # widths from argv (default the original 8/32 pair), each run twice
+    # interleaved so a steal burst hits both levels symmetrically;
+    # bench.py --scaling invokes this with ITS pair so every
+    # SCALING_r*.json carries the substrate ceiling next to the engine
+    # numbers (VERDICT r3 #7)
+    lo, hi = (int(sys.argv[1]), int(sys.argv[2])) if len(sys.argv) > 2 else (8, 32)
+    for n in (lo, hi, lo, hi):
         s0 = steal(); t0 = time.time()
         with mp.get_context("fork").Pool(n) as p:
             per = p.map(work, range(n))

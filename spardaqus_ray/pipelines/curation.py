@@ -1,0 +1,390 @@
+"""Corpus-curation planning operators over the `documents` table — the
+bookkeeping layer between quality filtering and tokenization in an
+LLM-data pipeline: deterministic train/val/test splits, length-bucket
+audits, per-source distribution drift (KL), curriculum deciles and
+token-budget mixture planning. All five are SQL-expressible and
+oracle-gated (tests/test_oracle.py mirrors the driver compare).
+
+Scale shapes: every operator reduces to per-block partials + ONE small
+grouped SUM (outputs are bounded by #sources / #langs / #buckets —
+dimension-sized, never corpus-sized), except q89 which needs per-lang
+co-location for the NTILE rank (one keyed repartition; the aggregate
+it emits is #langs x 10 rows).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data.aggregate import Sum
+
+from spardaqus_ray.sources.code_parquet import read_table
+from spardaqus_ray.util import (default_partitions, ensure_hash_shuffle,
+                                table_bytes, tune_hash_width)
+
+# q82: Knuth multiplicative hash — the same partition-invariant
+# pseudo-random permutation q59 uses, so a doc's split is a pure
+# function of doc_id (stable across runs, cluster widths, re-shards).
+SPLIT_MULT = 2654435761
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 10  # test = remainder
+
+
+def _split_names(bucket: np.ndarray) -> np.ndarray:
+    names = np.full(len(bucket), "test", dtype=object)
+    names[bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT] = "val"
+    names[bucket < SPLIT_TRAIN_PCT] = "train"
+    return names
+
+
+def q82_split_assign(sf_dir: str) -> pd.DataFrame:
+    """Deterministic hash-based train/val/test split audit: per
+    (source, split) doc + char counts. bucket = (doc_id * SPLIT_MULT)
+    mod 2^32 mod 100 (uint64 math — exact for any non-negative doc_id;
+    the SQL mirror's BIGINT multiply caps at doc_id < 2^63/mult)."""
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "split": pa.array([], pa.string()),
+                          "n_docs": pa.array([], pa.int64()),
+                          "n_chars": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        ids = (t["doc_id"].combine_chunks()
+               .to_numpy(zero_copy_only=False).astype(np.uint64))
+        bucket = ((ids * np.uint64(SPLIT_MULT)) & np.uint64(0xFFFFFFFF)) % 100
+        df = pd.DataFrame({
+            "source": t["source"].combine_chunks()
+            .to_numpy(zero_copy_only=False),
+            "split": _split_names(bucket.astype(np.int64)),
+            "n_docs": np.ones(t.num_rows, np.int64),
+            "n_chars": t["n_chars"].combine_chunks()
+            .to_numpy(zero_copy_only=False).astype(np.int64),
+        })
+        g = df.groupby(["source", "split"], sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["source", "split"])
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_chars", alias_name="n_chars"))
+           .to_pandas())
+    out = out.astype({"n_docs": "int64", "n_chars": "int64"})
+    return out.sort_values(["source", "split"]).reset_index(drop=True)
+
+
+Q82_SQL = f"""
+SELECT source,
+       CASE WHEN (doc_id * {SPLIT_MULT}) % 4294967296 % 100
+                 < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN (doc_id * {SPLIT_MULT}) % 4294967296 % 100
+                 < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM documents
+GROUP BY source, split
+ORDER BY source, split
+"""
+
+
+# q84: fixed char-length bucket edges (integer comparisons on both
+# sides — no float log2 boundary risk between numpy and DuckDB)
+LEN_BUCKET_EDGES = (128, 256, 512, 1024, 2048)
+_LEN_LABELS = tuple(
+    [f"<{LEN_BUCKET_EDGES[0]}"]
+    + [f"{a}-{b - 1}" for a, b in zip(LEN_BUCKET_EDGES, LEN_BUCKET_EDGES[1:])]
+    + [f">={LEN_BUCKET_EDGES[-1]}"])
+
+
+def q84_length_buckets(sf_dir: str) -> pd.DataFrame:
+    """Document-length histogram over fixed char buckets: the
+    sequence-length audit run before choosing chunk/pack sizes.
+    One stateless partial per block; the exchange is <= 6 rows/block."""
+    ds = read_table(sf_dir, "documents", columns=["n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"bucket": pa.array([], pa.string()),
+                          "n_docs": pa.array([], pa.int64()),
+                          "total_chars": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        n = (t["n_chars"].combine_chunks()
+             .to_numpy(zero_copy_only=False).astype(np.int64))
+        idx = np.digitize(n, LEN_BUCKET_EDGES)  # 0..len(edges)
+        df = pd.DataFrame({
+            "bucket": np.asarray(_LEN_LABELS, object)[idx],
+            "n_docs": np.ones(len(n), np.int64),
+            "total_chars": n})
+        g = df.groupby("bucket", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("bucket")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("total_chars", alias_name="total_chars"))
+           .to_pandas())
+    out = out.astype({"n_docs": "int64", "total_chars": "int64"})
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+def _len_bucket_case() -> str:
+    whens = [f"WHEN n_chars < {LEN_BUCKET_EDGES[0]} "
+             f"THEN '{_LEN_LABELS[0]}'"]
+    for a, b, lab in zip(LEN_BUCKET_EDGES, LEN_BUCKET_EDGES[1:],
+                         _LEN_LABELS[1:-1]):
+        whens.append(f"WHEN n_chars < {b} THEN '{lab}'")
+    return ("CASE " + " ".join(whens)
+            + f" ELSE '{_LEN_LABELS[-1]}' END")
+
+
+Q84_SQL = f"""
+SELECT {_len_bucket_case()} AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+def q86_source_unigram_kl(sf_dir: str) -> pd.DataFrame:
+    """Distribution drift per source: KL(p_source || p_corpus) over
+    whitespace unigrams — the 'which feed changed under me' monitor of
+    a streaming curation pipeline. Plan: per-block (source, token)
+    partial counts (combine-inside-map_batches) -> ONE grouped SUM ->
+    in-block KL terms against the broadcast corpus token totals ->
+    final #sources-row grouped SUM. The (source x vocab) aggregate
+    stays distributed; the only driver pulls are the corpus totals
+    (vocab-bounded) and the #sources-row result."""
+    import ray
+
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "token": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        text = pc.fill_null(t["text"].combine_chunks(), "")
+        toks = pc.split_pattern(pc.utf8_lower(text), " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        src = np.repeat(t["source"].combine_chunks()
+                        .to_numpy(zero_copy_only=False), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        grp = pa.table({"source": pa.array(src[keep]),
+                        "token": flat.filter(pa.array(keep))})
+        g = grp.group_by(["source", "token"]).aggregate([("token", "count")])
+        return pa.table({"source": g["source"], "token": g["token"],
+                         "n": g["token_count"].cast(pa.int64())})
+
+    st = (ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+          .groupby(["source", "token"])
+          .aggregate(Sum("n", alias_name="n"))
+          .materialize())
+    # corpus token totals (vocab-bounded) + per-source totals (tiny):
+    # reduced FROM the materialized (source, token) aggregate — no
+    # second corpus pass
+    tok_tot = (st.groupby("token").aggregate(Sum("n", alias_name="q"))
+               .to_pandas())
+    src_tot = (st.groupby("source").aggregate(Sum("n", alias_name="ns"))
+               .to_pandas())
+    n_corpus = float(tok_tot["q"].sum())
+    tok_sorted = tok_tot.sort_values("token")
+    tok_ref = ray.put((tok_sorted["token"].to_numpy(object),
+                       tok_sorted["q"].to_numpy(np.int64)))
+    ns_map = dict(zip(src_tot["source"], src_tot["ns"].astype(float)))
+    ns_ref = ray.put(ns_map)
+
+    def kl_terms(t: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "kl_term": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        toks, q = ray.get(tok_ref)
+        ns = ray.get(ns_ref)
+        tok = t["token"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = (t["n"].combine_chunks()
+             .to_numpy(zero_copy_only=False).astype(np.float64))
+        src = t["source"].combine_chunks().to_numpy(zero_copy_only=False)
+        # hash-lookup attaches (vectorized in pandas C, no row loop)
+        qv = (pd.Series(q.astype(np.float64), index=toks)
+              .reindex(tok).to_numpy())
+        ns_v = pd.Series(src).map(ns).to_numpy(np.float64)
+        p = n / ns_v
+        terms = p * np.log(p / (qv / n_corpus))
+        df = (pd.DataFrame({"source": src, "kl_term": terms})
+              .groupby("source", sort=False).sum().reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (st.map_batches(kl_terms, batch_format="pyarrow",
+                          batch_size=None)
+           .groupby("source").aggregate(Sum("kl_term", alias_name="kl"))
+           .to_pandas())
+    out["kl"] = out["kl"].round(6)
+    return out[["source", "kl"]].sort_values("source").reset_index(drop=True)
+
+
+Q86_SQL = """
+WITH toks AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents),
+t2 AS (SELECT * FROM toks WHERE token <> ''),
+st AS (SELECT source, token, CAST(COUNT(*) AS DOUBLE) AS n
+       FROM t2 GROUP BY source, token),
+tot AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS q FROM t2 GROUP BY token),
+src AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS ns FROM t2
+        GROUP BY source),
+corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nc FROM t2)
+SELECT st.source,
+       ROUND(SUM((st.n / src.ns)
+                 * LN((st.n / src.ns) / (tot.q / corpus.nc))), 6) AS kl
+FROM st JOIN tot USING (token) JOIN src ON st.source = src.source
+     CROSS JOIN corpus
+GROUP BY st.source
+ORDER BY st.source
+"""
+
+
+CURRICULUM_TILES = 10
+
+
+def _ntile(n: int, k: int) -> np.ndarray:
+    """SQL NTILE(k) bucket (1-based) for rows 0..n-1 in order: the
+    first (n mod k) tiles hold ceil(n/k) rows, the rest floor(n/k)."""
+    q, r = divmod(n, k)
+    i = np.arange(n)
+    big = r * (q + 1)
+    tile = np.where(i < big, i // max(q + 1, 1),
+                    r + (i - big) // max(q, 1))
+    return (tile + 1).astype(np.int64)
+
+
+def q89_curriculum_deciles(sf_dir: str) -> pd.DataFrame:
+    """Curriculum-ordering audit: NTILE(10) within each lang ordered by
+    (n_chars, doc_id) — the 'easy-to-hard by length' schedule — with
+    per-(lang, decile) doc counts and mean length. ONE keyed
+    repartition co-locates each lang (PARTITIONING ASSUMPTION: rank
+    needs whole-key blocks; #langs is dimension-sized, so the bound on
+    a block is the biggest language's rows — the same assumption
+    windows.running_agg documents); in-block lexsort + exact NTILE
+    arithmetic, then a #langs x 10 grouped mean."""
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "lang", "n_chars"])
+    ensure_hash_shuffle(ds)
+    keyed = ds.repartition(
+        default_partitions(size_bytes=table_bytes(sf_dir, "documents")),
+        keys=["lang"])
+
+    def block(t: pa.Table) -> pa.Table:
+        empty = pa.table({"lang": pa.array([], pa.string()),
+                          "decile": pa.array([], pa.int64()),
+                          "n_docs": pa.array([], pa.int64()),
+                          "chars": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        ids = (t["doc_id"].combine_chunks()
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+        nch = (t["n_chars"].combine_chunks()
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+        lang = t["lang"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, nch, lang))
+        ids, nch, lang = ids[order], nch[order], lang[order]
+        starts = np.concatenate(
+            ([0], np.nonzero(lang[1:] != lang[:-1])[0] + 1, [len(lang)]))
+        dec = np.empty(len(lang), np.int64)
+        for s, e in zip(starts[:-1], starts[1:]):
+            dec[s:e] = _ntile(e - s, CURRICULUM_TILES)
+        df = (pd.DataFrame({"lang": lang, "decile": dec,
+                            "n_docs": np.ones(len(lang), np.int64),
+                            "chars": nch})
+              .groupby(["lang", "decile"], sort=False).sum().reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (keyed.map_batches(block, batch_format="pyarrow",
+                             batch_size=None)
+           .groupby(["lang", "decile"])
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("chars", alias_name="chars"))
+           .to_pandas())
+    out["avg_chars"] = (out["chars"] / out["n_docs"]).round(4)
+    out = out.astype({"decile": "int64", "n_docs": "int64"})
+    return (out[["lang", "decile", "n_docs", "avg_chars"]]
+            .sort_values(["lang", "decile"]).reset_index(drop=True))
+
+
+Q89_SQL = f"""
+SELECT lang, CAST(decile AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(n_chars), 4) AS avg_chars
+FROM (
+  SELECT lang, n_chars,
+         NTILE({CURRICULUM_TILES}) OVER (PARTITION BY lang
+                                         ORDER BY n_chars, doc_id) AS decile
+  FROM documents)
+GROUP BY lang, decile
+ORDER BY lang, decile
+"""
+
+
+MIX_BUDGET_FRACTION = 0.5  # plan to keep half the corpus' chars
+
+
+def q90_token_budget_mixture(sf_dir: str) -> pd.DataFrame:
+    """Mixture planning: given a global char budget (MIX_BUDGET_FRACTION
+    of the corpus) split uniformly across sources, the per-source
+    sampling rate = min(1, share / source_chars) and the chars it
+    yields. One dimension-sized grouped SUM; the algebra runs on the
+    #sources-row aggregate (driver-side by design — it IS the plan
+    output a curator reads)."""
+    ds = read_table(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "n_chars": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        df = pd.DataFrame({
+            "source": t["source"].combine_chunks()
+            .to_numpy(zero_copy_only=False),
+            "n_chars": t["n_chars"].combine_chunks()
+            .to_numpy(zero_copy_only=False).astype(np.int64)})
+        g = df.groupby("source", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("source").aggregate(Sum("n_chars", alias_name="n_chars"))
+           .to_pandas())
+    total = float(agg["n_chars"].sum())
+    share = total * MIX_BUDGET_FRACTION / len(agg)
+    rate = np.minimum(1.0, share / agg["n_chars"].astype(float))
+    out = pd.DataFrame({
+        "source": agg["source"],
+        "n_chars": agg["n_chars"].astype("int64"),
+        "rate": rate.round(6),
+        "planned_chars": (rate * agg["n_chars"]).round(4),
+    })
+    return out.sort_values("source").reset_index(drop=True)
+
+
+Q90_SQL = f"""
+WITH s AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+           FROM documents GROUP BY source),
+tot AS (SELECT SUM(n_chars) * {MIX_BUDGET_FRACTION}
+               / COUNT(*) AS share FROM s)
+SELECT source, n_chars,
+       ROUND(LEAST(1.0, share / n_chars), 6) AS rate,
+       ROUND(LEAST(1.0, share / n_chars) * n_chars, 4) AS planned_chars
+FROM s CROSS JOIN tot
+ORDER BY source
+"""

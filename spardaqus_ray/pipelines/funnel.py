@@ -227,3 +227,75 @@ WHERE prev_type IS NOT NULL
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+def q91_user_activity_streak(sf_dir: str) -> pd.DataFrame:
+    """Gaps-and-islands per user: the longest run of CONSECUTIVE active
+    days and the total distinct active days — the retention-curve
+    companion to q49. ONE keyed shuffle co-locates each user's events;
+    the block kernel dedups (user, day) pairs, then finds maximal runs
+    of day-diff == 1 with pure numpy (lexsort + run-boundary diff); the
+    driver receives one row per user (bounded by the user dimension)."""
+    us_per_day = 86_400_000_000
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    tune_hash_width(ds, table_bytes(sf_dir, "events"))
+    ds = _keyed(ds, "user_id",
+                default_partitions(size_bytes=table_bytes(sf_dir, "events")))
+
+    def block(t: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "n_days": pa.array([], pa.int64()),
+                          "max_streak": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = _np(t["user_id"]).astype(np.int64)
+        day = _ts_us(t["ts"]) // us_per_day
+        order = np.lexsort((day, u))
+        u, day = u[order], day[order]
+        # dedup (user, day)
+        first = np.empty(len(u), bool)
+        first[0] = True
+        first[1:] = (u[1:] != u[:-1]) | (day[1:] != day[:-1])
+        u, day = u[first], day[first]
+        # a streak continues at i when same user and day[i]-day[i-1]==1
+        cont = np.zeros(len(u), bool)
+        cont[1:] = (u[1:] == u[:-1]) & (np.diff(day) == 1)
+        # streak id = cumulative count of breaks; length via bincount
+        sid = np.cumsum(~cont) - 1
+        streak_len = np.bincount(sid)
+        starts = _segments(u)
+        seg_len = np.diff(np.append(starts, len(u)))
+        # per user: max over its streaks — streak ids are contiguous
+        # ascending within a user run (streaks never span users), so a
+        # reduceat over the per-streak lengths at each user's first
+        # streak id does it without a per-user Python loop
+        max_streak = np.maximum.reduceat(streak_len,
+                                         sid[starts]).astype(np.int64)
+        return pa.table({"user_id": pa.array(u[starts]),
+                         "n_days": pa.array(seg_len.astype(np.int64)),
+                         "max_streak": pa.array(max_streak)})
+
+    out = (ds.map_batches(block, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+           .to_pandas())
+    out = out.astype({"user_id": "int64", "n_days": "int64",
+                      "max_streak": "int64"})
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+Q91_SQL = """
+WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+numbered AS (
+  SELECT user_id, d,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS rn
+  FROM days),
+islands AS (
+  SELECT user_id,
+         DATEDIFF('day', DATE '1970-01-01', d) - rn AS island
+  FROM numbered),
+runs AS (SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len
+         FROM islands GROUP BY user_id, island)
+SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_days,
+       CAST(MAX(len) AS BIGINT) AS max_streak
+FROM runs GROUP BY user_id ORDER BY user_id
+"""

@@ -2225,3 +2225,121 @@ WHERE n_ab >= {BASKET_MIN_SUPPORT}
 ORDER BY n_ab * n_orders * 1.0 / (ma.n * mb.n) DESC, a, b
 LIMIT {BASKET_TOP_K}
 """
+
+
+# --------------------------------------------------------------------------
+# Q83: compiled-regex field extraction over a semi-structured column —
+# the grok-style "parse the log line" op (the relational cousin of the
+# flagship's compiled-regex scrub): capture an integer field from
+# events.props VIA REGEX (not a JSON parser), filter to 2+ digits, and
+# aggregate per event_type. Arrow's extract_regex and DuckDB's
+# regexp_extract are both RE2, so the oracle semantics match exactly.
+# --------------------------------------------------------------------------
+
+PROPS_K_PATTERN = r'"k": (?P<k>[0-9]{2,})'
+
+
+def q83_regex_extract_props(sf_dir: str) -> pd.DataFrame:
+    """Per event_type: events whose props carry a 2+-digit k (regex
+    capture), and the sum of the captured values. Stateless vectorized
+    pass (pc.extract_regex per block) -> dimension-sized grouped SUM."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"event_type": pa.array([], pa.string()),
+                          "n_match": pa.array([], pa.int64()),
+                          "sum_k": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        props = pc.fill_null(t["props"].combine_chunks(), "")
+        ext = pc.extract_regex(props, PROPS_K_PATTERN)
+        matched = pc.is_valid(ext).to_numpy(zero_copy_only=False)
+        k = np.zeros(t.num_rows, np.int64)
+        if matched.any():
+            caught = pc.struct_field(ext, "k").drop_null()
+            k[matched] = caught.cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+        df = pd.DataFrame({
+            "event_type": t["event_type"].combine_chunks()
+            .to_numpy(zero_copy_only=False),
+            "n_match": matched.astype(np.int64),
+            "sum_k": k})
+        g = df.groupby("event_type", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("event_type")
+           .aggregate(Sum("n_match", alias_name="n_match"),
+                      Sum("sum_k", alias_name="sum_k"))
+           .to_pandas())
+    out = out.astype({"n_match": "int64", "sum_k": "int64"})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+Q83_SQL = """
+SELECT event_type,
+       CAST(COUNT(k) AS BIGINT) AS n_match,
+       CAST(COALESCE(SUM(CAST(k AS BIGINT)), 0) AS BIGINT) AS sum_k
+FROM (
+  SELECT event_type,
+         NULLIF(regexp_extract(props, '"k": ([0-9]{2,})', 1), '') AS k
+  FROM events)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Q88: DENSE_RANK top-k per group WITH ties (vs q23's ROW_NUMBER): all
+# orders whose price is among the 3 highest DISTINCT prices of their
+# segment. Per-block candidate pruning (a row can only survive globally
+# if its price is in its block's per-segment top-3 distinct), then the
+# tiny candidate set resolves ranks on the driver.
+# --------------------------------------------------------------------------
+
+DENSE_RANK_K = 3
+
+
+def q88_dense_rank_orders(sf_dir: str, k: int = DENSE_RANK_K
+                          ) -> pd.DataFrame:
+    """(c_mktsegment, o_orderkey, o_totalprice, rnk) for DENSE_RANK()
+    <= k by price desc per segment — tie rows all survive, unlike
+    row_number. Driver traffic <= #blocks x #segments x k distinct
+    prices' rows."""
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    ds = _attach_segment(ds, sf_dir, keep=["o_orderkey", "o_totalprice"])
+
+    def local_cand(t: pa.Table) -> pa.Table:
+        df = t.select(["c_mktsegment", "o_orderkey",
+                       "o_totalprice"]).to_pandas()
+        # keep rows whose price is among the block's top-k DISTINCT
+        # prices of their segment (dense_rank is block-prunable: a
+        # globally-top-k distinct price is top-k distinct in any block
+        # containing it)
+        r = (df.groupby("c_mktsegment")["o_totalprice"]
+             .rank(method="dense", ascending=False))
+        return pa.Table.from_pandas(df[r <= k], preserve_index=False)
+
+    cand = (ds.map_batches(local_cand, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas())
+    r = (cand.groupby("c_mktsegment")["o_totalprice"]
+         .rank(method="dense", ascending=False))
+    out = cand[r <= k].copy()
+    out["rnk"] = r[r <= k].astype("int64")
+    out = out.sort_values(["c_mktsegment", "rnk", "o_orderkey"])
+    return _r4(out, ["o_totalprice"]).reset_index(drop=True)
+
+
+Q88_SQL = f"""
+SELECT c_mktsegment, o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         DENSE_RANK() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC) AS rnk
+  FROM orders JOIN customer ON o_custkey = c_custkey)
+WHERE rnk <= {DENSE_RANK_K}
+ORDER BY c_mktsegment, rnk, o_orderkey
+"""
