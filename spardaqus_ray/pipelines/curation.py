@@ -22,7 +22,7 @@ from ray.data.aggregate import Sum
 
 from spardaqus_ray.sources.code_parquet import read_table
 from spardaqus_ray.util import (default_partitions, ensure_hash_shuffle,
-                                table_bytes, tune_hash_width)
+                                table_bytes)
 
 # q82: Knuth multiplicative hash — the same partition-invariant
 # pseudo-random permutation q59 uses, so a doc's split is a pure
@@ -387,4 +387,53 @@ SELECT source, n_chars,
        ROUND(LEAST(1.0, share / n_chars) * n_chars, 4) AS planned_chars
 FROM s CROSS JOIN tot
 ORDER BY source
+"""
+
+
+QUANTILE_PROBS = (0.25, 0.5, 0.75)
+
+
+def q85_lang_char_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Per-language exact PERCENTILE_CONT quartiles of document length —
+    the calibration read before setting per-language length thresholds
+    (flagship H-rules are per-lang for exactly this reason). q22's plan
+    over documents: ONE keyed repartition co-locates each lang, then a
+    per-block cython groupby.quantile (linear interpolation =
+    PERCENTILE_CONT). 100-TB path for heavier keys is the mergeable
+    bottom-k sketch (repo_stats.approx_median_price) — documented trade."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+    ensure_hash_shuffle(ds)
+    keyed = ds.repartition(
+        default_partitions(size_bytes=table_bytes(sf_dir, "documents")),
+        keys=["lang"])
+
+    def block(t: pa.Table) -> pa.Table:
+        empty = pa.table({"lang": pa.array([], pa.string()),
+                          "p25": pa.array([], pa.float64()),
+                          "p50": pa.array([], pa.float64()),
+                          "p75": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        df = t.to_pandas()
+        g = (df.groupby("lang", sort=True)["n_chars"]
+             .quantile(list(QUANTILE_PROBS), interpolation="linear")
+             .unstack())
+        return pa.table({"lang": pa.array(g.index),
+                         "p25": pa.array(g[0.25].round(4)),
+                         "p50": pa.array(g[0.5].round(4)),
+                         "p75": pa.array(g[0.75].round(4))})
+
+    return (keyed.map_batches(block, batch_format="pyarrow",
+                              batch_size=None)
+            .to_pandas().sort_values("lang").reset_index(drop=True))
+
+
+Q85_SQL = """
+SELECT lang,
+       ROUND(PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY n_chars), 4) AS p25,
+       ROUND(PERCENTILE_CONT(0.50) WITHIN GROUP (ORDER BY n_chars), 4) AS p50,
+       ROUND(PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY n_chars), 4) AS p75
+FROM documents
+GROUP BY lang
+ORDER BY lang
 """

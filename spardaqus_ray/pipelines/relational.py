@@ -2343,3 +2343,57 @@ FROM (
 WHERE rnk <= {DENSE_RANK_K}
 ORDER BY c_mktsegment, rnk, o_orderkey
 """
+
+
+# --------------------------------------------------------------------------
+# Q87: calendar-profile aggregate — order volume and average price per
+# ISO weekday. Exercises the date-part scalar surface (ISODOW) as a
+# pure int64 epoch-day computation (1970-01-01 is a Thursday, so
+# isodow = (days + 3) % 7 + 1; valid for the post-1970 fixture dates —
+# numpy % floors where SQL's would need care on pre-1970 negatives).
+# --------------------------------------------------------------------------
+
+def q87_orders_weekday_profile(sf_dir: str) -> pd.DataFrame:
+    """(isodow, n_orders, avg_price) — one stateless partial per block,
+    7-row exchange."""
+    us_per_day = 86_400_000_000
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"isodow": pa.array([], pa.int64()),
+                          "n_orders": pa.array([], pa.int64()),
+                          "price_sum": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        us = (t["o_orderdate"].combine_chunks().cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        dow = (us // us_per_day + 3) % 7 + 1
+        df = pd.DataFrame({
+            "isodow": dow,
+            "n_orders": np.ones(t.num_rows, np.int64),
+            "price_sum": t["o_totalprice"].combine_chunks()
+            .to_numpy(zero_copy_only=False).astype(np.float64)})
+        g = df.groupby("isodow", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("isodow")
+           .aggregate(Sum("n_orders", alias_name="n_orders"),
+                      Sum("price_sum", alias_name="price_sum"))
+           .to_pandas())
+    out["avg_price"] = (out["price_sum"] / out["n_orders"]).round(4)
+    out = out.astype({"isodow": "int64", "n_orders": "int64"})
+    return (out[["isodow", "n_orders", "avg_price"]]
+            .sort_values("isodow").reset_index(drop=True))
+
+
+Q87_SQL = """
+SELECT CAST(ISODOW(o_orderdate) AS BIGINT) AS isodow,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(AVG(o_totalprice), 4) AS avg_price
+FROM orders
+GROUP BY isodow
+ORDER BY isodow
+"""

@@ -1,0 +1,58 @@
+"""Pure-helper gates for pipelines/curation.py (the distributed plans
+themselves are DuckDB-gated via tests/test_oracle.py like every other
+oracle entry): exact NTILE arithmetic, split-bucket boundaries, and
+length-bucket labeling."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from spardaqus_ray.pipelines.curation import (LEN_BUCKET_EDGES, _LEN_LABELS,
+                                              SPLIT_TRAIN_PCT, SPLIT_VAL_PCT,
+                                              _ntile, _split_names)
+
+
+def _ntile_reference(n: int, k: int) -> list[int]:
+    """SQL NTILE by direct construction: first (n mod k) tiles get
+    ceil(n/k) rows, the rest floor(n/k)."""
+    q, r = divmod(n, k)
+    out = []
+    for tile in range(1, k + 1):
+        out.extend([tile] * (q + 1 if tile <= r else q))
+    return out
+
+
+def test_ntile_matches_sql_semantics():
+    for n in (0, 1, 2, 5, 9, 10, 11, 25, 99, 100, 101, 1000):
+        for k in (1, 2, 3, 7, 10):
+            got = _ntile(n, k).tolist()
+            assert got == _ntile_reference(n, k), (n, k)
+
+
+def test_ntile_fewer_rows_than_tiles():
+    # n < k: each row is its own tile 1..n (SQL NTILE semantics)
+    assert _ntile(4, 10).tolist() == [1, 2, 3, 4]
+
+
+def test_split_names_boundaries():
+    b = np.array([0, SPLIT_TRAIN_PCT - 1, SPLIT_TRAIN_PCT,
+                  SPLIT_TRAIN_PCT + SPLIT_VAL_PCT - 1,
+                  SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, 99])
+    assert _split_names(b).tolist() == [
+        "train", "train", "val", "val", "test", "test"]
+
+
+def test_length_bucket_labels_cover_edges():
+    # digitize(x, edges) indexes _LEN_LABELS exactly at the CASE-ladder
+    # boundaries the SQL mirror uses
+    vals = np.array([0, LEN_BUCKET_EDGES[0] - 1, LEN_BUCKET_EDGES[0],
+                     LEN_BUCKET_EDGES[-1] - 1, LEN_BUCKET_EDGES[-1],
+                     10 * LEN_BUCKET_EDGES[-1]])
+    idx = np.digitize(vals, LEN_BUCKET_EDGES)
+    labels = np.asarray(_LEN_LABELS, object)[idx]
+    assert labels[0] == _LEN_LABELS[0] == f"<{LEN_BUCKET_EDGES[0]}"
+    assert labels[1] == _LEN_LABELS[0]
+    assert labels[2] == _LEN_LABELS[1]
+    assert labels[3] == _LEN_LABELS[-2]
+    assert labels[4] == _LEN_LABELS[-1]
+    assert labels[5] == _LEN_LABELS[-1] == f">={LEN_BUCKET_EDGES[-1]}"
