@@ -79,13 +79,20 @@ def ann_bruteforce(sf_dir: str, k: int = 10,
 def ann_bruteforce_sql(k: int = 10, vec_ids: tuple[int, ...] = (0, 1, 2)) -> str:
     """DuckDB oracle for ann_bruteforce (list_cosine_similarity)."""
     ids = ", ".join(str(v) for v in vec_ids)
+    # CAST to DOUBLE[] so DuckDB scores in float64 like the engine —
+    # list_cosine_similarity over FLOAT lists returns float32, which
+    # hash-mismatches the engine's float64 at the driver's value compare
+    # even when every value agrees at 4 decimals
     return f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+WITH q AS (SELECT vec_id AS query_id,
+                  CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
            WHERE vec_id IN ({ids})),
 scored AS (SELECT q.query_id, e.vec_id,
-                  ROUND(list_cosine_similarity(q.qe, e.embedding), 4) AS cosine,
+                  ROUND(list_cosine_similarity(
+                      q.qe, CAST(e.embedding AS DOUBLE[])), 4) AS cosine,
                   ROW_NUMBER() OVER (PARTITION BY q.query_id
-                      ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
+                      ORDER BY list_cosine_similarity(
+                          q.qe, CAST(e.embedding AS DOUBLE[])) DESC,
                                e.vec_id) AS rn
            FROM q CROSS JOIN embeddings e)
 SELECT query_id, vec_id, cosine FROM scored WHERE rn <= {k}
