@@ -160,11 +160,11 @@ def bench_flagship() -> dict:
 
 
 def bench_queries() -> dict:
-    from spardaqus_ray.pipelines import (ann, bloom, bpe, cms, dedup, dsir,
-                                         funnel, graph, learn, packing,
-                                         quality, quantize, relational,
-                                         search, semdedup, stats, textops,
-                                         winnow)
+    from spardaqus_ray.pipelines import (ann, bloom, bpe, cms, curation,
+                                         dedup, dsir, funnel, graph, learn,
+                                         packing, quality, quantize,
+                                         relational, search, semdedup, stats,
+                                         textops, winnow)
 
     out = {}
     for name, fn in [
@@ -211,6 +211,10 @@ def bench_queries() -> dict:
         ("quantized_recall", quantize.quantized_recall),
         ("q79_event_anomalies", stats.q79_event_anomalies),
         ("q81_part_basket_lift", relational.q81_part_basket_lift),
+        ("q82_split_assign", curation.q82_split_assign),
+        ("q86_source_unigram_kl", curation.q86_source_unigram_kl),
+        ("q89_curriculum_deciles", curation.q89_curriculum_deciles),
+        ("q91_user_activity_streak", funnel.q91_user_activity_streak),
     ]:
         t0 = time.time()
         fn(SF_DIR)
