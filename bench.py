@@ -215,6 +215,8 @@ def bench_queries() -> dict:
         ("q86_source_unigram_kl", curation.q86_source_unigram_kl),
         ("q89_curriculum_deciles", curation.q89_curriculum_deciles),
         ("q91_user_activity_streak", funnel.q91_user_activity_streak),
+        ("q93_zipf_slope", curation.q93_zipf_slope),
+        ("q94_sorted_neighborhood_dups", curation.q94_sorted_neighborhood_dups),
     ]:
         t0 = time.time()
         fn(SF_DIR)

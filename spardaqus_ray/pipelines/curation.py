@@ -437,3 +437,227 @@ FROM documents
 GROUP BY lang
 ORDER BY lang
 """
+
+
+# --------------------------------------------------------------------------
+# q92: temperature-resampled mixture weights (the XLM-R / mC4 alpha-
+# sampling rule: w_i proportional to p_i^alpha, flattening the source
+# distribution so low-resource sources are up-sampled).
+# --------------------------------------------------------------------------
+
+TEMP_ALPHA = 0.7
+TEMP_BUDGET_FRACTION = 0.5  # plan to draw half the corpus' docs
+
+
+def q92_temperature_mixture(sf_dir: str,
+                            alpha: float = TEMP_ALPHA) -> pd.DataFrame:
+    """Temperature-based mixture plan: per source, sampling weight
+    w = n^alpha / sum(n^alpha) (identical to p^alpha weights — the N^alpha
+    normalizer cancels) and the docs it draws from a budget of
+    TEMP_BUDGET_FRACTION * corpus. ONE dimension-sized grouped SUM; the
+    mixture algebra runs on the #sources-row aggregate (it IS the plan a
+    curator reads). Same shape as q90 but over the count distribution
+    with a temperature knob instead of a uniform char share."""
+    ds = read_table(sf_dir, "documents", columns=["source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "n_docs": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        vc = t["source"].combine_chunks().value_counts()
+        return pa.table({"source": vc.field("values"),
+                         "n_docs": vc.field("counts").cast(pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("source").aggregate(Sum("n_docs", alias_name="n_docs"))
+           .to_pandas())
+    n = agg["n_docs"].to_numpy(np.float64)
+    pw = np.power(n, alpha)          # libm pow — bit-identical to SQL POWER
+    w = pw / pw.sum()
+    budget = n.sum() * TEMP_BUDGET_FRACTION
+    out = pd.DataFrame({
+        "source": agg["source"],
+        "n_docs": agg["n_docs"].astype("int64"),
+        "w": np.round(w, 6),
+        "planned_docs": np.round(w * budget, 4),
+    })
+    return out.sort_values("source").reset_index(drop=True)
+
+
+Q92_SQL = f"""
+WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY source),
+tot AS (SELECT SUM(POWER(n_docs, {TEMP_ALPHA})) AS z,
+               SUM(n_docs) * {TEMP_BUDGET_FRACTION} AS budget FROM s)
+SELECT source, n_docs,
+       ROUND(POWER(n_docs, {TEMP_ALPHA}) / z, 6) AS w,
+       ROUND(POWER(n_docs, {TEMP_ALPHA}) / z * budget, 4) AS planned_docs
+FROM s CROSS JOIN tot
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# q93: Zipf-slope fit of the corpus vocabulary — the "is this corpus
+# natural-language-shaped" diagnostic (slope ~ -1 for natural text;
+# synthetic / boilerplate-heavy corpora bend away from it).
+# --------------------------------------------------------------------------
+
+ZIPF_TOP_K = 1000
+
+
+def q93_zipf_slope(sf_dir: str, k: int = ZIPF_TOP_K) -> pd.DataFrame:
+    """OLS fit of ln(freq) on ln(rank) over the top-k vocabulary:
+    per-block partial token counts (vocab_top_tokens' exchange — one row
+    per DISTINCT token per block) -> grouped SUM -> distributed top-k
+    sort (ties n DESC, token ASC on both sides) -> the driver sees k
+    rows and solves the 2-parameter least squares in closed form
+    (mean-centered two-pass — matches SQL regr_slope/regr_intercept at
+    6-decimal rounding)."""
+    from spardaqus_ray.pipelines.textops import _block_token_counts
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals, counts = _block_token_counts(t)
+        return pa.table({"token": vals, "n": counts})
+
+    top = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("token").aggregate(Sum("n", alias_name="n"))
+           .sort(key=["n", "token"], descending=[True, False])
+           .limit(k).to_pandas())
+    y = np.log(top["n"].to_numpy(np.float64))
+    x = np.log(np.arange(1, len(top) + 1, dtype=np.float64))
+    xc = x - x.mean()
+    slope = float((xc * (y - y.mean())).sum() / (xc * xc).sum())
+    intercept = float(y.mean() - slope * x.mean())
+    return pd.DataFrame({"k": pd.Series([len(top)], dtype="int64"),
+                         "slope": [round(slope, 6)],
+                         "intercept": [round(intercept, 6)]})
+
+
+Q93_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
+cnt AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS n
+        FROM toks WHERE token <> '' GROUP BY token),
+rk AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rank
+       FROM cnt)
+SELECT CAST(COUNT(*) AS BIGINT) AS k,
+       ROUND(REGR_SLOPE(LN(n), LN(rank)), 6) AS slope,
+       ROUND(REGR_INTERCEPT(LN(n), LN(rank)), 6) AS intercept
+FROM rk WHERE rank <= {ZIPF_TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# q94: sorted-neighborhood near-dup candidates (SNM / blocking — the
+# classic record-linkage candidate generator): sort within a blocking
+# key, compare each record to its sort neighbor, keep pairs whose
+# character-set Jaccard clears a threshold. Complements MinHash-LSH:
+# O(n) comparisons, no banding, catches short-edit near-dups whose
+# shingle sets diverge.
+# --------------------------------------------------------------------------
+
+SNM_PREFIX = 4        # blocking key = first 4 chars of the normalized text
+SNM_MIN_LEN = 16      # drop ultra-short docs (DuckDB jaccard needs >= 1 too)
+SNM_TAU = 0.9         # char-set Jaccard threshold for a candidate pair
+
+
+def q94_sorted_neighborhood_dups(sf_dir: str,
+                                 tau: float = SNM_TAU) -> pd.DataFrame:
+    """Candidate near-dup pairs (doc_a, doc_b, sim) by sorted-neighborhood
+    blocking: norm = lower(text) stripped to [a-z0-9 ] (RE2 on both
+    sides — pyarrow and DuckDB share the regex engine), blocking key =
+    norm[:4], order (norm, doc_id) within the key, compare ADJACENT rows
+    only. sim = |chars(a) & chars(b)| / |chars(a) | chars(b)| — exactly
+    DuckDB's jaccard() on ASCII input, computed here as a vectorized
+    128-bit presence-bitmask AND/OR over the flat UTF-8 buffer (no
+    per-row Python).
+
+    Scale shape: ONE keyed exchange on the blocking key co-locates each
+    neighborhood; work per block is one Arrow sort + O(rows) bitmask
+    ops (n-1 comparisons corpus-wide, vs LSH's candidate blowup).
+    PARTITIONING ASSUMPTION: a blocking key's rows fit one block —
+    prefix keys are near-uniform on natural text; a pathological
+    single-prefix corpus needs a longer prefix or a salt+overlap pass
+    (documented, same family as q89's whole-key-block assumption)."""
+    from spardaqus_ray.functions.heuristics import _flat_utf8
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def normalize(t: pa.Table) -> pa.Table:
+        norm = pc.replace_substring_regex(
+            pc.utf8_lower(pc.fill_null(t["text"], "")),
+            pattern="[^a-z0-9 ]", replacement="")
+        keep = pc.greater_equal(pc.utf8_length(norm), SNM_MIN_LEN)
+        out = pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                        "norm": norm,
+                        "blk": pc.utf8_slice_codeunits(norm, 0, SNM_PREFIX)})
+        return out.filter(keep)
+
+    normed = ds.map_batches(normalize, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    ensure_hash_shuffle(normed)
+    keyed = normed.repartition(
+        default_partitions(size_bytes=table_bytes(sf_dir, "documents")),
+        keys=["blk"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
+        if t.num_rows < 2:
+            return empty
+        # global (norm, doc_id) sort groups equal blocking prefixes
+        # contiguously, so same-blk adjacency == SQL's per-partition LAG
+        idx = pc.sort_indices(t, sort_keys=[("norm", "ascending"),
+                                            ("doc_id", "ascending")])
+        t = t.take(idx)
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        blk = t["blk"].combine_chunks().to_numpy(zero_copy_only=False)
+        buf, offsets = _flat_utf8(t["norm"].combine_chunks())
+        lens = np.diff(offsets)
+        n = len(lens)
+        present = np.zeros((n, 128), bool)
+        rows = np.repeat(np.arange(n), lens)
+        present[rows, buf[offsets[0]:offsets[-1]] & 0x7F] = True
+        inter = (present[1:] & present[:-1]).sum(axis=1)
+        union = (present[1:] | present[:-1]).sum(axis=1)
+        sim = inter / np.maximum(union, 1)
+        keep = (blk[1:] == blk[:-1]) & (sim >= tau)
+        return pa.table({"doc_a": pa.array(ids[:-1][keep]),
+                         "doc_b": pa.array(ids[1:][keep]),
+                         "sim": pa.array(np.round(sim[keep], 6))})
+
+    out = (keyed.map_batches(pairs, batch_format="pyarrow",
+                             batch_size=None)
+           .to_pandas())
+    if out.empty:
+        out = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                            "doc_b": pd.Series([], dtype="int64"),
+                            "sim": pd.Series([], dtype="float64")})
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+Q94_SQL = f"""
+WITH n AS (
+  SELECT doc_id,
+         regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS norm
+  FROM documents),
+f AS (SELECT * FROM n WHERE length(norm) >= {SNM_MIN_LEN}),
+l AS (SELECT doc_id, norm,
+             LAG(doc_id) OVER w AS prev_id,
+             LAG(norm) OVER w AS prev_norm
+      FROM f
+      WINDOW w AS (PARTITION BY substr(norm, 1, {SNM_PREFIX})
+                   ORDER BY norm, doc_id))
+SELECT prev_id AS doc_a, doc_id AS doc_b,
+       ROUND(jaccard(prev_norm, norm), 6) AS sim
+FROM l
+WHERE prev_id IS NOT NULL AND jaccard(prev_norm, norm) >= {SNM_TAU}
+ORDER BY doc_a, doc_b
+"""

@@ -1,0 +1,104 @@
+"""D4-style prototypicality pruning over the `embeddings` table
+(Tirumala et al. 2023, "D4: Improving LLM Pretraining via Document
+De-Duplication and Diversification"): after clustering, the points
+CLOSEST to their cluster centroid are the most prototypical / least
+diverse — dropping the top `drop_frac` of them (per cluster) is the
+diversification half of D4 (SemDeDup, in semdedup.py, is the other).
+
+Scale shape: centroids come from cluster.train_centroids (the shared
+streaming trainer — same (k, iters, seed) gives the SAME clustering
+SemDeDup sees), then ONE streaming pass where every block emits at most
+k x D4_BINS (cluster, cosine-bin) count rows; a grouped SUM reduces
+them and the driver applies the drop rule on the k x D4_BINS histogram.
+No shuffle of the vectors, no per-cluster co-location requirement —
+unlike the in-block verdict walk SemDeDup needs, the histogram
+decomposes per block, so a skewed cluster costs nothing extra.
+
+The drop rule is deterministic at histogram resolution: for each
+cluster, drop ALL points in the highest-cosine bins t..BINS-1 where t
+is the smallest bin index whose cumulative-from-top count stays within
+floor(drop_frac * n_cluster) — whole bins only, so n_dropped is exact
+for the rule (<= the target) and independent of block layout.
+
+Non-SQL-expressible (iterative k-means upstream): driver check is
+rows-only; correctness is pinned by pytest equality against a
+sequential numpy reference applying the identical rule to the whole
+table at once (tests/test_d4.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data.aggregate import Sum
+
+from spardaqus_ray.pipelines.ann import _mat, _unit
+from spardaqus_ray.pipelines.cluster import train_centroids
+from spardaqus_ray.sources.code_parquet import read_table
+
+D4_K = 8
+D4_BINS = 2048
+D4_DROP_FRAC = 0.1
+
+
+def _hist_partial(cents: np.ndarray, bins: int):
+    """Block -> (c, b, n) partial: assign each vector to its nearest
+    centroid by cosine (argmax, first-max tie-break — mirrored by the
+    sequential reference) and histogram the winning cosine into `bins`
+    uniform buckets over [-1, 1]."""
+    def fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"c": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        x = _unit(_mat(t))
+        sims = x @ cents.T
+        c = sims.argmax(axis=1)
+        cos = sims[np.arange(len(c)), c]
+        b = np.clip(((cos + 1.0) * 0.5 * bins).astype(np.int64), 0, bins - 1)
+        g = (pd.DataFrame({"c": c.astype(np.int64), "b": b})
+             .groupby(["c", "b"], sort=False).size().reset_index(name="n"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+    return fn
+
+
+def drop_cutoffs(hist: pd.DataFrame, k: int, bins: int,
+                 drop_frac: float) -> pd.DataFrame:
+    """Apply the whole-bin drop rule to a (c, b, n) histogram: per
+    cluster, t* = smallest bin t with sum(n[b >= t]) <= floor(drop_frac
+    * n_cluster); returns (cluster_id, n_vectors, n_dropped, cos_thresh)
+    with cos_thresh = t*'s lower bin edge (the cosine above which a
+    point is dropped). Pure driver math on k x bins rows — shared with
+    the sequential reference so the rule has ONE implementation."""
+    rows = []
+    for c in range(k):
+        sub = hist[hist["c"] == c]
+        counts = np.zeros(bins, np.int64)
+        counts[sub["b"].to_numpy(np.int64)] = sub["n"].to_numpy(np.int64)
+        n = int(counts.sum())
+        target = int(drop_frac * n)
+        from_top = np.cumsum(counts[::-1])[::-1]  # from_top[t] = sum b>=t
+        ok = np.nonzero(from_top <= target)[0]
+        t_star = int(ok[0]) if len(ok) else bins  # bins == drop nothing
+        dropped = int(from_top[t_star]) if t_star < bins else 0
+        rows.append({"cluster_id": c, "n_vectors": n, "n_dropped": dropped,
+                     "cos_thresh": round(t_star / bins * 2.0 - 1.0, 6)})
+    return pd.DataFrame(rows)
+
+
+def d4_prototype_stats(sf_dir: str, k: int = D4_K, iters: int = 5,
+                       seed: int = 7, drop_frac: float = D4_DROP_FRAC,
+                       bins: int = D4_BINS) -> pd.DataFrame:
+    """Per-cluster D4 pruning plan: (cluster_id, n_vectors, n_dropped,
+    cos_thresh) — how many of the most-prototypical points the
+    diversification pass would drop and the cosine threshold it uses."""
+    cents = train_centroids(sf_dir, k, iters, seed)
+    ds = read_table(sf_dir, "embeddings", columns=["embedding"])
+    hist = (ds.map_batches(_hist_partial(cents, bins),
+                           batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["c", "b"]).aggregate(Sum("n", alias_name="n"))
+            .to_pandas())                       # <= k x bins rows
+    out = drop_cutoffs(hist, k, bins, drop_frac)
+    return out.sort_values("cluster_id").reset_index(drop=True)

@@ -1,0 +1,79 @@
+"""D4 prototypicality pruning (pipelines/d4.py): the distributed
+histogram reduction must equal a sequential numpy reference applying
+the identical whole-bin drop rule to the full table at once, and the
+rule itself must drop the planted prototypical core of a cluster."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from tests.test_cluster import _planted_embeddings
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _sequential_reference(sf_dir, k, iters, seed, drop_frac, bins):
+    """Whole-table numpy replay: same centroids (the trainer is pinned
+    deterministic elsewhere), one dense assign + histogram, then the
+    SHARED drop_cutoffs rule — independent of the Ray pass layout."""
+    from spardaqus_ray.pipelines.cluster import train_centroids
+    from spardaqus_ray.pipelines.d4 import drop_cutoffs
+
+    cents = train_centroids(sf_dir, k, iters, seed)
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["embedding"])["embedding"].combine_chunks()
+    x = np.stack([np.asarray(v) for v in emb.to_pylist()]).astype(np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    sims = x @ cents.T
+    c = sims.argmax(axis=1)
+    cos = sims[np.arange(len(c)), c]
+    b = np.clip(((cos + 1.0) * 0.5 * bins).astype(np.int64), 0, bins - 1)
+    hist = (pd.DataFrame({"c": c, "b": b})
+            .groupby(["c", "b"], sort=False).size().reset_index(name="n"))
+    return (drop_cutoffs(hist, k, bins, drop_frac)
+            .sort_values("cluster_id").reset_index(drop=True))
+
+
+def test_d4_matches_sequential_reference(ray_session):
+    from spardaqus_ray.pipelines.d4 import d4_prototype_stats
+
+    k, iters, seed, frac, bins = 4, 4, 7, 0.1, 2048
+    got = d4_prototype_stats(SF001, k=k, iters=iters, seed=seed,
+                             drop_frac=frac, bins=bins)
+    ref = _sequential_reference(SF001, k, iters, seed, frac, bins)
+    pd.testing.assert_frame_equal(got, ref)
+    assert got["n_vectors"].sum() > 0
+
+
+def test_d4_drop_bounded_by_target(ray_session):
+    """The whole-bin rule never drops more than floor(frac * n) per
+    cluster, and drops SOMETHING for a cluster with cosine spread."""
+    from spardaqus_ray.pipelines.d4 import d4_prototype_stats
+
+    out = d4_prototype_stats(SF001, k=4, iters=4, drop_frac=0.2)
+    assert (out["n_dropped"] <= (0.2 * out["n_vectors"]).astype(int)).all()
+    assert out["n_dropped"].sum() > 0
+
+
+def test_d4_drops_prototypical_core(ray_session, tmp_path):
+    """Planted geometry: a tight cap plus a ring of outliers around
+    each axis — the dropped mass must be the cap points (highest
+    cosine), so the threshold sits above the ring's cosine level."""
+    _planted_embeddings(tmp_path)  # three tight caps, sigma=0.02
+    from spardaqus_ray.pipelines.d4 import d4_prototype_stats
+
+    out = d4_prototype_stats(str(tmp_path), k=3, iters=6, drop_frac=0.3)
+    assert len(out) == 3
+    # caps are ~identical vectors: nearly all mass is in the top bins,
+    # so a 30% target still finds droppable whole bins in each cluster
+    assert (out["n_vectors"] == 60).all()
+    assert (out["cos_thresh"] > 0.9).all()
+
+
+def test_d4_deterministic(ray_session):
+    from spardaqus_ray.pipelines.d4 import d4_prototype_stats
+
+    a = d4_prototype_stats(SF001, k=4, iters=3)
+    b = d4_prototype_stats(SF001, k=4, iters=3)
+    pd.testing.assert_frame_equal(a, b)
