@@ -160,7 +160,7 @@ def bench_flagship() -> dict:
 
 
 def bench_queries() -> dict:
-    from spardaqus_ray.pipelines import (ann, bloom, bpe, cms, curation,
+    from spardaqus_ray.pipelines import (ann, bloom, bpe, cms, curation, d4,
                                          dedup, dsir, funnel, graph, learn,
                                          packing, quality, quantize,
                                          relational, search, semdedup, stats,
@@ -217,6 +217,8 @@ def bench_queries() -> dict:
         ("q91_user_activity_streak", funnel.q91_user_activity_streak),
         ("q93_zipf_slope", curation.q93_zipf_slope),
         ("q94_sorted_neighborhood_dups", curation.q94_sorted_neighborhood_dups),
+        ("d4_prototype_stats", d4.d4_prototype_stats),
+        ("compression_ratio_by_source", textops.compression_ratio_by_source),
     ]:
         t0 = time.time()
         fn(SF_DIR)

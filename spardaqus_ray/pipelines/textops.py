@@ -1001,3 +1001,68 @@ def lm_train_stats(sf_dir: str) -> pd.DataFrame:
             "ppl_threshold": round(models.ppl_threshold[lang], 4),
         })
     return (pd.DataFrame(rows).sort_values("lang").reset_index(drop=True))
+
+
+# --------------------------------------------------------------------------
+# Compression-ratio quality signal (the Dolma / RefinedWeb boilerplate
+# detector: highly-compressible text is repetitive / templated; near-
+# incompressible text is noise or binary junk).
+# --------------------------------------------------------------------------
+
+ZRATIO_LOW = 0.35    # below: repetitive/templated (boilerplate suspect)
+ZRATIO_HIGH = 0.95   # above: high-entropy junk suspect
+
+
+def compression_ratio_by_source(sf_dir: str) -> pd.DataFrame:
+    """Per-source zlib compression-ratio profile: (source, n_docs,
+    mean_ratio, n_low, n_high) where ratio = len(zlib(utf8)) /
+    len(utf8) and n_low/n_high count docs beyond the boilerplate /
+    junk thresholds. Per-row zlib runs in C over zero-copy memoryview
+    slices of the flat Arrow buffer (the sha256_column pattern);
+    blocks emit one dimension-sized partial each, then ONE grouped
+    SUM. Non-SQL-expressible (no DEFLATE in DuckDB): rows-only driver
+    check; pytest pins equality against a sequential zlib replay."""
+    from spardaqus_ray.functions.heuristics import _flat_utf8
+
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "n_docs": pa.array([], pa.int64()),
+                          "ratio_sum": pa.array([], pa.float64()),
+                          "n_low": pa.array([], pa.int64()),
+                          "n_high": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        buf, offsets = _flat_utf8(
+            pc.fill_null(t["text"].combine_chunks(), ""))
+        mv = memoryview(buf)
+        lens = np.diff(offsets).astype(np.float64)
+        comp = np.fromiter(
+            (len(zlib.compress(mv[offsets[i]:offsets[i + 1]], 6))
+             for i in range(len(lens))),
+            np.float64, count=len(lens))
+        ratio = comp / np.maximum(lens, 1.0)
+        df = pd.DataFrame({
+            "source": t["source"].combine_chunks()
+            .to_numpy(zero_copy_only=False),
+            "n_docs": np.ones(len(lens), np.int64),
+            "ratio_sum": ratio,
+            "n_low": (ratio < ZRATIO_LOW).astype(np.int64),
+            "n_high": (ratio > ZRATIO_HIGH).astype(np.int64),
+        }).groupby("source", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("source")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("ratio_sum", alias_name="ratio_sum"),
+                      Sum("n_low", alias_name="n_low"),
+                      Sum("n_high", alias_name="n_high"))
+           .to_pandas())
+    out["mean_ratio"] = (out["ratio_sum"] / out["n_docs"]).round(6)
+    out = out.astype({"n_docs": "int64", "n_low": "int64",
+                      "n_high": "int64"})
+    return (out[["source", "n_docs", "mean_ratio", "n_low", "n_high"]]
+            .sort_values("source").reset_index(drop=True))

@@ -1,0 +1,69 @@
+"""Compression-ratio quality signal (textops.compression_ratio_by_source):
+distributed partials must equal a sequential zlib replay, and the
+thresholds must flag planted boilerplate / junk."""
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _sequential(sf_dir):
+    from spardaqus_ray.pipelines.textops import ZRATIO_HIGH, ZRATIO_LOW
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["source", "text"])
+    rows = []
+    for src, txt in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+        b = (txt or "").encode("utf-8")
+        r = len(zlib.compress(b, 6)) / max(len(b), 1)
+        rows.append((src, r))
+    df = pd.DataFrame(rows, columns=["source", "ratio"])
+    g = df.groupby("source")["ratio"]
+    out = pd.DataFrame({
+        "source": g.mean().index,
+        "n_docs": g.count().to_numpy(np.int64),
+        "mean_ratio": g.mean().round(6).to_numpy(),
+        "n_low": df.assign(f=df.ratio < ZRATIO_LOW)
+        .groupby("source")["f"].sum().to_numpy(np.int64),
+        "n_high": df.assign(f=df.ratio > ZRATIO_HIGH)
+        .groupby("source")["f"].sum().to_numpy(np.int64),
+    })
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def test_zratio_matches_sequential(ray_session):
+    from spardaqus_ray.pipelines.textops import compression_ratio_by_source
+
+    got = compression_ratio_by_source(SF001)
+    ref = _sequential(SF001)
+    pd.testing.assert_frame_equal(got, ref)
+    assert got["n_docs"].sum() > 0
+
+
+def test_zratio_flags_planted_extremes(ray_session, tmp_path):
+    from spardaqus_ray.pipelines.textops import compression_ratio_by_source
+
+    boiler = "spam eggs " * 400          # ratio ~0.011: templated repeat
+    junk = "qZ3#kV9@mT1!xR7$wL5%"        # ratio ~1.4: overhead > content
+    plain = ("Synthesizing distributed engines requires careful attention "
+             "to partition boundaries, object lifetimes and backpressure "
+             "policy; every shuffle has a cost model and every broadcast "
+             "has a cap.")               # ratio ~0.73: mid-range prose
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([boiler, junk, plain]),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["boiler", "junk", "plain"]),
+        "n_chars": pa.array([len(boiler), len(junk), len(plain)], pa.int64()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = compression_ratio_by_source(str(tmp_path))
+    by = out.set_index("source")
+    assert by.loc["boiler", "n_low"] == 1
+    assert by.loc["junk", "n_high"] == 1
+    assert by.loc["plain", "n_low"] == 0 and by.loc["plain", "n_high"] == 0
