@@ -661,3 +661,85 @@ FROM l
 WHERE prev_id IS NOT NULL AND jaccard(prev_norm, norm) >= {SNM_TAU}
 ORDER BY doc_a, doc_b
 """
+
+
+# q97: line-level repetition audit — the Gopher/RefinedWeb "duplicate
+# line fraction" rule surfaced per source (q46's registry covers the
+# word-level rules; boilerplate in web/code corpora is line-shaped).
+def q97_line_dup_ratio(sf_dir: str) -> pd.DataFrame:
+    """Per source: total lines, duplicated lines (occurrences beyond a
+    line's first appearance WITHIN its document), the dup-line rate and
+    how many docs contain any duplicate line. Stateless per-block
+    kernel: split on newline, per-doc distinct via dictionary codes +
+    one np.unique over (row, code) composite keys (no per-row loop);
+    the exchange is #sources partial rows per block."""
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "n_docs": pa.array([], pa.int64()),
+                          "n_lines": pa.array([], pa.int64()),
+                          "n_dup_lines": pa.array([], pa.int64()),
+                          "n_docs_with_dups": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        text = pc.fill_null(t["text"].combine_chunks(), "")
+        lines = pc.split_pattern(text, "\n")
+        nrows = t.num_rows
+        lens = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(lines)
+        rid = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+        codes = np.asarray(flat.dictionary_encode().indices, np.int64)
+        ncodes = int(codes.max()) + 1 if len(codes) else 1
+        distinct_keys = np.unique(rid * ncodes + codes)
+        distinct = np.bincount(distinct_keys // ncodes,
+                               minlength=nrows).astype(np.int64)
+        n_lines = lens.astype(np.int64)
+        dup = n_lines - distinct
+        df = pd.DataFrame({
+            "source": t["source"].combine_chunks()
+            .to_numpy(zero_copy_only=False),
+            "n_docs": np.ones(nrows, np.int64),
+            "n_lines": n_lines,
+            "n_dup_lines": dup,
+            "n_docs_with_dups": (dup > 0).astype(np.int64)})
+        g = df.groupby("source", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("source")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_lines", alias_name="n_lines"),
+                      Sum("n_dup_lines", alias_name="n_dup_lines"),
+                      Sum("n_docs_with_dups",
+                          alias_name="n_docs_with_dups"))
+           .to_pandas())
+    out = out.astype({"n_docs": "int64", "n_lines": "int64",
+                      "n_dup_lines": "int64", "n_docs_with_dups": "int64"})
+    out["dup_line_rate"] = (out["n_dup_lines"] / out["n_lines"]).round(6)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+Q97_SQL = """
+WITH lines AS (
+  SELECT doc_id, source,
+         unnest(string_split(COALESCE(text, ''), chr(10))) AS line
+  FROM documents),
+per_doc AS (
+  SELECT doc_id, ANY_VALUE(source) AS source,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(COUNT(DISTINCT line) AS BIGINT) AS n_distinct
+  FROM lines GROUP BY doc_id)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+       CAST(SUM(n_lines - n_distinct) AS BIGINT) AS n_dup_lines,
+       CAST(COUNT(*) FILTER (WHERE n_distinct < n_lines) AS BIGINT)
+           AS n_docs_with_dups,
+       ROUND(SUM(n_lines - n_distinct) * 1.0 / SUM(n_lines), 6)
+           AS dup_line_rate
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""

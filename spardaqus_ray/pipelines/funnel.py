@@ -299,3 +299,156 @@ SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_days,
        CAST(MAX(len) AS BIGINT) AS max_streak
 FROM runs GROUP BY user_id ORDER BY user_id
 """
+
+
+def q95_event_gap_stats(sf_dir: str) -> pd.DataFrame:
+    """Inter-arrival cadence per event type: count / min / max / mean of
+    the time gap (microseconds) between CONSECUTIVE events of the same
+    type within each user's stream, ordered by (ts, event_id). The
+    polling-interval / burstiness diagnostic for an event source. ONE
+    keyed shuffle co-locates each user's events (so every (user, type)
+    sequence is whole inside a block); the block kernel lexsorts
+    (user, type, ts, event_id) and diffs within segments; the exchange
+    after it is #event_types partial rows per block (sum/count/min/max
+    are all mergeable), so the reduce is dimension-sized at any corpus
+    scale."""
+    from ray.data.aggregate import Max, Min
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+    tune_hash_width(ds, table_bytes(sf_dir, "events"))
+    ds = _keyed(ds, "user_id",
+                default_partitions(size_bytes=table_bytes(sf_dir, "events")))
+
+    def block(t: pa.Table) -> pa.Table:
+        empty = pa.table({"event_type": pa.array([], pa.string()),
+                          "n_gaps": pa.array([], pa.int64()),
+                          "sum_gap_us": pa.array([], pa.int64()),
+                          "min_gap_us": pa.array([], pa.int64()),
+                          "max_gap_us": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = _np(t["user_id"]).astype(np.int64)
+        ts = _ts_us(t["ts"])
+        eid = _np(t["event_id"]).astype(np.int64)
+        typ = t["event_type"].combine_chunks().dictionary_encode()
+        code = np.asarray(typ.indices, dtype=np.int64)
+        names = typ.dictionary.to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, code, u))
+        u, ts, code = u[order], ts[order], code[order]
+        # a gap exists at i when (user, type) match the previous row
+        same = np.zeros(len(u), bool)
+        same[1:] = (u[1:] == u[:-1]) & (code[1:] == code[:-1])
+        gap = np.diff(ts, prepend=ts[:1])[same]
+        gcode = code[same]
+        if not len(gap):
+            return empty
+        srt = np.lexsort((gap, gcode))
+        gs, cs = gap[srt], gcode[srt]
+        starts = np.concatenate(([0], np.nonzero(cs[1:] != cs[:-1])[0] + 1))
+        kinds = cs[starts]
+        n = np.diff(np.append(starts, len(gs)))
+        # int64 reduceat, NOT bincount(weights=...): the float64 weight
+        # path loses integer exactness past 2^53, which a year-scale
+        # microsecond sum over many users reaches
+        s = np.add.reduceat(gs, starts)
+        mn = gs[starts]
+        mx = np.maximum.reduceat(gs, starts)
+        return pa.table({"event_type": pa.array(names[kinds]),
+                         "n_gaps": pa.array(n.astype(np.int64)),
+                         "sum_gap_us": pa.array(s.astype(np.int64)),
+                         "min_gap_us": pa.array(mn.astype(np.int64)),
+                         "max_gap_us": pa.array(mx.astype(np.int64))})
+
+    out = (ds.map_batches(block, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+           .groupby("event_type")
+           .aggregate(Sum("n_gaps", alias_name="n_gaps"),
+                      Sum("sum_gap_us", alias_name="sum_gap_us"),
+                      Min("min_gap_us", alias_name="min_gap_us"),
+                      Max("max_gap_us", alias_name="max_gap_us"))
+           .to_pandas())
+    out = out.astype({"n_gaps": "int64", "sum_gap_us": "int64",
+                      "min_gap_us": "int64", "max_gap_us": "int64"})
+    out["avg_gap_us"] = (out["sum_gap_us"] / out["n_gaps"]).round(6)
+    out = out.drop(columns=["sum_gap_us"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+Q95_SQL = """
+WITH seq AS (
+  SELECT event_type,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+             PARTITION BY user_id, event_type
+             ORDER BY ts, event_id) AS gap
+  FROM events)
+SELECT event_type,
+       CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+       CAST(MIN(gap) AS BIGINT) AS min_gap_us,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_us,
+       ROUND(SUM(gap) * 1.0 / COUNT(gap), 6) AS avg_gap_us
+FROM seq
+WHERE gap IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q96_user_event_gini(sf_dir: str) -> pd.DataFrame:
+    """Gini coefficient of event-count concentration across users — the
+    skew diagnostic that tells you whether a handful of power users (or
+    mega-repos, for the code corpus) dominate the stream, i.e. whether
+    a per-user partitioning key needs salting. Plan: one groupby(user)
+    count (user-dimension), then a count-VALUE histogram (bounded by
+    distinct activity levels, tiny), from which the driver computes the
+    exact rank-sum Gini with integer math — the corpus-sized vector is
+    never sorted globally and never touches the driver."""
+    from ray.data.aggregate import Count
+
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    counts = (ds.groupby("user_id")
+              .aggregate(Count(alias_name="c")))
+
+    def hist(t: pa.Table) -> pa.Table:
+        empty = pa.table({"c": pa.array([], pa.int64()),
+                          "n_users": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        c = t["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        vals, n = np.unique(c, return_counts=True)
+        return pa.table({"c": pa.array(vals.astype(np.int64)),
+                         "n_users": pa.array(n.astype(np.int64))})
+
+    h = (counts.map_batches(hist, batch_format="pyarrow",
+                            zero_copy_batch=True)
+         .groupby("c").aggregate(Sum("n_users", alias_name="n_users"))
+         .to_pandas())
+    h = h.sort_values("c").reset_index(drop=True)
+    # rank-sum Gini from the histogram, exact integers: users with value
+    # v occupy ranks r0+1..r0+m (ascending); sum(rank*value) is
+    # tie-order invariant, so the histogram loses nothing.
+    n_users, total, rank_sum, r0 = 0, 0, 0, 0
+    for v, m in zip(h["c"].astype(int), h["n_users"].astype(int)):
+        rank_sum += v * (m * r0 + m * (m + 1) // 2)
+        total += v * m
+        r0 += m
+        n_users += m
+    if n_users == 0 or total == 0:
+        gini = 0.0
+    else:
+        gini = 2.0 * rank_sum / (n_users * total) - (n_users + 1.0) / n_users
+    return pd.DataFrame({"n_users": pd.array([n_users], "int64"),
+                         "gini": [round(gini, 6)]})
+
+
+Q96_SQL = """
+WITH counts AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS r FROM counts)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(2.0 * SUM(r * c) / (COUNT(*) * SUM(c))
+             - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+FROM ranked
+"""
