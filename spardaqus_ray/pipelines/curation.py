@@ -743,3 +743,85 @@ FROM per_doc
 GROUP BY source
 ORDER BY source
 """
+
+
+# q98: distribution-drift detection — exact two-sample KS statistic of
+# each source's doc-length distribution against the whole corpus. The
+# "did this crawl/source shift under me" alarm for corpus mixing.
+def q98_ks_length_drift(sf_dir: str) -> pd.DataFrame:
+    """Per source: the exact Kolmogorov-Smirnov statistic
+    max_v |CDF_source(v) - CDF_corpus(v)| over n_chars. Plan: one
+    stateless partial pass emits (source, n_chars, n) histogram rows —
+    bounded by #sources x distinct lengths, dimension-sized — then ONE
+    grouped SUM; the CDF merge runs on the driver over the tiny
+    histogram, so the corpus is never globally sorted."""
+    ds = read_table(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "v": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        df = pd.DataFrame({
+            "source": t["source"].combine_chunks()
+            .to_numpy(zero_copy_only=False),
+            "v": t["n_chars"].combine_chunks()
+            .to_numpy(zero_copy_only=False).astype(np.int64),
+            "n": np.ones(t.num_rows, np.int64)})
+        g = df.groupby(["source", "v"], sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    h = (ds.map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+         .groupby(["source", "v"]).aggregate(Sum("n", alias_name="n"))
+         .to_pandas())
+    h = h.astype({"v": "int64", "n": "int64"})
+    vals = np.sort(h["v"].unique())
+    pos = {v: i for i, v in enumerate(vals)}
+    g_cum = np.zeros(len(vals), np.int64)
+    np.add.at(g_cum, h["v"].map(pos).to_numpy(), h["n"].to_numpy())
+    g_cum = np.cumsum(g_cum)
+    ng = int(g_cum[-1]) if len(g_cum) else 0
+    rows = []
+    for src, grp in h.groupby("source", sort=True):
+        s_cum = np.zeros(len(vals), np.int64)
+        np.add.at(s_cum, grp["v"].map(pos).to_numpy(),
+                  grp["n"].to_numpy())
+        s_cum = np.cumsum(s_cum)
+        ns = int(s_cum[-1])
+        # mirror the SQL's float ops exactly: per-value double division,
+        # abs, max — order-invariant, so block order cannot perturb it
+        ks = float(np.max(np.abs(s_cum * 1.0 / ns - g_cum * 1.0 / ng)))
+        rows.append({"source": src, "n_docs": ns, "ks": round(ks, 6)})
+    out = pd.DataFrame(rows, columns=["source", "n_docs", "ks"])
+    return out.astype({"n_docs": "int64"}).reset_index(drop=True)
+
+
+Q98_SQL = """
+WITH h AS (
+  SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY source, v),
+tot AS (SELECT v, SUM(n) AS n FROM h GROUP BY v),
+src_tot AS (SELECT source, SUM(n) AS ns FROM h GROUP BY source),
+grand AS (SELECT SUM(n) AS ng FROM tot),
+grid AS (
+  SELECT s.source, t.v
+  FROM (SELECT DISTINCT source FROM h) s
+  CROSS JOIN (SELECT v FROM tot) t),
+scdf AS (
+  SELECT g.source, g.v,
+         SUM(COALESCE(h.n, 0)) OVER (
+             PARTITION BY g.source ORDER BY g.v) AS cum
+  FROM grid g LEFT JOIN h ON h.source = g.source AND h.v = g.v),
+gcdf AS (SELECT v, SUM(n) OVER (ORDER BY v) AS cum FROM tot)
+SELECT s.source,
+       CAST(st.ns AS BIGINT) AS n_docs,
+       ROUND(MAX(ABS(s.cum * 1.0 / st.ns - gc.cum * 1.0 / gr.ng)), 6) AS ks
+FROM scdf s
+JOIN src_tot st USING (source)
+JOIN gcdf gc USING (v)
+CROSS JOIN grand gr
+GROUP BY s.source, st.ns
+ORDER BY s.source
+"""

@@ -1066,3 +1066,68 @@ def compression_ratio_by_source(sf_dir: str) -> pd.DataFrame:
                       "n_high": "int64"})
     return (out[["source", "n_docs", "mean_ratio", "n_low", "n_high"]]
             .sort_values("source").reset_index(drop=True))
+
+
+# coverage@k breakpoints: how much of the token stream the top-k
+# vocabulary captures — the head/tail curve read before fixing a
+# tokenizer's vocab size (q93's Zipf fit gives the slope; this gives
+# the actual budget numbers).
+VOCAB_COVERAGE_KS = (100, 1000, 10000)
+
+
+def vocab_coverage_curve(sf_dir: str,
+                         ks: tuple = VOCAB_COVERAGE_KS) -> pd.DataFrame:
+    """Per k in `ks`: occurrences covered by the exact top-k tokens,
+    the total token count and the coverage ratio. Same bounded plan as
+    vocab_top_tokens (per-block partial counts -> ONE grouped SUM,
+    vocab-dimension exchange); the driver pulls max(ks) rows plus one
+    scalar, never the corpus. Tied counts at the k boundary make the
+    covered SUM invariant to tie order (equal n), so engine and oracle
+    agree without a total order on tokens."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals, counts = _block_token_counts(t)
+        return pa.table({"token": vals, "n": counts})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("token").aggregate(Sum("n", alias_name="n"))
+           .materialize())
+    total = int(agg.aggregate(Sum("n", alias_name="t"))["t"])
+    head = (agg.sort(key=["n", "token"], descending=[True, False])
+            .limit(max(ks)).to_pandas())
+    cum = head["n"].astype("int64").cumsum().to_numpy()
+    rows = []
+    for k in sorted(ks):
+        covered = int(cum[min(k, len(cum)) - 1]) if len(cum) else 0
+        rows.append({"k": k, "covered": covered, "total": total,
+                     "coverage": round(covered * 1.0 / total, 6)
+                     if total else 0.0})
+    return (pd.DataFrame(rows, columns=["k", "covered", "total",
+                                        "coverage"])
+            .astype({"k": "int64", "covered": "int64", "total": "int64"}))
+
+
+VOCAB_COVERAGE_SQL = f"""
+WITH counts AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+        FROM documents)
+  WHERE token <> ''
+  GROUP BY token),
+ranked AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS r
+  FROM counts)
+SELECT ks.k,
+       CAST(SUM(CASE WHEN r <= ks.k THEN n ELSE 0 END) AS BIGINT)
+           AS covered,
+       CAST(SUM(n) AS BIGINT) AS total,
+       ROUND(SUM(CASE WHEN r <= ks.k THEN n ELSE 0 END) * 1.0 / SUM(n), 6)
+           AS coverage
+FROM ranked
+CROSS JOIN (VALUES {", ".join(f"({k})" for k in sorted(VOCAB_COVERAGE_KS))})
+     ks(k)
+GROUP BY ks.k
+ORDER BY ks.k
+"""
