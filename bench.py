@@ -242,6 +242,7 @@ def bench_queries() -> dict:
         ("q97_line_dup_ratio", curation.q97_line_dup_ratio),
         ("q98_ks_length_drift", curation.q98_ks_length_drift),
         ("vocab_coverage_curve", textops.vocab_coverage_curve),
+        ("q99_split_psi", curation.q99_split_psi),
     ]:
         t0 = time.time()
         fn(SF_DIR)

@@ -825,3 +825,84 @@ CROSS JOIN grand gr
 GROUP BY s.source, st.ns
 ORDER BY s.source
 """
+
+
+# q99: population stability index between the q82 hash splits over the
+# q84 length buckets — the production-ML drift check that a random
+# split is actually exchangeeable (PSI ~ 0; > 0.1 means the split or
+# the stream is biased). (actual-expected)*ln(actual/expected) is
+# symmetric in its arguments, so no direction convention is needed.
+def q99_split_psi(sf_dir: str) -> pd.DataFrame:
+    """PSI of val and test against train over LEN_BUCKET_EDGES char
+    buckets. One stateless partial emits (split, bucket, n) rows
+    (<= 3 x 6 per block); after ONE grouped SUM the PSI arithmetic runs
+    on the driver over <= 18 rows. Buckets empty on either side are
+    excluded (the inner-join convention, mirrored by the oracle)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"split": pa.array([], pa.string()),
+                          "bucket": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        ids = (t["doc_id"].combine_chunks()
+               .to_numpy(zero_copy_only=False).astype(np.uint64))
+        bucket = ((ids * np.uint64(SPLIT_MULT)) & np.uint64(0xFFFFFFFF)) % 100
+        split = _split_names(bucket.astype(np.int64))
+        n = (t["n_chars"].combine_chunks()
+             .to_numpy(zero_copy_only=False).astype(np.int64))
+        idx = np.digitize(n, LEN_BUCKET_EDGES)
+        df = pd.DataFrame({"split": split,
+                           "bucket": np.asarray(_LEN_LABELS, object)[idx],
+                           "n": np.ones(len(n), np.int64)})
+        g = df.groupby(["split", "bucket"], sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    h = (ds.map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+         .groupby(["split", "bucket"]).aggregate(Sum("n", alias_name="n"))
+         .to_pandas())
+    h = h.astype({"n": "int64"})
+    tot = h.groupby("split")["n"].sum()
+    base = h[h["split"] == "train"].set_index("bucket")["n"]
+    rows = []
+    for split in ("test", "val"):
+        cur = h[h["split"] == split].set_index("bucket")["n"]
+        common = base.index.intersection(cur.index)
+        p = base[common].to_numpy() * 1.0 / int(tot["train"])
+        q = cur[common].to_numpy() * 1.0 / int(tot[split])
+        psi = float(np.sum((q - p) * np.log(q / p)))
+        rows.append({"split": split, "n_docs": int(tot[split]),
+                     "psi": round(psi, 6)})
+    return (pd.DataFrame(rows, columns=["split", "n_docs", "psi"])
+            .astype({"n_docs": "int64"})
+            .sort_values("split").reset_index(drop=True))
+
+
+Q99_SQL = f"""
+WITH assigned AS (
+  SELECT CASE WHEN (doc_id * {SPLIT_MULT}) % 4294967296 % 100
+              < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN (doc_id * {SPLIT_MULT}) % 4294967296 % 100
+              < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split,
+         {{BUCKET_CASE}} AS bucket
+  FROM documents),
+counts AS (
+  SELECT split, bucket, CAST(COUNT(*) AS BIGINT) AS n
+  FROM assigned GROUP BY split, bucket),
+tot AS (SELECT split, SUM(n) AS t FROM counts GROUP BY split),
+dist AS (
+  SELECT c.split, c.bucket, c.n * 1.0 / t.t AS p
+  FROM counts c JOIN tot t ON t.split = c.split)
+SELECT v.split,
+       CAST(ANY_VALUE(t.t) AS BIGINT) AS n_docs,
+       ROUND(SUM((v.p - b.p) * LN(v.p / b.p)), 6) AS psi
+FROM dist v
+JOIN dist b ON b.bucket = v.bucket AND b.split = 'train'
+JOIN tot t ON t.split = v.split
+WHERE v.split IN ('val', 'test')
+GROUP BY v.split
+ORDER BY v.split
+""".replace("{BUCKET_CASE}", _len_bucket_case())
