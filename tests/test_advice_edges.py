@@ -1,0 +1,133 @@
+"""Regression pins for the round-4 ADVICE edge fixes: empty-block
+schema stability in the logreg design pass, null-text tolerance in
+tokenizing kernels, uint64 priority hashing beyond int64-wrap range,
+the deterministic q81 mega-basket cap (engine == oracle when it
+triggers), and /tmp hygiene of the metrics-only export entry point."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def test_design_block_empty_keeps_dim():
+    from spardaqus_ray.pipelines.learn import _design_block
+
+    empty = pa.table({
+        "embedding": pa.array([], pa.list_(pa.float32())),
+        "label": pa.array([], pa.int32())})
+    out = _design_block(empty, target=0, dim=5)
+    assert out.num_rows == 0
+    assert pa.types.is_fixed_size_list(out.schema.field("x").type)
+    assert out.schema.field("x").type.list_size == 5
+    # and it concatenates cleanly with a non-empty block's schema
+    full = pa.table({
+        "embedding": pa.array([[0.1] * 5, [0.2] * 5], pa.list_(pa.float32())),
+        "label": pa.array([0, 1], pa.int32())})
+    both = pa.concat_tables([out, _design_block(full, target=0, dim=5)])
+    assert both.num_rows == 2
+
+
+def test_logreg_empty_embeddings_raises(ray_session, tmp_path):
+    from spardaqus_ray.pipelines.learn import logreg_train
+
+    empty = pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32())),
+        "label": pa.array([], pa.int32())})
+    pq.write_table(empty, tmp_path / "embeddings.parquet")
+    with pytest.raises(ValueError, match="empty"):
+        logreg_train(str(tmp_path))
+
+
+def test_oov_rate_tolerates_null_text(ray_session, tmp_path):
+    from spardaqus_ray.pipelines.textops import oov_rate_by_source
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["alpha beta beta", None, "alpha gamma"],
+                         pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "source": pa.array(["s1", "s1", "s2"], pa.string()),
+        "n_chars": pa.array([15, 0, 11], pa.int64())})
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    out = oov_rate_by_source(str(tmp_path), vocab_k=2)
+    out = out.set_index("source")
+    # the null doc contributes zero tokens (engine fill_null("") ==
+    # oracle's string_split(NULL) -> no rows), not a crash
+    assert int(out.loc["s1", "n_tokens"]) == 3
+    assert int(out.loc["s2", "n_tokens"]) == 2
+
+
+def test_q59_priority_exact_beyond_int64_wrap(ray_session, tmp_path):
+    """doc_id >= 2^33: the uint64 prio math keeps the documented
+    (doc_id * mult) mod 2^32 semantics where a signed-int64 multiply
+    would silently wrap negative."""
+    from spardaqus_ray.pipelines.quality import (_MIX_PRIO_MULT,
+                                                 q59_mixture_sample)
+
+    ids = np.array([2**33, 2**40 + 7, 2**50 + 123, 5], dtype=np.int64)
+    docs = pa.table({
+        "doc_id": pa.array(ids),
+        "text": pa.array(["x"] * 4, pa.string()),
+        "lang": pa.array(["en"] * 4, pa.string()),
+        "source": pa.array(["s1"] * 4, pa.string()),
+        "n_chars": pa.array([10, 20, 30, 40], pa.int64())})
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    got = q59_mixture_sample(str(tmp_path), budget=60)
+    # sequential reference with the exact documented uint64 semantics
+    prio = ((ids.astype(np.uint64) * np.uint64(_MIX_PRIO_MULT))
+            & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    order = np.lexsort((ids, prio))
+    chars = np.array([10, 20, 30, 40], dtype=np.int64)[order]
+    keep = np.cumsum(chars) <= 60
+    expect = np.sort(ids[order][keep])
+    assert got["doc_id"].to_numpy().tolist() == expect.tolist()
+
+
+def test_q81_mega_basket_cap_matches_oracle(ray_session, tmp_path):
+    """An order with more distinct parts than BASKET_MAX_PARTS_PER_ORDER
+    must trip the cap IDENTICALLY in engine and oracle (smallest
+    partkeys kept): pair counts over the capped items agree."""
+    import duckdb
+
+    from spardaqus_ray.pipelines.relational import (
+        BASKET_MAX_PARTS_PER_ORDER, Q81_SQL, q81_part_basket_lift)
+
+    rng = np.random.default_rng(7)
+    mega = BASKET_MAX_PARTS_PER_ORDER + 40
+    orders = [1] * mega + [2, 2, 2, 3, 3]
+    parts = (rng.permutation(np.arange(1, mega + 1)).tolist()
+             + [10, 11, 12, 10, 11])
+    li = pa.table({
+        "l_orderkey": pa.array(orders, pa.int64()),
+        "l_partkey": pa.array(parts, pa.int64())})
+    pq.write_table(li, tmp_path / "lineitem.parquet")
+    got = q81_part_basket_lift(str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/lineitem.parquet')")
+    want = con.execute(Q81_SQL).df()
+    got = got.reset_index(drop=True)
+    want = want.reset_index(drop=True)
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(
+        got.astype({"a": "int64", "b": "int64", "n_ab": "int64"}),
+        want.astype({"a": "int64", "b": "int64", "n_ab": "int64"}),
+        check_exact=False, rtol=0, atol=1e-9)
+
+
+def test_chunked_export_stats_cleans_tmp(ray_session):
+    from spardaqus_ray.pipelines.export import chunked_export_stats
+
+    before = set(glob.glob("/tmp/spdq_export_*"))
+    out = chunked_export_stats("/root/testdata/sf0.001")
+    after = set(glob.glob("/tmp/spdq_export_*"))
+    assert len(out) > 0
+    assert after - before == set(), "export tmp dirs leaked"
