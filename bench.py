@@ -243,6 +243,7 @@ def bench_queries() -> dict:
         ("q98_ks_length_drift", curation.q98_ks_length_drift),
         ("vocab_coverage_curve", textops.vocab_coverage_curve),
         ("q99_split_psi", curation.q99_split_psi),
+        ("dedup_cluster_sizes", dedup.dedup_cluster_sizes),
     ]:
         t0 = time.time()
         fn(SF_DIR)

@@ -1066,3 +1066,61 @@ def neardup_keeplist(sf_dir: str, jaccard_threshold: float = 0.7,
     out = (ds.map_batches(verdict, batch_format="pyarrow",
                           zero_copy_batch=True).to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def dedup_cluster_sizes(sf_dir: str) -> pd.DataFrame:
+    """Duplicate-family size histogram: for family size k (docs sharing
+    one exact text), how many families and how many docs are removable
+    (k-1 each) — the dedup-savings estimator read before paying for a
+    full dedup pass. Plan: exact_dedup_docs' digest + ONE sha-keyed
+    exchange, per-block family sizes (globally correct: a sha's rows
+    co-locate), then a size-value histogram — the exchange after the
+    digests is #distinct-sizes rows per block, dimension-sized."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    ensure_hash_shuffle(ds)
+
+    def digest(t: pa.Table) -> pa.Table:
+        from spardaqus_ray.functions.hashing import sha256_column
+
+        return pa.table({"sha": sha256_column(t["text"])})
+
+    ds = ds.map_batches(digest, batch_format="pyarrow")
+    ds = ds.repartition(
+        default_partitions(size_bytes=table_bytes(sf_dir, "documents")),
+        keys=["sha"])
+
+    def size_hist(t: pa.Table) -> pa.Table:
+        empty = pa.table({"family_size": pa.array([], pa.int64()),
+                          "n_families": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        vc = t["sha"].combine_chunks().value_counts()
+        sizes = vc.field("counts").to_numpy(zero_copy_only=False)
+        k, n = np.unique(sizes, return_counts=True)
+        return pa.table({"family_size": pa.array(k.astype(np.int64)),
+                         "n_families": pa.array(n.astype(np.int64))})
+
+    out = (ds.map_batches(size_hist, batch_format="pyarrow",
+                          batch_size=None)
+           .groupby("family_size")
+           .aggregate(Sum("n_families", alias_name="n_families"))
+           .to_pandas())
+    out = out.astype({"family_size": "int64", "n_families": "int64"})
+    out["removable_docs"] = (out["family_size"] - 1) * out["n_families"]
+    return (out.sort_values("family_size").reset_index(drop=True)
+            .astype({"removable_docs": "int64"}))
+
+
+DEDUP_CLUSTER_SIZES_SQL = """
+WITH fam AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS family_size
+  FROM documents GROUP BY text)
+SELECT family_size,
+       CAST(COUNT(*) AS BIGINT) AS n_families,
+       CAST((family_size - 1) * COUNT(*) AS BIGINT) AS removable_docs
+FROM fam
+GROUP BY family_size
+ORDER BY family_size
+"""
