@@ -244,6 +244,7 @@ def bench_queries() -> dict:
         ("vocab_coverage_curve", textops.vocab_coverage_curve),
         ("q99_split_psi", curation.q99_split_psi),
         ("dedup_cluster_sizes", dedup.dedup_cluster_sizes),
+        ("q100_rolling_wau", funnel.q100_rolling_wau),
     ]:
         t0 = time.time()
         fn(SF_DIR)

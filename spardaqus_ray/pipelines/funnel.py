@@ -452,3 +452,119 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
              - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
 FROM ranked
 """
+
+
+WAU_WINDOW_DAYS = 7
+
+
+def q100_rolling_wau(sf_dir: str) -> pd.DataFrame:
+    """DAU and trailing-7-day WAU per activity day — sliding COUNT
+    DISTINCT, the engagement curve every event stream gets asked for.
+    Distinct-over-a-sliding-window cannot ride a running sum, so the
+    plan expands each deduped (user, day) pair into its WAU_WINDOW_DAYS
+    member windows and dedups again: TWO keyed exchanges over ACTIVITY
+    PAIRS (distinct user-days x 7 — far smaller than the event stream),
+    never the raw events; both day aggregates are #days-sized. Output
+    days are restricted to observed activity days (the oracle's join
+    semantics)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    tune_hash_width(ds, table_bytes(sf_dir, "events"))
+    width = default_partitions(size_bytes=table_bytes(sf_dir, "events"))
+    keyed = _keyed(ds, "user_id", width)
+
+    def user_days(t: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "d": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = _np(t["user_id"]).astype(np.int64)
+        day = _ts_us(t["ts"]) // _DAY_US
+        key = np.unique(u.astype(np.uint64) * np.uint64(1 << 20)
+                        + day.astype(np.uint64))  # day << 2^20: fixture-safe
+        return pa.table({"user_id": pa.array((key >> np.uint64(20))
+                                             .astype(np.int64)),
+                         "d": pa.array((key & np.uint64((1 << 20) - 1))
+                                       .astype(np.int64))})
+
+    # two consumers (WAU expansion + DAU partials): materialize the
+    # deduped pairs ONCE or each lazily re-runs the read + user shuffle.
+    # Bounded: two int64 columns over distinct user-days, not the events.
+    pairs = keyed.map_batches(user_days, batch_format="pyarrow",
+                              batch_size=None).materialize()
+
+    def expand(t: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "win_d": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = t["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        w = WAU_WINDOW_DAYS
+        return pa.table({
+            "user_id": pa.array(np.repeat(u, w)),
+            "win_d": pa.array((np.repeat(d, w)
+                               + np.tile(np.arange(w, dtype=np.int64),
+                                         len(d))))})
+
+    # second exchange co-locates (win_d, user) so the in-block unique
+    # count is the exact sliding distinct
+    expand_keyed = (pairs.map_batches(
+        expand, batch_format="pyarrow", batch_size=None)
+        .repartition(width, keys=["win_d"]))
+
+    def wau_block(t: pa.Table) -> pa.Table:
+        empty = pa.table({"d": pa.array([], pa.int64()),
+                          "wau7": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        d = t["win_d"].combine_chunks().to_numpy(zero_copy_only=False)
+        u = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        key = np.unique(d.astype(np.uint64) * np.uint64(1 << 40)
+                        + u.astype(np.uint64))
+        days = (key >> np.uint64(40)).astype(np.int64)
+        vals, counts = np.unique(days, return_counts=True)
+        return pa.table({"d": pa.array(vals),
+                         "wau7": pa.array(counts.astype(np.int64))})
+
+    wau = expand_keyed.map_batches(wau_block, batch_format="pyarrow",
+                                   batch_size=None).to_pandas()
+
+    def dau_block(t: pa.Table) -> pa.Table:
+        empty = pa.table({"d": pa.array([], pa.int64()),
+                          "dau": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        d = t["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        vals, counts = np.unique(d, return_counts=True)
+        return pa.table({"d": pa.array(vals.astype(np.int64)),
+                         "dau": pa.array(counts.astype(np.int64))})
+
+    # pairs are user-keyed, so per-day partials need ONE small grouped
+    # SUM (days x blocks rows)
+    dau = (pairs.map_batches(dau_block, batch_format="pyarrow",
+                             batch_size=None)
+           .groupby("d").aggregate(Sum("dau", alias_name="dau"))
+           .to_pandas())
+    out = dau.merge(wau, on="d", how="inner")  # observed days only
+    out = out.rename(columns={"d": "day_num"}).astype(
+        {"day_num": "int64", "dau": "int64", "wau7": "int64"})
+    return (out[["day_num", "dau", "wau7"]]
+            .sort_values("day_num").reset_index(drop=True))
+
+
+Q100_SQL = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+  FROM events),
+days AS (SELECT DISTINCT d FROM ud),
+wau AS (
+  SELECT days.d, COUNT(DISTINCT ud.user_id) AS wau7
+  FROM days JOIN ud
+    ON ud.d BETWEEN days.d - {WAU_WINDOW_DAYS - 1} AND days.d
+  GROUP BY days.d),
+dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY d)
+SELECT dau.d AS day_num, dau.dau, CAST(wau.wau7 AS BIGINT) AS wau7
+FROM dau JOIN wau ON wau.d = dau.d
+ORDER BY day_num
+"""
