@@ -245,6 +245,7 @@ def bench_queries() -> dict:
         ("q99_split_psi", curation.q99_split_psi),
         ("dedup_cluster_sizes", dedup.dedup_cluster_sizes),
         ("q100_rolling_wau", funnel.q100_rolling_wau),
+        ("q101_source_lang_chi2", curation.q101_source_lang_chi2),
     ]:
         t0 = time.time()
         fn(SF_DIR)

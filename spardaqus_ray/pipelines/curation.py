@@ -906,3 +906,74 @@ WHERE v.split IN ('val', 'test')
 GROUP BY v.split
 ORDER BY v.split
 """.replace("{BUCKET_CASE}", _len_bucket_case())
+
+
+# q101: source x lang independence — is language mix uniform across
+# feeds, or does one crawl skew the mixture? Pearson chi-square per
+# source (sum of its cells' (o-e)^2/e contributions) over the bounded
+# contingency table.
+def q101_source_lang_chi2(sf_dir: str) -> pd.DataFrame:
+    """Per source: its chi-square contribution against the
+    independence expectation e = row_total * col_total / n, plus doc
+    count. One stateless partial pass emits (source, lang, n) rows —
+    the exchange is the #sources x #langs contingency table — then the
+    chi-square arithmetic runs on the driver over that tiny table."""
+    ds = read_table(sf_dir, "documents", columns=["source", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "lang": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        df = pd.DataFrame({
+            "source": t["source"].combine_chunks()
+            .to_numpy(zero_copy_only=False),
+            "lang": t["lang"].combine_chunks()
+            .to_numpy(zero_copy_only=False),
+            "n": np.ones(t.num_rows, np.int64)})
+        g = df.groupby(["source", "lang"], sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    h = (ds.map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+         .groupby(["source", "lang"]).aggregate(Sum("n", alias_name="n"))
+         .to_pandas())
+    h = h.astype({"n": "int64"})
+    n = int(h["n"].sum())
+    row_tot = h.groupby("source")["n"].sum()
+    col_tot = h.groupby("lang")["n"].sum()
+    rows = []
+    for src, grp in h.groupby("source", sort=True):
+        # mirror the SQL float ops: e = rt*ct/n per OBSERVED cell (the
+        # counts-join convention — zero-observed cells contribute e,
+        # which the oracle mirrors by the same inner join)
+        rt = int(row_tot[src])
+        e = rt * col_tot[grp["lang"]].to_numpy() * 1.0 / n
+        o = grp["n"].to_numpy()
+        chi2 = float(np.sum((o - e) * (o - e) / e))
+        rows.append({"source": src, "n_docs": rt,
+                     "chi2": round(chi2, 6)})
+    return (pd.DataFrame(rows, columns=["source", "n_docs", "chi2"])
+            .astype({"n_docs": "int64"})
+            .sort_values("source").reset_index(drop=True))
+
+
+Q101_SQL = """
+WITH c AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY source, lang),
+rt AS (SELECT source, SUM(n) AS rn FROM c GROUP BY source),
+ct AS (SELECT lang, SUM(n) AS cn FROM c GROUP BY lang),
+g AS (SELECT SUM(n) AS n FROM c)
+SELECT c.source,
+       CAST(ANY_VALUE(rt.rn) AS BIGINT) AS n_docs,
+       ROUND(SUM(POWER(c.n - rt.rn * ct.cn * 1.0 / g.n, 2)
+                 / (rt.rn * ct.cn * 1.0 / g.n)), 6) AS chi2
+FROM c
+JOIN rt ON rt.source = c.source
+JOIN ct ON ct.lang = c.lang
+CROSS JOIN g
+GROUP BY c.source
+ORDER BY c.source
+"""
