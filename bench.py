@@ -246,6 +246,7 @@ def bench_queries() -> dict:
         ("dedup_cluster_sizes", dedup.dedup_cluster_sizes),
         ("q100_rolling_wau", funnel.q100_rolling_wau),
         ("q101_source_lang_chi2", curation.q101_source_lang_chi2),
+        ("q102_lexical_diversity", textops.q102_lexical_diversity),
     ]:
         t0 = time.time()
         fn(SF_DIR)

@@ -1131,3 +1131,101 @@ CROSS JOIN (VALUES {", ".join(f"({k})" for k in sorted(VOCAB_COVERAGE_KS))})
 GROUP BY ks.k
 ORDER BY ks.k
 """
+
+
+def q102_lexical_diversity(sf_dir: str) -> pd.DataFrame:
+    """Per source: token count, type count (distinct tokens),
+    type-token ratio, and the corpus-hapax rate (tokens whose SINGLE
+    corpus-wide occurrence falls in this source — the OCR-junk /
+    boilerplate-free-text discriminator). Plan: per-block (source,
+    token) partials -> grouped SUM = tf (vocab x sources exchange) ->
+    ONE token-keyed repartition of tf, inside which each token's global
+    count materializes in-block (its rows co-locate), so hapax flags
+    need NO join and NO broadcast -> #sources partials -> grouped SUM.
+    Driver sees #sources rows."""
+    from spardaqus_ray.util import (default_partitions,
+                                    ensure_hash_shuffle)
+
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(
+            pc.utf8_lower(pc.fill_null(t["text"].combine_chunks(), "")),
+            " ")
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        toks = pc.list_flatten(lists)
+        src = np.repeat(t["source"].combine_chunks()
+                        .to_numpy(zero_copy_only=False), lens)
+        keep = pc.not_equal(toks, "").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"source": src[keep],
+                           "token": toks.to_numpy(
+                               zero_copy_only=False)[keep]})
+        g = (df.groupby(["source", "token"], sort=False).size()
+             .rename("n").reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    tf = (ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+          .groupby(["source", "token"]).aggregate(Sum("n", alias_name="n"))
+          .materialize())
+    ensure_hash_shuffle(tf)
+    keyed = tf.repartition(
+        default_partitions(size_bytes=tf.size_bytes()), keys=["token"])
+
+    def block(t: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "n_types": pa.array([], pa.int64()),
+                          "n_hapax": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        codes = np.asarray(t["token"].combine_chunks()
+                           .dictionary_encode().indices, np.int64)
+        gn = np.zeros(int(codes.max()) + 1, np.int64)
+        np.add.at(gn, codes, n)  # int64-exact (bincount weights=float64)
+        hapax = gn[codes] == 1  # a token's rows all co-locate here
+        df = pd.DataFrame({
+            "source": t["source"].combine_chunks()
+            .to_numpy(zero_copy_only=False),
+            "n_tokens": n,
+            "n_types": np.ones(len(n), np.int64),
+            "n_hapax": hapax.astype(np.int64)})
+        g = df.groupby("source", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (keyed.map_batches(block, batch_format="pyarrow",
+                             batch_size=None)
+           .groupby("source")
+           .aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                      Sum("n_types", alias_name="n_types"),
+                      Sum("n_hapax", alias_name="n_hapax"))
+           .to_pandas())
+    out = out.astype({"n_tokens": "int64", "n_types": "int64",
+                      "n_hapax": "int64"})
+    out["ttr"] = (out["n_types"] / out["n_tokens"]).round(6)
+    out["hapax_rate"] = (out["n_hapax"] / out["n_tokens"]).round(6)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+Q102_SQL = """
+WITH tf AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT source,
+               unnest(string_split(lower(text), ' ')) AS token
+        FROM documents)
+  WHERE token <> ''
+  GROUP BY source, token),
+g AS (SELECT token, SUM(n) AS gn FROM tf GROUP BY token)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(COUNT(*) FILTER (WHERE gn = 1) AS BIGINT) AS n_hapax,
+       ROUND(COUNT(*) * 1.0 / SUM(n), 6) AS ttr,
+       ROUND(COUNT(*) FILTER (WHERE gn = 1) * 1.0 / SUM(n), 6)
+           AS hapax_rate
+FROM tf JOIN g USING (token)
+GROUP BY source
+ORDER BY source
+"""
