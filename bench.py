@@ -247,6 +247,7 @@ def bench_queries() -> dict:
         ("q100_rolling_wau", funnel.q100_rolling_wau),
         ("q101_source_lang_chi2", curation.q101_source_lang_chi2),
         ("q102_lexical_diversity", textops.q102_lexical_diversity),
+        ("q103_event_burstiness", stats.q103_event_burstiness),
     ]:
         t0 = time.time()
         fn(SF_DIR)

@@ -864,3 +864,44 @@ FROM st
 WHERE n > mu + 2.0 * sd
 ORDER BY event_type, hour
 """
+
+
+def q103_event_burstiness(sf_dir: str) -> pd.DataFrame:
+    """Burstiness per event type: the Fano factor (VAR_SAMP / mean) of
+    hourly counts over observed hours — ~1 for a Poisson stream, >> 1
+    for bursty feeds (the dispersion companion to q79's z-score scan).
+    Same plan as q79: ONE tumbling-window grouped count whose output is
+    #types x #hours rows, then driver algebra over that bounded
+    aggregate."""
+    from ray.data.aggregate import Count
+
+    from spardaqus_ray.pipelines.windows import tumbling_agg
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
+    hourly = (tumbling_agg(ds, ts="ts", every_us=3_600_000_000,
+                           aggs=[Count(alias_name="n")],
+                           keys=["event_type"], window_name="hour")
+              .to_pandas())
+    g = hourly.groupby("event_type")["n"]
+    out = pd.DataFrame({
+        "n_hours": g.count().astype("int64"),
+        "mean_n": g.mean().round(4),
+        "fano": (g.var(ddof=1) / g.mean()).round(4),
+    }).reset_index()
+    return (out[["event_type", "n_hours", "mean_n", "fano"]]
+            .sort_values("event_type").reset_index(drop=True))
+
+
+Q103_SQL = """
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, hour)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       ROUND(AVG(n), 4) AS mean_n,
+       ROUND(VAR_SAMP(n) / AVG(n), 4) AS fano
+FROM hourly
+GROUP BY event_type
+ORDER BY event_type
+"""
