@@ -398,29 +398,34 @@ def q96_user_event_gini(sf_dir: str) -> pd.DataFrame:
     """Gini coefficient of event-count concentration across users — the
     skew diagnostic that tells you whether a handful of power users (or
     mega-repos, for the code corpus) dominate the stream, i.e. whether
-    a per-user partitioning key needs salting. Plan: one groupby(user)
-    count (user-dimension), then a count-VALUE histogram (bounded by
-    distinct activity levels, tiny), from which the driver computes the
-    exact rank-sum Gini with integer math — the corpus-sized vector is
-    never sorted globally and never touches the driver."""
-    from ray.data.aggregate import Count
-
+    a per-user partitioning key needs salting. Plan: ONE user-keyed
+    repartition (per-user counts combine in-block — the q81 lesson: a
+    grouped aggregate whose group space is ~the user dimension is an
+    order slower than repartition + local combine), each block emitting
+    its count-VALUE histogram (bounded by distinct activity levels,
+    tiny), then one dimension-sized grouped SUM; the driver computes
+    the exact rank-sum Gini with integer math — the corpus-sized
+    vector is never sorted globally and never touches the driver."""
     ds = read_table(sf_dir, "events", columns=["user_id"])
-    counts = (ds.groupby("user_id")
-              .aggregate(Count(alias_name="c")))
+    tune_hash_width(ds, table_bytes(sf_dir, "events"))
+    keyed = _keyed(ds, "user_id",
+                   default_partitions(
+                       size_bytes=table_bytes(sf_dir, "events")))
 
     def hist(t: pa.Table) -> pa.Table:
         empty = pa.table({"c": pa.array([], pa.int64()),
                           "n_users": pa.array([], pa.int64())})
         if t.num_rows == 0:
             return empty
-        c = t["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        u = _np(t["user_id"]).astype(np.int64)
+        # users co-locate, so in-block per-user counts are global
+        _, c = np.unique(u, return_counts=True)
         vals, n = np.unique(c, return_counts=True)
         return pa.table({"c": pa.array(vals.astype(np.int64)),
                          "n_users": pa.array(n.astype(np.int64))})
 
-    h = (counts.map_batches(hist, batch_format="pyarrow",
-                            zero_copy_batch=True)
+    h = (keyed.map_batches(hist, batch_format="pyarrow",
+                           batch_size=None)
          .groupby("c").aggregate(Sum("n_users", alias_name="n_users"))
          .to_pandas())
     h = h.sort_values("c").reset_index(drop=True)
