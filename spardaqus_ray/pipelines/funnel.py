@@ -484,8 +484,10 @@ def q100_rolling_wau(sf_dir: str) -> pd.DataFrame:
             return empty
         u = _np(t["user_id"]).astype(np.int64)
         day = _ts_us(t["ts"]) // _DAY_US
+        # pack (user, day) into one uint64 for a single np.unique:
+        # day < 2^20 holds until year 4840, user_id < 2^44 (~1.7e13)
         key = np.unique(u.astype(np.uint64) * np.uint64(1 << 20)
-                        + day.astype(np.uint64))  # day << 2^20: fixture-safe
+                        + day.astype(np.uint64))
         return pa.table({"user_id": pa.array((key >> np.uint64(20))
                                              .astype(np.int64)),
                          "d": pa.array((key & np.uint64((1 << 20) - 1))
@@ -524,6 +526,7 @@ def q100_rolling_wau(sf_dir: str) -> pd.DataFrame:
             return empty
         d = t["win_d"].combine_chunks().to_numpy(zero_copy_only=False)
         u = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        # (day, user) packed: user_id < 2^40 (~1.1e12), day < 2^24
         key = np.unique(d.astype(np.uint64) * np.uint64(1 << 40)
                         + u.astype(np.uint64))
         days = (key >> np.uint64(40)).astype(np.int64)
