@@ -185,6 +185,7 @@ def bench_queries() -> dict:
                                          textops, winnow)
 
     out = {}
+    steals = {}
     for name, fn in [
         ("q1_lineitem_agg", relational.q1_lineitem_agg),
         ("q2_revenue_by_mktsegment", relational.q2_revenue_by_mktsegment),
@@ -249,10 +250,15 @@ def bench_queries() -> dict:
         ("q102_lexical_diversity", textops.q102_lexical_diversity),
         ("q103_event_burstiness", stats.q103_event_burstiness),
     ]:
+        h0 = _host_cpu_sample()
         t0 = time.time()
         fn(SF_DIR)
         out[name] = round(time.time() - t0, 2)
-    return out
+        # per-query steal audit (separate key keeps the name->seconds
+        # contract intact): a burst-inflated reading is then
+        # distinguishable from a real regression in the artifact itself
+        steals[name] = _host_delta(h0, _host_cpu_sample())["steal_pct"]
+    return out, steals
 
 
 def run_once() -> dict:
@@ -289,7 +295,7 @@ def run_once() -> dict:
     flag = min(samples, key=lambda s: s["sec"])
     _wait_for_quiet(max_wait_s=120)
     qhost0 = _host_cpu_sample()
-    queries = bench_queries()
+    queries, query_steals = bench_queries()
     result = {
         "metric": "flagship_annotate_e2e",
         "value": flag["sec"],
@@ -302,6 +308,7 @@ def run_once() -> dict:
         "files_per_sec": flag["files_per_sec"],
         "host": flag["host"],
         "queries_host": _host_delta(qhost0, _host_cpu_sample()),
+        "queries_steal": query_steals,
         "flagship_samples": [{"sec": s["sec"], **s["host"]} for s in samples],
     }
     ray.shutdown()
