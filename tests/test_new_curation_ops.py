@@ -1,0 +1,105 @@
+"""Crafted-fixture semantic pins for the round-4 session-3 operators,
+beyond the sf0.01 DuckDB gate in test_oracle.py: q100's window edges
+(gaps longer than the window, users spanning windows) and q95's
+deterministic tie ordering."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_DAY_US = 86_400_000_000
+_BASE = 1_700_000_000_000_000  # 2023-11-14, non-negative epoch
+
+
+def _write_events(tmp_path, rows):
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string())})
+    pq.write_table(t, tmp_path / "events.parquet")
+    return str(tmp_path)
+
+
+def test_q100_window_edges(ray_session, tmp_path):
+    """User A active on day 0 and day 9 (gap > window: two isolated
+    spikes); user B active days 0..2. WAU at day d counts distinct
+    users over [d-6, d] — only observed activity days emit rows."""
+    from spardaqus_ray.pipelines.funnel import q100_rolling_wau
+
+    day0 = _BASE - (_BASE % _DAY_US)  # align to a day boundary
+    rows = []
+    eid = 0
+    for d in (0, 9):
+        eid += 1
+        rows.append((eid, day0 + d * _DAY_US + 1, 1, "view"))
+    for d in (0, 1, 2):
+        eid += 1
+        rows.append((eid, day0 + d * _DAY_US + 2, 2, "view"))
+        eid += 1  # duplicate event same user+day must not double-count
+        rows.append((eid, day0 + d * _DAY_US + 3, 2, "click"))
+    sf = _write_events(tmp_path, rows)
+    out = q100_rolling_wau(sf).set_index("day_num")
+    d0 = day0 // _DAY_US
+    # observed activity days only: 0, 1, 2, 9
+    assert sorted(out.index.tolist()) == [d0, d0 + 1, d0 + 2, d0 + 9]
+    assert out.loc[d0, "dau"] == 2 and out.loc[d0, "wau7"] == 2
+    assert out.loc[d0 + 1, "dau"] == 1 and out.loc[d0 + 1, "wau7"] == 2
+    assert out.loc[d0 + 2, "dau"] == 1 and out.loc[d0 + 2, "wau7"] == 2
+    # day 9: window [3..9] contains only user A's second spike
+    assert out.loc[d0 + 9, "dau"] == 1 and out.loc[d0 + 9, "wau7"] == 1
+
+
+def test_q95_tie_order_and_exactness(ray_session, tmp_path):
+    """Two events with IDENTICAL ts: the (ts, event_id) tie-break makes
+    the gap sequence deterministic; gaps are exact int64 microseconds."""
+    from spardaqus_ray.pipelines.funnel import q95_event_gap_stats
+
+    t0 = _BASE
+    rows = [
+        (3, t0, 7, "view"),          # tie at t0: event_id 3 then 5
+        (5, t0, 7, "view"),
+        (9, t0 + 123_456, 7, "view"),
+    ]
+    sf = _write_events(tmp_path, rows)
+    out = q95_event_gap_stats(sf).set_index("event_type")
+    # gaps: (id3 -> id5) = 0, (id5 -> id9) = 123456
+    assert int(out.loc["view", "n_gaps"]) == 2
+    assert int(out.loc["view", "min_gap_us"]) == 0
+    assert int(out.loc["view", "max_gap_us"]) == 123_456
+    assert out.loc["view", "avg_gap_us"] == 61728.0
+
+
+def test_q96_gini_known_values(ray_session, tmp_path):
+    """Exact Gini on hand-checkable distributions: perfectly equal
+    counts -> (n-1-... ) rank formula gives 0; one dominant user high."""
+    from spardaqus_ray.pipelines.funnel import q96_user_event_gini
+
+    # 4 users x 3 events each: perfectly equal -> gini 0
+    rows = [(i * 10 + j, _BASE + i * 1000 + j, i, "view")
+            for i in range(4) for j in range(3)]
+    sf = _write_events(tmp_path, rows)
+    out = q96_user_event_gini(sf)
+    assert int(out["n_users"][0]) == 4
+    assert out["gini"][0] == 0.0
+
+
+def test_q96_gini_skewed(ray_session, tmp_path):
+    from spardaqus_ray.pipelines.funnel import q96_user_event_gini
+
+    # counts [1, 1, 1, 9]: rank-sum gini = 2*(1+2+3+36)/(4*12) - 5/4
+    rows = []
+    eid = 0
+    for u, k in ((1, 1), (2, 1), (3, 1), (4, 9)):
+        for j in range(k):
+            eid += 1
+            rows.append((eid, _BASE + eid, u, "view"))
+    sf = _write_events(tmp_path, rows)
+    out = q96_user_event_gini(sf)
+    expect = round(2.0 * (1 + 2 + 3 + 4 * 9) / (4 * 12) - 5.0 / 4, 6)
+    assert out["gini"][0] == expect
