@@ -2021,7 +2021,6 @@ def q81_part_basket_lift(
     `marg_broadcast_max_bytes`, attached by two hash joins above it —
     so the driver only ever sees #blocks x k candidate rows."""
     import ray as _ray
-    from ray.data.aggregate import Sum
 
     ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
     ensure_hash_shuffle(ds)
@@ -2044,11 +2043,35 @@ def q81_part_basket_lift(
         return pa.table({"part": pa.array(parts),
                          "n": pa.array(counts.astype(np.int64))})
 
-    # marginal aggregate stays a Dataset; its COUNT decides the attach
-    # plan before anything is pulled to the driver
+    def marg_combine(t: pa.Table) -> pa.Table:
+        empty = pa.table({"part": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        p = (t["part"].combine_chunks()
+             .to_numpy(zero_copy_only=False).astype(np.int64))
+        n = (t["n"].combine_chunks()
+             .to_numpy(zero_copy_only=False).astype(np.int64))
+        order = np.argsort(p, kind="stable")
+        p, n = p[order], n[order]
+        starts = np.concatenate(([0], np.nonzero(p[1:] != p[:-1])[0] + 1))
+        return pa.table({"part": pa.array(p[starts]),
+                         "n": pa.array(np.add.reduceat(n, starts))})
+
+    # marginal reduction as repartition(keys)+block-local combine, the
+    # same plan as the pair reduction below: Ray 2.49's HashAggregate at
+    # ~group-space-sized outputs (200k distinct parts here) is an order
+    # slower per the q81 lesson — and measured 28.8 s inside a long
+    # bench session (aggregator-actor startup under worker pressure)
+    # where this plan is sub-second. Stays a Dataset; its COUNT decides
+    # the attach plan before anything is pulled to the driver.
+    marg_width = default_partitions(size_bytes=table_bytes(sf_dir,
+                                                           "lineitem"))
     marg_ds = (keyed.map_batches(marg_partial, batch_format="pyarrow",
                                  batch_size=None)
-               .groupby("part").aggregate(Sum("n", alias_name="n"))
+               .repartition(marg_width, keys=["part"])
+               .map_batches(marg_combine, batch_format="pyarrow",
+                            batch_size=None)
                .materialize())
     n_parts = marg_ds.count()
     # orderkeys are co-located, so per-block uniques are globally
