@@ -22,7 +22,7 @@ from ray.data.aggregate import Sum
 
 from spardaqus_ray.sources.code_parquet import read_table
 from spardaqus_ray.util import (default_partitions, ensure_hash_shuffle,
-                                table_bytes)
+                                table_bytes, tune_hash_width)
 
 # q82: Knuth multiplicative hash — the same partition-invariant
 # pseudo-random permutation q59 uses, so a doc's split is a pure
@@ -280,7 +280,8 @@ def q89_curriculum_deciles(sf_dir: str) -> pd.DataFrame:
     arithmetic, then a #langs x 10 grouped mean."""
     ds = read_table(sf_dir, "documents",
                     columns=["doc_id", "lang", "n_chars"])
-    ensure_hash_shuffle(ds)
+    # data-sized width for the #langs x 10 aggregate (q81 lesson)
+    tune_hash_width(ds, table_bytes(sf_dir, "documents"))
     keyed = ds.repartition(
         default_partitions(size_bytes=table_bytes(sf_dir, "documents")),
         keys=["lang"])

@@ -43,7 +43,7 @@ import pyarrow.compute as pc
 from spardaqus_ray.functions.hashing import crc32_segments
 from spardaqus_ray.sources.code_parquet import read_table
 from spardaqus_ray.util import (default_partitions, ensure_hash_shuffle,
-                                table_bytes)
+                                table_bytes, tune_hash_width)
 
 log = logging.getLogger(__name__)
 
@@ -1079,7 +1079,8 @@ def dedup_cluster_sizes(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Sum
 
     ds = read_table(sf_dir, "documents", columns=["text"])
-    ensure_hash_shuffle(ds)
+    # data-sized width for the tiny family-size histogram (q81 lesson)
+    tune_hash_width(ds, table_bytes(sf_dir, "documents"))
 
     def digest(t: pa.Table) -> pa.Table:
         from spardaqus_ray.functions.hashing import sha256_column

@@ -718,7 +718,9 @@ def q63_source_overlap(sf_dir: str,
 
     ex = ds.map_batches(explode, batch_format="pyarrow",
                         zero_copy_batch=True)
-    ensure_hash_shuffle(ex)
+    # data-sized width: the final #sources^2/2-row aggregate must not
+    # pay 32 aggregator-actor startups (q81 lesson, BASELINE.md r4)
+    tune_hash_width(ex, table_bytes(sf_dir, "documents"))
     ex = ex.repartition(width, keys=["shingle"])
 
     def pairs(t: pa.Table) -> pa.Table:

@@ -944,6 +944,10 @@ def q27_near_orders_histogram(sf_dir: str) -> pd.DataFrame:
     day_us = 86_400_000_000
     ds = read_table(sf_dir, "orders",
                     columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    # data-sized context width: the final histogram aggregate must not
+    # spawn CPU-count aggregator actors for a ~40-row output (the q81
+    # in-session HashAggregate lesson, BASELINE.md r4)
+    tune_hash_width(ds, table_bytes(sf_dir, "orders"))
     ds = range_count(ds, key="o_custkey", ts="o_orderdate",
                      radius_us=30 * day_us, out_name="n_near",
                      num_partitions=default_partitions(

@@ -1143,8 +1143,7 @@ def q102_lexical_diversity(sf_dir: str) -> pd.DataFrame:
     count materializes in-block (its rows co-locate), so hapax flags
     need NO join and NO broadcast -> #sources partials -> grouped SUM.
     Driver sees #sources rows."""
-    from spardaqus_ray.util import (default_partitions,
-                                    ensure_hash_shuffle)
+    from spardaqus_ray.util import default_partitions, tune_hash_width
 
     ds = read_table(sf_dir, "documents", columns=["source", "text"])
 
@@ -1168,7 +1167,9 @@ def q102_lexical_diversity(sf_dir: str) -> pd.DataFrame:
                          zero_copy_batch=True)
           .groupby(["source", "token"]).aggregate(Sum("n", alias_name="n"))
           .materialize())
-    ensure_hash_shuffle(tf)
+    # width from the MATERIALIZED aggregate's bytes; also sizes the
+    # final #sources aggregate's actor pool (q81 lesson)
+    tune_hash_width(tf, tf.size_bytes())
     keyed = tf.repartition(
         default_partitions(size_bytes=tf.size_bytes()), keys=["token"])
 

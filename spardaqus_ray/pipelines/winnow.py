@@ -26,7 +26,7 @@ from ray.data.aggregate import Count
 
 from spardaqus_ray.sources.code_parquet import read_table
 from spardaqus_ray.util import (default_partitions, ensure_hash_shuffle,
-                                table_bytes)
+                                table_bytes, tune_hash_width)
 
 log = logging.getLogger(__name__)
 
@@ -144,7 +144,8 @@ def winnow_dup_pairs(sf_dir: str, table: str = "documents",
     with the shared count — the MOSS match report. One fp-keyed
     exchange, capped in-bucket pair emission, (a, b) groupby-count."""
     fps = winnow_fingerprints_ds(sf_dir, table)
-    ensure_hash_shuffle(fps)
+    # data-sized width for the (a, b) pair aggregate too (q81 lesson)
+    tune_hash_width(fps, table_bytes(sf_dir, table))
     fps = fps.repartition(
         default_partitions(size_bytes=table_bytes(sf_dir, table)),
         keys=["fp"])
