@@ -249,6 +249,7 @@ def bench_queries() -> dict:
         ("q101_source_lang_chi2", curation.q101_source_lang_chi2),
         ("q102_lexical_diversity", textops.q102_lexical_diversity),
         ("q103_event_burstiness", stats.q103_event_burstiness),
+        ("jl_projection_recall", quantize.jl_recall),
     ]:
         h0 = _host_cpu_sample()
         t0 = time.time()

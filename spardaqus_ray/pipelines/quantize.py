@@ -117,3 +117,84 @@ def quantized_recall(sf_dir: str, k: int = 10,
                      "avg_rank_shift": round(float(np.mean(shifts)), 4)
                      if shifts else 0.0})
     return pd.DataFrame(rows).sort_values("query_id").reset_index(drop=True)
+
+
+JL_SEED = 7
+JL_OUT_DIM = 16
+
+
+def _jl_matrix(dim: int, out_dim: int) -> np.ndarray:
+    """Seeded Gaussian Johnson-Lindenstrauss projection (dim x out_dim),
+    scaled 1/sqrt(out_dim) so expected norms are preserved. Deterministic
+    function of the shapes — every worker regenerates it identically, so
+    nothing needs to ship."""
+    rng = np.random.default_rng(JL_SEED)
+    return (rng.standard_normal((dim, out_dim)) /
+            np.sqrt(out_dim)).astype(np.float64)
+
+
+def jl_recall(sf_dir: str, out_dim: int = JL_OUT_DIM, k: int = 10,
+              query_ids: tuple[int, ...] = (0, 1, 2)) -> pd.DataFrame:
+    """recall@k of cosine retrieval in a Johnson-Lindenstrauss random
+    projection (dim -> out_dim) vs exact full-dim retrieval — the THIRD
+    member of the compression family (PCA = exact linear, int8 = scalar
+    quantization, JL = data-oblivious random projection: no training
+    pass at all, the right first cut at 100 TB). Same broadcast-queries
+    / per-batch-matmul / local-top-k plan as quantized_recall; the
+    projection matrix is a seeded deterministic function regenerated
+    in-block (nothing ships). Rows-only; pytest pins determinism and a
+    recall floor."""
+    q = query_vectors(sf_dir, query_ids).astype(np.float64)
+    dim = q.shape[1]
+    R = _jl_matrix(dim, out_dim)
+    qp = q @ R
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    qpn = qp / np.maximum(np.linalg.norm(qp, axis=1, keepdims=True), 1e-12)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def topk_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"query": pa.array([], pa.int64()),
+                          "vec_id": pa.array([], pa.int64()),
+                          "cos": pa.array([], pa.float64()),
+                          "proj": pa.array([], pa.bool_())})
+        if t.num_rows == 0:
+            return empty
+        ids = (t["vec_id"].combine_chunks()
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+        m = _mat(t).astype(np.float64)
+        Rb = _jl_matrix(m.shape[1], out_dim)
+        out = []
+        for proj in (False, True):
+            x = m @ Rb if proj else m
+            qq = qpn if proj else qn
+            xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True),
+                                1e-12)
+            cos = qq @ xn.T
+            for qi in range(len(qq)):
+                top = np.argsort(-cos[qi], kind="stable")[:k]
+                out.append(pa.table({
+                    "query": pa.array(np.full(len(top), qi, np.int64)),
+                    "vec_id": pa.array(ids[top]),
+                    "cos": pa.array(cos[qi][top]),
+                    "proj": pa.array(np.full(len(top), proj))}))
+        return pa.concat_tables(out)
+
+    cand = (ds.map_batches(topk_partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas())
+    rows = []
+    for qi in range(len(qn)):
+        sides = {}
+        for proj in (False, True):
+            g = cand[(cand["query"] == qi) & (cand["proj"] == proj)]
+            g = g.sort_values(["cos", "vec_id"],
+                              ascending=[False, True]).head(k)
+            sides[proj] = g["vec_id"].tolist()
+        exact, projected = sides[False], sides[True]
+        hit = set(exact) & set(projected)
+        rows.append({"query_id": int(query_ids[qi]),
+                     "out_dim": out_dim,
+                     "recall_at_k": round(len(hit) / k, 4)})
+    return (pd.DataFrame(rows, columns=["query_id", "out_dim",
+                                        "recall_at_k"])
+            .astype({"query_id": "int64", "out_dim": "int64"})
+            .sort_values("query_id").reset_index(drop=True))

@@ -33,3 +33,48 @@ def test_quantized_recall_on_fixture(ray_session):
     assert len(out) == 3
     assert (out["recall_at_k"] >= 0.8).all()   # int8 keeps the top-10
     assert quantized_recall(SF001).equals(out)  # deterministic
+
+
+def test_jl_recall_matches_sequential(ray_session):
+    """Distributed JL recall == a sequential numpy replay with the same
+    seeded projection — the exact oracle (the fixture's near-tie cosine
+    neighborhoods make recall legitimately low, so the gate is equality
+    with the reference, not an arbitrary floor)."""
+    from spardaqus_ray.pipelines.ann import _mat, query_vectors
+    from spardaqus_ray.pipelines.quantize import _jl_matrix, jl_recall
+
+    out = jl_recall(SF001, out_dim=16)
+    assert jl_recall(SF001, out_dim=16).equals(out)  # deterministic
+
+    t = pq.read_table(f"{SF001}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    m = _mat(t).astype(np.float64)
+    q = query_vectors(SF001, (0, 1, 2)).astype(np.float64)
+    R = _jl_matrix(m.shape[1], 16)
+
+    def topk(x, qq, k=10):
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        qn = qq / np.maximum(np.linalg.norm(qq, axis=1, keepdims=True), 1e-12)
+        cos = qn @ xn.T
+        res = []
+        for qi in range(len(qn)):
+            # global exact top-k with (cos desc, vec_id asc) tie order
+            order = np.lexsort((ids, -cos[qi]))[:k]
+            res.append(ids[order].tolist())
+        return res
+
+    exact = topk(m, q)
+    proj = topk(m @ R, q @ R)
+    for qi in range(3):
+        want = round(len(set(exact[qi]) & set(proj[qi])) / 10, 4)
+        assert out.loc[qi, "recall_at_k"] == want
+
+
+def test_jl_recall_curve_monotone(ray_session):
+    """More projected dimensions preserve more of the exact top-10."""
+    from spardaqus_ray.pipelines.quantize import jl_recall
+
+    lo = jl_recall(SF001, out_dim=8)
+    hi = jl_recall(SF001, out_dim=128)
+    assert hi["recall_at_k"].mean() >= lo["recall_at_k"].mean()
