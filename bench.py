@@ -250,6 +250,7 @@ def bench_queries() -> dict:
         ("q102_lexical_diversity", textops.q102_lexical_diversity),
         ("q103_event_burstiness", stats.q103_event_burstiness),
         ("jl_projection_recall", quantize.jl_recall),
+        ("pq_recall", quantize.pq_recall),
     ]:
         h0 = _host_cpu_sample()
         t0 = time.time()

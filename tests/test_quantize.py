@@ -78,3 +78,52 @@ def test_jl_recall_curve_monotone(ray_session):
     lo = jl_recall(SF001, out_dim=8)
     hi = jl_recall(SF001, out_dim=128)
     assert hi["recall_at_k"].mean() >= lo["recall_at_k"].mean()
+
+
+def test_pq_roundtrip_and_determinism(ray_session):
+    from spardaqus_ray.pipelines.ann import _mat
+    from spardaqus_ray.pipelines.quantize import (_pq_codebooks, pq_decode,
+                                                  pq_encode)
+
+    b1 = _pq_codebooks(SF001)
+    b2 = _pq_codebooks(SF001)
+    assert np.array_equal(b1, b2)  # pure function of the input table
+    t = pq.read_table(f"{SF001}/embeddings.parquet",
+                      columns=["embedding"])
+    m = _mat(t).astype(np.float64)
+    recon = pq_decode(pq_encode(m, b1), b1)
+    # PQ reconstruction must beat the trivial all-centroid baseline
+    err = np.linalg.norm(recon - m, axis=1).mean()
+    base = np.linalg.norm(m - m.mean(0), axis=1).mean()
+    assert err < base
+
+
+def test_pq_recall_matches_sequential(ray_session):
+    """Distributed PQ recall == sequential numpy replay with the same
+    codebooks (exact oracle, same shape as the JL gate)."""
+    from spardaqus_ray.pipelines.ann import _mat, query_vectors
+    from spardaqus_ray.pipelines.quantize import (_pq_codebooks, pq_decode,
+                                                  pq_encode, pq_recall)
+
+    out = pq_recall(SF001)
+    assert pq_recall(SF001).equals(out)  # deterministic
+
+    books = _pq_codebooks(SF001)
+    t = pq.read_table(f"{SF001}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    m = _mat(t).astype(np.float64)
+    q = query_vectors(SF001, (0, 1, 2)).astype(np.float64)
+
+    def topk(x, k=10):
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        cos = qn @ xn.T
+        return [ids[np.lexsort((ids, -cos[qi]))[:k]].tolist()
+                for qi in range(len(qn))]
+
+    exact = topk(m)
+    pqd = topk(pq_decode(pq_encode(m, books), books))
+    for qi in range(3):
+        want = round(len(set(exact[qi]) & set(pqd[qi])) / 10, 4)
+        assert out.loc[qi, "recall_at_k"] == want
