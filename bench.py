@@ -251,6 +251,7 @@ def bench_queries() -> dict:
         ("q103_event_burstiness", stats.q103_event_burstiness),
         ("jl_projection_recall", quantize.jl_recall),
         ("pq_recall", quantize.pq_recall),
+        ("ann_pq_adc", quantize.ann_pq_adc),
     ]:
         h0 = _host_cpu_sample()
         t0 = time.time()

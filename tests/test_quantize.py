@@ -127,3 +127,33 @@ def test_pq_recall_matches_sequential(ray_session):
     for qi in range(3):
         want = round(len(set(exact[qi]) & set(pqd[qi])) / 10, 4)
         assert out.loc[qi, "recall_at_k"] == want
+
+
+def test_pq_adc_equals_reconstruction_ranking(ray_session):
+    """ADC cosine from the two LUT sums is EXACTLY cos(q, recon), so
+    the ADC top-k must equal a sequential decode+matmul top-k with the
+    same tie order."""
+    from spardaqus_ray.pipelines.ann import _mat, query_vectors
+    from spardaqus_ray.pipelines.quantize import (_pq_codebooks, ann_pq_adc,
+                                                  pq_decode, pq_encode)
+
+    out = ann_pq_adc(SF001)
+    assert ann_pq_adc(SF001).equals(out)  # deterministic
+
+    books = _pq_codebooks(SF001)
+    t = pq.read_table(f"{SF001}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    m = _mat(t).astype(np.float64)
+    recon = pq_decode(pq_encode(m, books), books)
+    rn = recon / np.maximum(np.linalg.norm(recon, axis=1, keepdims=True),
+                            1e-12)
+    q = query_vectors(SF001, (0, 1, 2)).astype(np.float64)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    cos = qn @ rn.T
+    for qi in range(3):
+        order = np.lexsort((ids, -cos[qi]))[:10]
+        got = out[out["query_id"] == qi]
+        assert got["vec_id"].tolist() == ids[order].tolist()
+        assert np.allclose(got["cos"].to_numpy(),
+                           np.round(cos[qi][order], 6), atol=2e-6)
