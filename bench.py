@@ -252,6 +252,7 @@ def bench_queries() -> dict:
         ("jl_projection_recall", quantize.jl_recall),
         ("pq_recall", quantize.pq_recall),
         ("ann_pq_adc", quantize.ann_pq_adc),
+        ("q104_user_state_intervals", funnel.q104_user_state_intervals),
     ]:
         h0 = _host_cpu_sample()
         t0 = time.time()

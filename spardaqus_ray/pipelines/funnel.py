@@ -576,3 +576,74 @@ SELECT dau.d AS day_num, dau.dau, CAST(wau.wau7 AS BIGINT) AS wau7
 FROM dau JOIN wau ON wau.d = dau.d
 ORDER BY day_num
 """
+
+
+def q104_user_state_intervals(sf_dir: str) -> pd.DataFrame:
+    """SCD-2-style state history: each user's stream collapsed into
+    validity intervals — one row per maximal run of consecutive
+    same-type events (ordered by ts, event_id) with first/last event
+    time and run length. The gaps-and-islands pattern every warehouse
+    dimension build uses. ONE keyed shuffle co-locates users; the block
+    kernel lexsorts and derives every run with three vectorized
+    boundary scans; the driver receives interval rows (bounded by the
+    number of state CHANGES, not events)."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+    tune_hash_width(ds, table_bytes(sf_dir, "events"))
+    ds = _keyed(ds, "user_id",
+                default_partitions(size_bytes=table_bytes(sf_dir, "events")))
+
+    def block(t: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "event_type": pa.array([], pa.string()),
+                          "valid_from_us": pa.array([], pa.int64()),
+                          "valid_to_us": pa.array([], pa.int64()),
+                          "n_events": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = _np(t["user_id"]).astype(np.int64)
+        ts = _ts_us(t["ts"])
+        eid = _np(t["event_id"]).astype(np.int64)
+        typ = t["event_type"].combine_chunks().dictionary_encode()
+        code = np.asarray(typ.indices, dtype=np.int64)
+        names = typ.dictionary.to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, ts, code = u[order], ts[order], code[order]
+        # a new interval starts at a user boundary or a state change
+        new = np.ones(len(u), bool)
+        new[1:] = (u[1:] != u[:-1]) | (code[1:] != code[:-1])
+        starts = np.flatnonzero(new)
+        length = np.diff(np.append(starts, len(u)))
+        ends = starts + length - 1
+        return pa.table({
+            "user_id": pa.array(u[starts]),
+            "event_type": pa.array(names[code[starts]]),
+            "valid_from_us": pa.array(ts[starts]),
+            "valid_to_us": pa.array(ts[ends]),
+            "n_events": pa.array(length.astype(np.int64))})
+
+    out = (ds.map_batches(block, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+           .to_pandas())
+    out = out.astype({"user_id": "int64", "valid_from_us": "int64",
+                      "valid_to_us": "int64", "n_events": "int64"})
+    return (out.sort_values(["user_id", "valid_from_us", "event_type"])
+            .reset_index(drop=True))
+
+
+Q104_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn_typ
+  FROM events)
+SELECT user_id, event_type,
+       CAST(MIN(t) AS BIGINT) AS valid_from_us,
+       CAST(MAX(t) AS BIGINT) AS valid_to_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM seq
+GROUP BY user_id, event_type, rn - rn_typ
+ORDER BY user_id, valid_from_us, event_type
+"""
