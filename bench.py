@@ -253,6 +253,7 @@ def bench_queries() -> dict:
         ("pq_recall", quantize.pq_recall),
         ("ann_pq_adc", quantize.ann_pq_adc),
         ("q104_user_state_intervals", funnel.q104_user_state_intervals),
+        ("q105_conversion_latency", funnel.q105_conversion_latency),
     ]:
         h0 = _host_cpu_sample()
         t0 = time.time()

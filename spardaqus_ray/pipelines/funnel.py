@@ -647,3 +647,65 @@ FROM seq
 GROUP BY user_id, event_type, rn - rn_typ
 ORDER BY user_id, valid_from_us, event_type
 """
+
+
+def q105_conversion_latency(sf_dir: str) -> pd.DataFrame:
+    """Funnel latency: histogram (in whole hours) of first-purchase
+    minus first-view time per user, over users who did both — the
+    time-to-convert distribution behind q48's conversion counts.
+    Same plan as the funnel: one keyed shuffle, per-block segmented
+    first-hit scans, then a #buckets-sized grouped SUM (the driver
+    never sees per-user rows). Unwindowed firsts: any purchase after
+    the first view counts, so the histogram is the raw latency curve."""
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type"])
+    tune_hash_width(ds, table_bytes(sf_dir, "events"))
+    ds = _keyed(ds, "user_id",
+                default_partitions(size_bytes=table_bytes(sf_dir, "events")))
+    hour_us = 3_600_000_000
+
+    def block(t: pa.Table) -> pa.Table:
+        empty = pa.table({"latency_hours": pa.array([], pa.int64()),
+                          "n_users": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = _np(t["user_id"])
+        tt = _ts_us(t["ts"])
+        typ = _np(t["event_type"])
+        idx = np.lexsort((tt, u))
+        u, tt, typ = u[idx], tt[idx], typ[idx]
+        starts = _segments(u)
+        v = np.minimum.reduceat(np.where(typ == "view", tt, _INF), starts)
+        # first purchase AFTER the first view (strict), not just any
+        p_ok = (typ == "purchase") & (tt > np.repeat(
+            np.minimum(v, np.int64(1) << 62),
+            np.diff(np.append(starts, len(u)))))
+        p = np.minimum.reduceat(np.where(p_ok, tt, _INF), starts)
+        both = (v < _INF) & (p < _INF)
+        lat = (p[both] - v[both]) // hour_us
+        vals, counts = np.unique(lat, return_counts=True)
+        return pa.table({"latency_hours": pa.array(vals.astype(np.int64)),
+                         "n_users": pa.array(counts.astype(np.int64))})
+
+    out = (ds.map_batches(block, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+           .groupby("latency_hours")
+           .aggregate(Sum("n_users", alias_name="n_users"))
+           .to_pandas())
+    out = out.astype({"latency_hours": "int64", "n_users": "int64"})
+    return out.sort_values("latency_hours").reset_index(drop=True)
+
+
+Q105_SQL = """
+WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS t FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > v.t
+      GROUP BY e.user_id)
+SELECT CAST((p.t - v.t) // 3600000000 AS BIGINT) AS latency_hours,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM v JOIN p USING (user_id)
+GROUP BY latency_hours
+ORDER BY latency_hours
+"""
