@@ -254,6 +254,7 @@ def bench_queries() -> dict:
         ("ann_pq_adc", quantize.ann_pq_adc),
         ("q104_user_state_intervals", funnel.q104_user_state_intervals),
         ("q105_conversion_latency", funnel.q105_conversion_latency),
+        ("ann_ivf_pq", quantize.ann_ivf_pq),
     ]:
         h0 = _host_cpu_sample()
         t0 = time.time()

