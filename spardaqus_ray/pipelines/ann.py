@@ -59,7 +59,9 @@ def ann_bruteforce(sf_dir: str, k: int = 10,
         out_q, out_id, out_c = [], [], []
         kk = min(k, cos.shape[1])
         for qi in range(cos.shape[0]):
-            top = np.argpartition(-cos[qi], kk - 1)[:kk]
+            # vec_id-aware tie-break (cos desc, vec_id asc): a boundary
+            # tie must keep the smaller vec_id to match the driver merge
+            top = np.lexsort((ids, -cos[qi]))[:kk]
             out_q.extend([vec_ids[qi]] * kk)
             out_id.extend(ids[top].tolist())
             out_c.extend(cos[qi, top].tolist())
@@ -149,7 +151,8 @@ def ann_ivf(sf_dir: str, k: int = 10, n_centroids: int = 16, nprobe: int = 4,
             cos = unit[m] @ q[qi]
             sel_ids = ids[m]
             kk = min(k, len(cos))
-            top = np.argpartition(-cos, kk - 1)[:kk]
+            # vec_id-aware tie-break: match the driver merge order
+            top = np.lexsort((sel_ids, -cos))[:kk]
             out_q.extend([vec_ids[qi]] * kk)
             out_id.extend(sel_ids[top].tolist())
             out_c.extend(cos[top].tolist())

@@ -485,7 +485,12 @@ def q100_rolling_wau(sf_dir: str) -> pd.DataFrame:
         u = _np(t["user_id"]).astype(np.int64)
         day = _ts_us(t["ts"]) // _DAY_US
         # pack (user, day) into one uint64 for a single np.unique:
-        # day < 2^20 holds until year 4840, user_id < 2^44 (~1.7e13)
+        # day < 2^20 holds until year 4840, user_id < 2^40 (~1.1e12) —
+        # the SAME bound wau_block's (day << 40 | user) packing needs,
+        # enforced in BOTH kernels so an out-of-range id fails loudly
+        # instead of silently corrupting the day bits downstream
+        if u.size and (int(u.max()) >> 40 or int(u.min()) < 0):
+            raise ValueError("q100: user_id must be in [0, 2^40)")
         key = np.unique(u.astype(np.uint64) * np.uint64(1 << 20)
                         + day.astype(np.uint64))
         return pa.table({"user_id": pa.array((key >> np.uint64(20))
@@ -526,7 +531,10 @@ def q100_rolling_wau(sf_dir: str) -> pd.DataFrame:
             return empty
         d = t["win_d"].combine_chunks().to_numpy(zero_copy_only=False)
         u = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
-        # (day, user) packed: user_id < 2^40 (~1.1e12), day < 2^24
+        # (day, user) packed: user_id < 2^40 (~1.1e12), day < 2^24 —
+        # same user bound as user_days; enforced here too (fail loudly)
+        if u.size and (int(u.max()) >> 40 or int(u.min()) < 0):
+            raise ValueError("q100: user_id must be in [0, 2^40)")
         key = np.unique(d.astype(np.uint64) * np.uint64(1 << 40)
                         + u.astype(np.uint64))
         days = (key >> np.uint64(40)).astype(np.int64)

@@ -91,7 +91,10 @@ def quantized_recall(sf_dir: str, k: int = 10,
                                 1e-12)
             cos = qn @ xn.T                     # (n_q, batch)
             for qi in range(len(qn)):
-                top = np.argsort(-cos[qi], kind="stable")[:k]
+                # vec_id-aware tie-break so local pruning matches the
+                # driver merge order (cos desc, vec_id asc) on ANY
+                # block layout — in-block position is layout-dependent
+                top = np.lexsort((ids, -cos[qi]))[:k]
                 out.append(pa.table({
                     "query": pa.array(np.full(len(top), qi, np.int64)),
                     "vec_id": pa.array(ids[top]),
@@ -171,7 +174,10 @@ def jl_recall(sf_dir: str, out_dim: int = JL_OUT_DIM, k: int = 10,
                                 1e-12)
             cos = qq @ xn.T
             for qi in range(len(qq)):
-                top = np.argsort(-cos[qi], kind="stable")[:k]
+                # vec_id-aware tie-break so local pruning matches the
+                # driver merge order (cos desc, vec_id asc) on ANY
+                # block layout — in-block position is layout-dependent
+                top = np.lexsort((ids, -cos[qi]))[:k]
                 out.append(pa.table({
                     "query": pa.array(np.full(len(top), qi, np.int64)),
                     "vec_id": pa.array(ids[top]),
@@ -245,6 +251,9 @@ def _pq_codebooks(sf_dir: str, m: int = PQ_M, k: int = PQ_K) -> np.ndarray:
     sample is O(PQ_SAMPLE), never the corpus), tiny enough to ship in
     the encode closure (8 KB at dim 64)."""
     X = _pq_sample(sf_dir)
+    if len(X) < k:
+        raise ValueError(
+            f"pq: need >= {k} training sample rows, got {len(X)}")
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"pq: dim {dim} not divisible by m={m}")
@@ -316,7 +325,10 @@ def pq_recall(sf_dir: str, k: int = 10,
                                 1e-12)
             cos = qn @ xn.T
             for qi in range(len(qn)):
-                top = np.argsort(-cos[qi], kind="stable")[:k]
+                # vec_id-aware tie-break so local pruning matches the
+                # driver merge order (cos desc, vec_id asc) on ANY
+                # block layout — in-block position is layout-dependent
+                top = np.lexsort((ids, -cos[qi]))[:k]
                 out.append(pa.table({
                     "query": pa.array(np.full(len(top), qi, np.int64)),
                     "vec_id": pa.array(ids[top]),
@@ -380,7 +392,8 @@ def ann_pq_adc(sf_dir: str, k: int = 10,
         for qi in range(len(qn)):
             ip = ip_lut[qi][j_idx, codes].sum(1)
             cos = ip / norms
-            top = np.argsort(-cos, kind="stable")[:k]
+            # vec_id-aware tie-break: match the driver merge order
+            top = np.lexsort((ids, -cos))[:k]
             out.append(pa.table({
                 "query": pa.array(np.full(len(top), qi, np.int64)),
                 "vec_id": pa.array(ids[top]),
@@ -416,8 +429,7 @@ def ann_ivf_pq(sf_dir: str, k: int = 10, nprobe: int = IVFPQ_NPROBE,
     asymmetric distance scans only those members (LUT adds over 4-bit
     codes). Non-residual variant (codes quantize the raw vectors, the
     documented simplification); at nprobe = n_centroids the ranking is
-    EXACTLY ann_pq_adc's full scan, which the pytest gate pins, plus a
-    recall@k report vs exact float retrieval at the default nprobe.
+    EXACTLY ann_pq_adc's full scan, which the pytest gate pins.
     Rows-only."""
     from spardaqus_ray.pipelines.cluster import train_centroids
 
@@ -456,7 +468,8 @@ def ann_ivf_pq(sf_dir: str, k: int = 10, nprobe: int = IVFPQ_NPROBE,
             ip = ip_lut[qi][j_idx, codes[member]].sum(1)
             cos = ip / norms[member]
             mids = ids[member]
-            top = np.argsort(-cos, kind="stable")[:k]
+            # vec_id-aware tie-break: match the driver merge order
+            top = np.lexsort((mids, -cos))[:k]
             out.append(pa.table({
                 "query": pa.array(np.full(len(top), qi, np.int64)),
                 "vec_id": pa.array(mids[top]),

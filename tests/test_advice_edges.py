@@ -131,3 +131,58 @@ def test_chunked_export_stats_cleans_tmp(ray_session):
     after = set(glob.glob("/tmp/spdq_export_*"))
     assert len(out) > 0
     assert after - before == set(), "export tmp dirs leaked"
+
+
+# ---- round-5 ADVICE pins ------------------------------------------------
+
+
+def test_q100_user_id_out_of_range_raises(ray_session, tmp_path):
+    """Both q100 packing kernels share the user_id < 2^40 bound; an id
+    past it must fail loudly, never silently corrupt the day bits."""
+    from spardaqus_ray.pipelines.funnel import q100_rolling_wau
+
+    t0 = 1_700_000_000_000_000
+    t = pa.table({
+        "event_id": pa.array([0, 1], pa.int64()),
+        "ts": pa.array([t0, t0 + 86_400_000_000], pa.timestamp("us")),
+        "user_id": pa.array([5, 1 << 41], pa.int64()),
+        "event_type": pa.array(["view", "view"], pa.string()),
+        "value": pa.array([1.0, 1.0], pa.float64()),
+        "props": pa.array(["{}", "{}"], pa.string())})
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    with pytest.raises(Exception, match=r"2\^40"):
+        q100_rolling_wau(str(tmp_path))
+
+
+def test_pq_codebooks_small_sample_raises(ray_session, tmp_path):
+    """PQ training needs >= PQ_K sample rows; fewer must raise a clear
+    ValueError, not numpy's bare choice() error."""
+    from spardaqus_ray.pipelines.quantize import PQ_K, _pq_codebooks
+
+    n = PQ_K // 2
+    t = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([[float(i)] * 16 for i in range(n)],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * n, pa.int32())})
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    with pytest.raises(ValueError, match="sample rows"):
+        _pq_codebooks(str(tmp_path))
+
+
+def test_ann_boundary_tie_prefers_small_vec_id(ray_session, tmp_path):
+    """A cosine tie at the LOCAL k boundary must keep the smaller
+    vec_id regardless of in-block row order (rows written descending
+    here) so local pruning matches the driver merge (cos desc, id asc)."""
+    from spardaqus_ray.pipelines.ann import ann_bruteforce
+
+    n = 10
+    vec = [1.0, 2.0, 3.0, 4.0]
+    t = pa.table({
+        "vec_id": pa.array(list(range(n - 1, -1, -1)), pa.int64()),
+        "embedding": pa.array([vec] * n, pa.list_(pa.float32())),
+        "label": pa.array([0] * n, pa.int32())})
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    out = ann_bruteforce(str(tmp_path), k=3, vec_ids=(0,))
+    assert out["vec_id"].tolist() == [0, 1, 2]
+    assert (out["cosine"] == 1.0).all()
