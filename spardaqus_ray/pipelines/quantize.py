@@ -419,18 +419,96 @@ def ann_pq_adc(sf_dir: str, k: int = 10,
 
 IVFPQ_NPROBE = 2
 IVFPQ_COARSE_K = 8
+IVFPQ_CACHE_ROOT = "/tmp/spardaqus_ivfpq"
+
+
+def _ivf_pq_index_dir(sf_dir: str) -> str:
+    """Deterministic cache path for sf_dir's IVF-PQ index, keyed on the
+    embeddings file identity (path, size, mtime) + every training
+    parameter — centroids and codebooks are pure functions of the table,
+    so file identity implies index validity."""
+    import hashlib
+    import os
+
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    key = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}|"
+        f"{PQ_M}|{PQ_K}|{PQ_SEED}|{PQ_SAMPLE}|{PQ_ITERS}|"
+        f"{IVFPQ_COARSE_K}|v2".encode()).hexdigest()[:16]
+    return f"{IVFPQ_CACHE_ROOT}/{key}"
+
+
+def ivf_pq_build(sf_dir: str) -> str:
+    """Build-once half of IVF-PQ: ONE pass over the embeddings encodes
+    every vector to (list_id, vec_id, codes) — 16x smaller than the
+    floats — written as parquet PARTITIONED BY list_id (one directory
+    per coarse list). Queries then read ONLY their nprobe probed
+    partitions via filter pushdown, so unprobed lists never leave
+    storage: the scan prune IVF exists for, not just a LUT-math prune.
+    Idempotent: an atomic rename publishes the directory, repeat calls
+    reuse it (same key the 100-TB store would use for its index)."""
+    import os
+    import shutil
+
+    import ray.data
+
+    out_dir = _ivf_pq_index_dir(sf_dir)
+    if os.path.isdir(out_dir):
+        return out_dir
+    from spardaqus_ray.pipelines.cluster import train_centroids
+
+    cents = train_centroids(sf_dir, k=IVFPQ_COARSE_K)  # unit rows
+    books = _pq_codebooks(sf_dir)
+    mm = books.shape[0]
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def enc(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "list_id": pa.array([], pa.int32()),
+                "vec_id": pa.array([], pa.int64()),
+                "codes": pa.array([], pa.list_(pa.uint8(), mm))})
+        ids = (t["vec_id"].combine_chunks()
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+        m_ = _mat(t).astype(np.float64)
+        mn = m_ / np.maximum(np.linalg.norm(m_, axis=1, keepdims=True),
+                             1e-12)
+        assign = np.argmax(mn @ cents.T, axis=1).astype(np.int32)
+        codes = pq_encode(m_, books)
+        return pa.table({
+            "list_id": pa.array(assign),
+            "vec_id": pa.array(ids),
+            "codes": pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.reshape(-1), pa.uint8()), mm)})
+
+    tmp = f"{out_dir}.tmp-{os.getpid()}"
+    (ds.map_batches(enc, batch_format="pyarrow", zero_copy_batch=True)
+     .write_parquet(tmp, partition_cols=["list_id"]))
+    try:
+        os.rename(tmp, out_dir)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # concurrent build won
+    return out_dir
 
 
 def ann_ivf_pq(sf_dir: str, k: int = 10, nprobe: int = IVFPQ_NPROBE,
                query_ids: tuple[int, ...] = (0, 1, 2)) -> pd.DataFrame:
     """IVF-PQ: the composition a 100-TB vector store actually runs —
     coarse spherical-k-means partitioning (ann_ivf's shared centroids)
-    prunes the scan to the `nprobe` most query-similar lists, and PQ
-    asymmetric distance scans only those members (LUT adds over 4-bit
-    codes). Non-residual variant (codes quantize the raw vectors, the
+    prunes the SCAN to the `nprobe` most query-similar lists, and PQ
+    asymmetric distance ranks only those members (LUT adds over 4-bit
+    codes). The index is built ONCE by ivf_pq_build (codes parquet
+    partitioned by list_id, cached per input-table identity); the query
+    path reads only the probed partitions (a PathPartitionFilter prunes
+    unprobed directories before any read task is created), so per-query
+    I/O is nprobe/n_lists of the code store and the floats are never
+    re-read. Non-residual variant (codes quantize the raw vectors, the
     documented simplification); at nprobe = n_centroids the ranking is
     EXACTLY ann_pq_adc's full scan, which the pytest gate pins.
     Rows-only."""
+    import ray.data
+    from ray.data.datasource.partitioning import PathPartitionFilter
+
     from spardaqus_ray.pipelines.cluster import train_centroids
 
     cents = train_centroids(sf_dir, k=IVFPQ_COARSE_K)  # unit rows
@@ -443,7 +521,14 @@ def ann_ivf_pq(sf_dir: str, k: int = 10, nprobe: int = IVFPQ_NPROBE,
     probe = np.argsort(-sim, kind="stable")[:, :nprobe]
     ip_lut = np.einsum("qjd,jcd->qjc", qn.reshape(len(qn), mm, d), books)
     n_lut = (books ** 2).sum(-1)
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    index_dir = ivf_pq_build(sf_dir)
+    probed = {str(int(x)) for x in probe.ravel()}
+    # path-level pruning: unprobed list directories never even produce
+    # read tasks (PathPartitionFilter runs before any bytes move)
+    part_filter = PathPartitionFilter.of(
+        lambda kv: kv.get("list_id") in probed, style="hive")
+    ds = ray.data.read_parquet(index_dir, partition_filter=part_filter)
 
     def topk_partial(t: pa.Table) -> pa.Table:
         empty = pa.table({"query": pa.array([], pa.int64()),
@@ -453,16 +538,18 @@ def ann_ivf_pq(sf_dir: str, k: int = 10, nprobe: int = IVFPQ_NPROBE,
             return empty
         ids = (t["vec_id"].combine_chunks()
                .to_numpy(zero_copy_only=False).astype(np.int64))
-        m_ = _mat(t).astype(np.float64)
-        mn = m_ / np.maximum(np.linalg.norm(m_, axis=1, keepdims=True),
-                             1e-12)
-        assign = np.argmax(mn @ cents.T, axis=1)   # coarse list id
-        codes = pq_encode(m_, books)
+        # hive partition values may read back as dictionary/string —
+        # normalize to int64 before the membership test
+        lids = np.asarray(
+            t["list_id"].combine_chunks().cast(pa.int64())
+            .to_numpy(zero_copy_only=False))
+        codes = np.asarray(t["codes"].combine_chunks().flatten(),
+                           np.uint8).reshape(t.num_rows, mm)
         j_idx = np.arange(mm)[None, :]
         norms = np.sqrt(np.maximum(n_lut[j_idx, codes].sum(1), 1e-24))
         out = []
         for qi in range(len(qn)):
-            member = np.isin(assign, probe[qi])
+            member = np.isin(lids, probe[qi])
             if not member.any():
                 continue
             ip = ip_lut[qi][j_idx, codes[member]].sum(1)

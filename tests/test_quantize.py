@@ -181,3 +181,29 @@ def test_ivf_pq_probed_is_subset_and_deterministic(ray_session):
     for qi in out["query_id"].unique():
         got = set(out[out["query_id"] == qi]["vec_id"])
         assert len(got) > 0
+
+
+def test_ivf_pq_index_prunes_paths(ray_session):
+    """The build writes one parquet directory per coarse list and the
+    query-side PathPartitionFilter yields read tasks ONLY for probed
+    lists — the scan prune is at the path level, before any bytes move."""
+    import os
+
+    import ray.data
+    from ray.data.datasource.partitioning import PathPartitionFilter
+
+    from spardaqus_ray.pipelines.quantize import IVFPQ_COARSE_K, ivf_pq_build
+
+    d = ivf_pq_build(SF001)
+    assert d == ivf_pq_build(SF001)  # cached, not rebuilt
+    subdirs = sorted(p for p in os.listdir(d) if p.startswith("list_id="))
+    assert 2 <= len(subdirs) <= IVFPQ_COARSE_K
+    want = subdirs[0].split("=", 1)[1]
+    pf = PathPartitionFilter.of(lambda kv: kv.get("list_id") == want,
+                                style="hive")
+    ds = ray.data.read_parquet(d, partition_filter=pf)
+    files = ds.input_files()
+    assert files and all(f"list_id={want}/" in f for f in files)
+    # and the pruned read really carries only that list's rows
+    lids = set(ds.unique("list_id"))
+    assert lids == {int(want)} or lids == {want}
