@@ -167,20 +167,29 @@ def mark_dups_broadcast(batch: pa.Table, winners: dict[str, str],
         zero_copy_only=False))
     if hit_idx.size == 0:
         return batch
+    # only the (rare) hit rows are pulled to Python; the full-batch
+    # columns are rewritten with ONE vectorized if_else over a loser
+    # mask — never materialized as Python objects
     shas = batch["raw_sha256"].take(pa.array(hit_idx)).to_pylist()
     repos = batch["repo"].take(pa.array(hit_idx)).to_pylist()
     paths = batch["path"].take(pa.array(hit_idx)).to_pylist()
     commits = batch["commit"].take(pa.array(hit_idx)).to_pylist()
-    keep = batch["keep"].combine_chunks().to_numpy(zero_copy_only=False).copy()
-    reason = np.asarray(batch["drop_reason"].to_pylist(), object)
+    loser = np.zeros(batch.num_rows, bool)
     for j, i in enumerate(hit_idx):
         if f"{repos[j]}\x00{paths[j]}\x00{commits[j]}" != winners[shas[j]]:
-            keep[i] = False
-            reason[i] = "dedup.exact"
+            loser[i] = True
+    if not loser.any():
+        return batch
+    mask = pa.array(loser)
+    new_keep = pa.compute.and_(batch["keep"].combine_chunks(),
+                               pa.compute.invert(mask))
+    new_reason = pa.compute.if_else(
+        mask, pa.scalar("dedup.exact", pa.string()),
+        batch["drop_reason"].combine_chunks())
     batch = batch.set_column(batch.schema.get_field_index("keep"), "keep",
-                             pa.array(keep))
+                             new_keep)
     return batch.set_column(batch.schema.get_field_index("drop_reason"),
-                            "drop_reason", pa.array(reason, pa.string()))
+                            "drop_reason", new_reason)
 
 
 def _add_empty_langid(batch: pa.Table) -> pa.Table:

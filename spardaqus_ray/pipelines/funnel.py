@@ -593,8 +593,10 @@ def q104_user_state_intervals(sf_dir: str) -> pd.DataFrame:
     time and run length. The gaps-and-islands pattern every warehouse
     dimension build uses. ONE keyed shuffle co-locates users; the block
     kernel lexsorts and derives every run with three vectorized
-    boundary scans; the driver receives interval rows (bounded by the
-    number of state CHANGES, not events)."""
+    boundary scans. NOTE: the output is interval-scale (one row per
+    state change) and the DataFrame-vs-oracle contract pulls it fully
+    to the driver here; at production scale this tail is a
+    write_parquet sink, not a driver pull."""
     ds = read_table(sf_dir, "events",
                     columns=["event_id", "user_id", "ts", "event_type"])
     tune_hash_width(ds, table_bytes(sf_dir, "events"))

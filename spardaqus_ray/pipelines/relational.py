@@ -2121,9 +2121,22 @@ def q81_part_basket_lift(
 
     if n_parts * 16 <= marg_broadcast_max_bytes:
         # ---- broadcast plan: marginals ride the object store once ----
-        marg = marg_ds.to_pandas().sort_values("part")  # searchsorted below
-        marg_ref = _ray.put((marg["part"].to_numpy(np.int64),
-                             marg["n"].to_numpy(np.int64)))
+        # pull via Arrow batches straight into two int64 numpy arrays so
+        # driver cost matches the cap's 16 B/part accounting (a pandas
+        # frame would cost several x that in object overhead)
+        p_chunks, n_chunks = [], []
+        for b in marg_ds.iter_batches(batch_format="pyarrow",
+                                      batch_size=65536):
+            p_chunks.append(b["part"].combine_chunks()
+                            .to_numpy(zero_copy_only=False).astype(np.int64))
+            n_chunks.append(b["n"].combine_chunks()
+                            .to_numpy(zero_copy_only=False).astype(np.int64))
+        m_part = (np.concatenate(p_chunks) if p_chunks
+                  else np.empty(0, np.int64))
+        m_n = (np.concatenate(n_chunks) if n_chunks
+               else np.empty(0, np.int64))
+        order = np.argsort(m_part, kind="stable")  # searchsorted below
+        marg_ref = _ray.put((m_part[order], m_n[order]))
 
         def local_topk(t: pa.Table) -> pa.Table:
             empty = pa.table({"a": pa.array([], pa.int64()),
