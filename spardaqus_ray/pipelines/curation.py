@@ -978,3 +978,218 @@ CROSS JOIN g
 GROUP BY c.source
 ORDER BY c.source
 """
+
+
+def q106_token_len_hist(sf_dir: str) -> pd.DataFrame:
+    """Per language: the token-length distribution (character count of
+    whitespace tokens) — the tokenizer-budget / OCR-junk signal a
+    pretraining mix review reads next to q84's doc-length buckets.
+    Stateless per-block kernel (ONE Arrow lower+split chain +
+    utf8_length), exchange is #langs x #lengths partial rows per
+    block — dimension-sized, never per token. Tokenization =
+    string_split(lower(text), ' '), empty tokens excluded (Q106_SQL)."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+    tune_hash_width(ds, table_bytes(sf_dir, "documents"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"lang": pa.array([], pa.string()),
+                          "tok_len": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        lists = pc.split_pattern(
+            pc.utf8_lower(pc.fill_null(t["text"].combine_chunks(), "")),
+            " ")
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        toks = pc.list_flatten(lists)
+        tlen = pc.utf8_length(toks).to_numpy(zero_copy_only=False)
+        lang = np.repeat(t["lang"].combine_chunks()
+                         .to_numpy(zero_copy_only=False), lens)
+        keep = tlen > 0
+        df = pd.DataFrame({"lang": lang[keep],
+                           "tok_len": tlen[keep].astype(np.int64)})
+        g = (df.groupby(["lang", "tok_len"], sort=False).size()
+             .rename("n").reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["lang", "tok_len"]).aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    return (out.astype({"tok_len": "int64", "n": "int64"})
+            .sort_values(["lang", "tok_len"]).reset_index(drop=True))
+
+
+Q106_SQL = """
+SELECT lang, CAST(length(token) AS BIGINT) AS tok_len,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT lang,
+             unnest(string_split(lower(COALESCE(text, '')), ' ')) AS token
+      FROM documents)
+WHERE token <> ''
+GROUP BY lang, tok_len
+ORDER BY lang, tok_len
+"""
+
+
+def q107_dup_doc_share_by_source(sf_dir: str) -> pd.DataFrame:
+    """Per source: doc count, distinct-text count and the exact-dup
+    share — the per-provider dedup-pressure dashboard row (which feed
+    is re-crawling itself). The text never shuffles: blocks emit
+    (source, sha256) partial counts, ONE digest-keyed grouped SUM makes
+    each (source, digest) globally unique, then a #sources-sized SUM
+    folds distinct/doc counts. Digest stands in for text equality
+    (sha256 collision odds are negligible vs the oracle's exact
+    GROUP BY text)."""
+    from spardaqus_ray.functions.hashing import sha256_column
+
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+    tune_hash_width(ds, table_bytes(sf_dir, "documents"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "h": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        h = sha256_column(pc.fill_null(t["text"].combine_chunks(), ""))
+        df = pd.DataFrame({
+            "source": t["source"].combine_chunks()
+            .to_numpy(zero_copy_only=False),
+            "h": h.to_numpy(zero_copy_only=False)})
+        g = (df.groupby(["source", "h"], sort=False).size()
+             .rename("n").reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_pair = (ds.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby(["source", "h"])
+                .aggregate(Sum("n", alias_name="n")))
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "n_docs": pa.array([], pa.int64()),
+                          "n_distinct": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        df = pd.DataFrame({
+            "source": t["source"].combine_chunks()
+            .to_numpy(zero_copy_only=False),
+            "n": t["n"].combine_chunks().to_numpy(zero_copy_only=False)})
+        g = (df.groupby("source", sort=False)
+             .agg(n_docs=("n", "sum"), n_distinct=("n", "size"))
+             .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (per_pair.map_batches(fold, batch_format="pyarrow",
+                                zero_copy_batch=True)
+           .groupby("source")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_distinct", alias_name="n_distinct"))
+           .to_pandas())
+    out = out.astype({"n_docs": "int64", "n_distinct": "int64"})
+    out["dup_share"] = (1.0 - out["n_distinct"] / out["n_docs"]).round(6)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+Q107_SQL = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT COALESCE(text, '')) AS BIGINT) AS n_distinct,
+       ROUND(1.0 - COUNT(DISTINCT COALESCE(text, '')) * 1.0 / COUNT(*),
+             6) AS dup_share
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+PREFIX_DUP_LEN = 40
+
+
+def q108_cross_source_prefix_dups(sf_dir: str,
+                                  plen: int = PREFIX_DUP_LEN) -> pd.DataFrame:
+    """Source-pair boilerplate matrix: for every pair of sources, how
+    many DISTINCT document prefixes (first `plen` characters) appear in
+    both — the cheap cross-feed template/boilerplate audit run before
+    mixture weighting (prefix equality is the first-cut near-dup signal
+    a crawl pipeline checks; full-text equality is q107's job). Full
+    text never shuffles: blocks emit distinct (source, prefix) rows
+    (plen-char keys), ONE prefix-keyed exchange co-locates each
+    prefix's source set, and the q81-style vectorized upper-triangle
+    emits (a, b) pairs in-block (bounded by #sources-choose-2 per
+    prefix); a final dimension-sized grouped SUM yields the matrix.
+    Prefixes are CHARACTER-counted on both sides (Arrow codeunit slice
+    == DuckDB substring on this data)."""
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+    tune_hash_width(ds, table_bytes(sf_dir, "documents"))
+    width = default_partitions(
+        size_bytes=table_bytes(sf_dir, "documents"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "h": pa.array([], pa.string())})
+        if t.num_rows == 0:
+            return empty
+        h = pc.utf8_slice_codeunits(
+            pc.fill_null(t["text"].combine_chunks(), ""), 0, plen)
+        df = pd.DataFrame({
+            "source": t["source"].combine_chunks()
+            .to_numpy(zero_copy_only=False),
+            "h": h.to_numpy(zero_copy_only=False)}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    keyed = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .repartition(width, keys=["h"]))
+
+    def pairs_block(t: pa.Table) -> pa.Table:
+        empty = pa.table({"source_a": pa.array([], pa.string()),
+                          "source_b": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        df = (pd.DataFrame({
+            "h": t["h"].combine_chunks().to_numpy(zero_copy_only=False),
+            "source": t["source"].combine_chunks()
+            .to_numpy(zero_copy_only=False)})
+            .drop_duplicates()
+            .sort_values(["h", "source"], kind="mergesort"))
+        h = df["h"].to_numpy()
+        src = df["source"].to_numpy()
+        starts = np.concatenate(([0], np.nonzero(h[1:] != h[:-1])[0] + 1))
+        seg_len = np.diff(np.append(starts, len(h)))
+        rank = np.arange(len(h)) - np.repeat(starts, seg_len)
+        reps = np.repeat(seg_len, seg_len) - 1 - rank
+        a_idx = np.repeat(np.arange(len(h)), reps)
+        if not len(a_idx):
+            return empty
+        run_starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        b_idx = a_idx + 1 + (np.arange(int(reps.sum()))
+                             - np.repeat(run_starts, reps))
+        g = (pd.DataFrame({"source_a": src[a_idx],
+                           "source_b": src[b_idx]})
+             .groupby(["source_a", "source_b"], sort=False).size()
+             .rename("n").reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (keyed.map_batches(pairs_block, batch_format="pyarrow",
+                             batch_size=None)
+           .groupby(["source_a", "source_b"])
+           .aggregate(Sum("n", alias_name="n_shared"))
+           .to_pandas())
+    if out.empty:
+        return pd.DataFrame({"source_a": pd.Series([], dtype="object"),
+                             "source_b": pd.Series([], dtype="object"),
+                             "n_shared": pd.Series([], dtype="int64")})
+    return (out.astype({"n_shared": "int64"})
+            .sort_values(["source_a", "source_b"]).reset_index(drop=True))
+
+
+Q108_SQL = """
+WITH d AS (SELECT DISTINCT source,
+                  substring(COALESCE(text, ''), 1, 40) AS p
+           FROM documents)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM d a JOIN d b ON a.p = b.p AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

@@ -2437,3 +2437,86 @@ FROM orders
 GROUP BY isodow
 ORDER BY isodow
 """
+
+
+def q109_cohort_repeat_orders(sf_dir: str) -> pd.DataFrame:
+    """Cohort table: customers grouped by the month of their FIRST
+    order, with cohort size, total orders, orders-per-customer and the
+    repeat rate (share of the cohort with >= 2 orders) — the classic
+    acquisition-quality readout every warehouse runs. ONE custkey-keyed
+    grouped (Min, Count) reduces the orders to per-customer rows; a
+    stateless partial then folds those to #cohort-months rows, so the
+    second exchange is dimension-sized."""
+    from ray.data.aggregate import Count, Min
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    tune_hash_width(ds, table_bytes(sf_dir, "orders"))
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "dt_us": t["o_orderdate"].cast(pa.int64())})
+
+    per_cust = (ds.map_batches(to_us, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby("o_custkey")
+                .aggregate(Min("dt_us", alias_name="first_us"),
+                           Count(alias_name="n_orders")))
+
+    def coh(t: pa.Table) -> pa.Table:
+        # cohort stays NUMERIC (year*100+month) through the exchange;
+        # only the final #cohorts-sized driver table formats "YYYY-MM"
+        empty = pa.table({"coh_num": pa.array([], pa.int64()),
+                          "n_customers": pa.array([], pa.int64()),
+                          "n_orders": pa.array([], pa.int64()),
+                          "n_repeat": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        first = t["first_us"].combine_chunks().cast(pa.timestamp("us"))
+        coh_num = (pc.year(first).cast(pa.int64()).to_numpy(
+            zero_copy_only=False) * 100
+            + pc.month(first).cast(pa.int64()).to_numpy(
+                zero_copy_only=False))
+        n = (t["n_orders"].combine_chunks()
+             .to_numpy(zero_copy_only=False).astype(np.int64))
+        g = (pd.DataFrame({"coh_num": coh_num,
+                           "n_customers": np.ones(len(n), np.int64),
+                           "n_orders": n,
+                           "n_repeat": (n > 1).astype(np.int64)})
+             .groupby("coh_num", sort=False).sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (per_cust.map_batches(coh, batch_format="pyarrow",
+                                batch_size=None)
+           .groupby("coh_num")
+           .aggregate(Sum("n_customers", alias_name="n_customers"),
+                      Sum("n_orders", alias_name="n_orders"),
+                      Sum("n_repeat", alias_name="n_repeat"))
+           .to_pandas())
+    out = out.astype({"coh_num": "int64", "n_customers": "int64",
+                      "n_orders": "int64", "n_repeat": "int64"})
+    out["cohort"] = [f"{v // 100:04d}-{v % 100:02d}"
+                     for v in out["coh_num"]]
+    out["orders_per_customer"] = (out["n_orders"]
+                                  / out["n_customers"]).round(6)
+    out["repeat_rate"] = (out["n_repeat"] / out["n_customers"]).round(6)
+    return (out[["cohort", "n_customers", "n_orders",
+                 "orders_per_customer", "repeat_rate"]]
+            .sort_values("cohort").reset_index(drop=True))
+
+
+Q109_SQL = """
+WITH firsts AS (
+  SELECT o_custkey, MIN(o_orderdate) AS first_dt,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey)
+SELECT strftime(date_trunc('month', first_dt), '%Y-%m') AS cohort,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+       ROUND(SUM(n_orders) * 1.0 / COUNT(*), 6) AS orders_per_customer,
+       ROUND(SUM(CASE WHEN n_orders > 1 THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS repeat_rate
+FROM firsts
+GROUP BY cohort
+ORDER BY cohort
+"""

@@ -103,3 +103,72 @@ def test_q96_gini_skewed(ray_session, tmp_path):
     out = q96_user_event_gini(sf)
     expect = round(2.0 * (1 + 2 + 3 + 4 * 9) / (4 * 12) - 5.0 / 4, 6)
     assert out["gini"][0] == expect
+
+
+def test_q107_q108_planted_dups(ray_session, tmp_path):
+    """Planted cross-source duplicates: q107's per-source dup share and
+    q108's pair matrix must count exactly the planted overlaps."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spardaqus_ray.pipelines.curation import (
+        q107_dup_doc_share_by_source, q108_cross_source_prefix_dups)
+
+    # s1: 3 docs, one internal dup pair -> 2 distinct
+    # s2: 2 docs, one shared with s1; s3: 1 doc shared with s1 and s2
+    rows = [("s1", "alpha"), ("s1", "alpha"), ("s1", "beta"),
+            ("s2", "alpha"), ("s2", "gamma"),
+            ("s3", "alpha")]
+    t = pa.table({
+        "doc_id": pa.array(range(len(rows)), pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    d7 = q107_dup_doc_share_by_source(str(tmp_path))
+    assert d7.set_index("source")["n_distinct"].to_dict() == {
+        "s1": 2, "s2": 2, "s3": 1}
+    assert d7.set_index("source")["n_docs"].to_dict() == {
+        "s1": 3, "s2": 2, "s3": 1}
+
+    d8 = q108_cross_source_prefix_dups(str(tmp_path))
+    got = {(r.source_a, r.source_b): r.n_shared
+           for r in d8.itertuples()}
+    assert got == {("s1", "s2"): 1, ("s1", "s3"): 1, ("s2", "s3"): 1}
+
+
+def test_q109_cohort_semantics(ray_session, tmp_path):
+    """Planted cohorts: first-order month buckets the customer; repeat
+    rate counts customers with >= 2 orders in their FIRST-month cohort."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spardaqus_ray.pipelines.relational import q109_cohort_repeat_orders
+
+    import pandas as pd
+
+    # cust 1: two orders, first in 2024-01 (repeat)
+    # cust 2: one order in 2024-01 (no repeat)
+    # cust 3: one order in 2024-02
+    rows = [(1, "2024-01-05"), (1, "2024-03-01"),
+            (2, "2024-01-20"), (3, "2024-02-02")]
+    dates = (pd.to_datetime([r[1] for r in rows])
+             .values.astype("datetime64[us]"))
+    t = pa.table({
+        "o_orderkey": pa.array(range(len(rows)), pa.int64()),
+        "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_orderstatus": pa.array(["F"] * len(rows), pa.string()),
+        "o_totalprice": pa.array([10.0] * len(rows), pa.float64()),
+        "o_orderdate": pa.array(dates, pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * len(rows),
+                                    pa.string())})
+    pq.write_table(t, tmp_path / "orders.parquet")
+
+    out = q109_cohort_repeat_orders(str(tmp_path))
+    jan = out[out["cohort"] == "2024-01"].iloc[0]
+    assert jan["n_customers"] == 2 and jan["n_orders"] == 3
+    assert jan["repeat_rate"] == 0.5
+    feb = out[out["cohort"] == "2024-02"].iloc[0]
+    assert feb["n_customers"] == 1 and feb["repeat_rate"] == 0.0
