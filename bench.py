@@ -255,6 +255,10 @@ def bench_queries() -> dict:
         ("q104_user_state_intervals", funnel.q104_user_state_intervals),
         ("q105_conversion_latency", funnel.q105_conversion_latency),
         ("ann_ivf_pq", quantize.ann_ivf_pq),
+        ("q106_token_len_hist", curation.q106_token_len_hist),
+        ("q107_dup_doc_share_by_source", curation.q107_dup_doc_share_by_source),
+        ("q108_cross_source_prefix_dups", curation.q108_cross_source_prefix_dups),
+        ("q109_cohort_repeat_orders", relational.q109_cohort_repeat_orders),
     ]:
         h0 = _host_cpu_sample()
         t0 = time.time()

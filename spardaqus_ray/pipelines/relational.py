@@ -2443,42 +2443,49 @@ def q109_cohort_repeat_orders(sf_dir: str) -> pd.DataFrame:
     """Cohort table: customers grouped by the month of their FIRST
     order, with cohort size, total orders, orders-per-customer and the
     repeat rate (share of the cohort with >= 2 orders) — the classic
-    acquisition-quality readout every warehouse runs. ONE custkey-keyed
-    grouped (Min, Count) reduces the orders to per-customer rows; a
-    stateless partial then folds those to #cohort-months rows, so the
-    second exchange is dimension-sized."""
-    from ray.data.aggregate import Count, Min
-
+    acquisition-quality readout every warehouse runs. A per-customer
+    (min, count) has GROUP-SPACE-SIZED output, so it uses the q81 plan
+    (ONE custkey-keyed repartition of 16-byte rows + in-block
+    lexsort/reduceat), never a HashAggregate; the block kernel folds
+    straight to #cohort-months partials, so the only aggregate is
+    dimension-sized."""
     ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
     tune_hash_width(ds, table_bytes(sf_dir, "orders"))
+    width = default_partitions(size_bytes=table_bytes(sf_dir, "orders"))
 
     def to_us(t: pa.Table) -> pa.Table:
         return pa.table({
             "o_custkey": t["o_custkey"],
             "dt_us": t["o_orderdate"].cast(pa.int64())})
 
-    per_cust = (ds.map_batches(to_us, batch_format="pyarrow",
-                               zero_copy_batch=True)
-                .groupby("o_custkey")
-                .aggregate(Min("dt_us", alias_name="first_us"),
-                           Count(alias_name="n_orders")))
+    keyed = (ds.map_batches(to_us, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .repartition(width, keys=["o_custkey"]))
 
     def coh(t: pa.Table) -> pa.Table:
-        # cohort stays NUMERIC (year*100+month) through the exchange;
-        # only the final #cohorts-sized driver table formats "YYYY-MM"
+        # each customer's rows are co-located: segmented first/count by
+        # reduceat, then straight to NUMERIC cohort (year*100+month)
+        # partials; only the final #cohorts driver table formats "YYYY-MM"
         empty = pa.table({"coh_num": pa.array([], pa.int64()),
                           "n_customers": pa.array([], pa.int64()),
                           "n_orders": pa.array([], pa.int64()),
                           "n_repeat": pa.array([], pa.int64())})
         if t.num_rows == 0:
             return empty
-        first = t["first_us"].combine_chunks().cast(pa.timestamp("us"))
-        coh_num = (pc.year(first).cast(pa.int64()).to_numpy(
-            zero_copy_only=False) * 100
-            + pc.month(first).cast(pa.int64()).to_numpy(
-                zero_copy_only=False))
-        n = (t["n_orders"].combine_chunks()
+        u = (t["o_custkey"].combine_chunks()
              .to_numpy(zero_copy_only=False).astype(np.int64))
+        dt = (t["dt_us"].combine_chunks()
+              .to_numpy(zero_copy_only=False).astype(np.int64))
+        order = np.argsort(u, kind="stable")
+        u_s, dt_s = u[order], dt[order]
+        starts = np.concatenate(
+            ([0], np.nonzero(u_s[1:] != u_s[:-1])[0] + 1))
+        first = np.minimum.reduceat(dt_s, starts)
+        n = np.diff(np.append(starts, len(u_s))).astype(np.int64)
+        # months since 1970 from the us timestamp, pure numpy
+        m = (first.astype("datetime64[us]").astype("datetime64[M]")
+             .astype(np.int64))
+        coh_num = (1970 + m // 12) * 100 + (m % 12 + 1)
         g = (pd.DataFrame({"coh_num": coh_num,
                            "n_customers": np.ones(len(n), np.int64),
                            "n_orders": n,
@@ -2486,8 +2493,8 @@ def q109_cohort_repeat_orders(sf_dir: str) -> pd.DataFrame:
              .groupby("coh_num", sort=False).sum().reset_index())
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    out = (per_cust.map_batches(coh, batch_format="pyarrow",
-                                batch_size=None)
+    out = (keyed.map_batches(coh, batch_format="pyarrow",
+                             batch_size=None)
            .groupby("coh_num")
            .aggregate(Sum("n_customers", alias_name="n_customers"),
                       Sum("n_orders", alias_name="n_orders"),
