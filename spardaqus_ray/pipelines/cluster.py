@@ -75,14 +75,29 @@ def _make_partial(c: np.ndarray, with_cos: bool):
     return partial
 
 
+_CENTROID_MEMO: dict = {}
+
+
 def train_centroids(sf_dir: str, k: int = 8, iters: int = 5,
                     seed: int = 7) -> np.ndarray:
     """Final spherical-k-means centroids after `iters` streaming Lloyd
-    passes — the shared trainer behind kmeans_embeddings and
-    semdedup_embeddings (identical partials, so both see the SAME
-    clustering for a given (k, iters, seed)). Runs iters-1 update
-    passes: kmeans_embeddings' final pass only reads stats, so the
-    centroids IT assigns with are these."""
+    passes — the shared trainer behind kmeans_embeddings,
+    semdedup_embeddings, ann_ivf and ann_ivf_pq (identical partials,
+    so all see the SAME clustering for a given (k, iters, seed)).
+    Runs iters-1 update passes: kmeans_embeddings' final pass only
+    reads stats, so the centroids IT assigns with are these.
+    Memoized per (input-file identity, k, iters, seed): the trainer is
+    a pure function of the table, and four pipelines share it — one
+    session would otherwise re-run the sequential Lloyd passes (the
+    stages most inflated deep in long Ray sessions) four times."""
+    import os
+
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    key = (os.path.abspath(sf_dir), st.st_size, st.st_mtime_ns,
+           k, iters, seed)
+    hit = _CENTROID_MEMO.get(key)
+    if hit is not None:
+        return hit.copy()
     ds = read_table(sf_dir, "embeddings", columns=["embedding"])
     cents = _init_centroids(sf_dir, k, seed)
     for _ in range(iters - 1):
@@ -97,6 +112,9 @@ def train_centroids(sf_dir: str, k: int = 8, iters: int = 5,
         new = cents.copy()
         new[nz] = _unit(sums[nz])
         cents = new
+    if len(_CENTROID_MEMO) > 32:  # bound: a handful of (sf_dir, k) pairs
+        _CENTROID_MEMO.clear()
+    _CENTROID_MEMO[key] = cents.copy()
     return cents
 
 

@@ -691,6 +691,12 @@ def q50_nation_coverage_full(sf_dir: str) -> pd.DataFrame:
            .aggregate(Sum("n_cust", alias_name="n_cust"),
                       Sum("n_supp", alias_name="n_supp"))
            .to_pandas())
+    # nullable counts arrive as object when any nation is one-sided;
+    # coerce to the oracle's dtype behavior (float64+NaN with nulls,
+    # int64 without) — surfaced by the sf0.01 sweep, invisible at
+    # sf0.001 where both sides cover every nation
+    for c in ("n_cust", "n_supp"):
+        out[c] = pd.to_numeric(out[c])
     return (out[["nationkey", "n_cust", "n_supp"]]
             .sort_values("nationkey").reset_index(drop=True))
 

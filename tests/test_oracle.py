@@ -96,3 +96,22 @@ def test_q81_plans_equivalent(ray_session):
     bcast = q81_part_basket_lift(SF001)
     joined = q81_part_basket_lift(SF001, marg_broadcast_max_bytes=0)
     pd.testing.assert_frame_equal(bcast, joined)
+
+
+def test_q50_nullable_counts_at_driver_scale(ray_session):
+    """sf0.01 regression pin: one-sided nations make q50's count
+    columns nullable there (invisible at sf0.001, where both sides
+    cover every nation) — the Ray result must coerce to the oracle's
+    float64+NaN dtype, not pandas object."""
+    sf01 = SF001.replace("0.001", "0.01")
+    if not os.path.exists(f"{sf01}/customer.parquet"):
+        pytest.skip("no sf0.01 testdata")
+    import __ray_entry__ as e
+
+    res = e.queries()["q50_nation_coverage_full"](sf01)
+    if hasattr(res, "to_pandas"):
+        res = res.to_pandas()
+    con = _duck(sf01)
+    _compare("q50_nation_coverage_full", res,
+             con.execute(e.oracle_sql()["q50_nation_coverage_full"])
+             .fetchdf())
