@@ -54,29 +54,46 @@ class LangIdScorer:
         self.model_langs = set(models.langs)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # fully vectorized: scored values land via index assignment and
+        # the keep/drop_reason columns rebuild through boolean masks +
+        # pa.compute.if_else — the batch's string columns are never
+        # materialized as Python object arrays (mark_dups_broadcast
+        # lesson applied to the actor-pool hot path)
         n = batch.num_rows
         detected = np.full(n, "", object)
         conf = np.full(n, np.nan)
         keep = batch["keep"].combine_chunks().to_numpy(zero_copy_only=False).copy()
-        reason = np.asarray(batch["drop_reason"].to_pylist(), object)
+        low_mask = np.zeros(n, bool)
+        mis_mask = np.zeros(n, bool)
         if keep.any():
             buf, off, idx = _heads_buffer(batch["content"], keep)
             langs, confs = self.m.langid.score_block(buf, off)
-            claimed = np.asarray(batch["lang"].to_pylist(), object)[idx]
-            for j, i in enumerate(idx):
-                detected[i] = langs[j]
-                conf[i] = confs[j]
-                if confs[j] < self.min_conf:
-                    keep[i] = False
-                    reason[i] = rules.DROP_LANGID_LOWCONF
-                elif claimed[j] in self.model_langs and langs[j] != claimed[j]:
-                    keep[i] = False
-                    reason[i] = rules.DROP_LANGID_MISMATCH
+            langs_a = np.asarray(langs, object)
+            confs_a = np.asarray(confs, np.float64)
+            claimed = (batch["lang"].combine_chunks()
+                       .to_numpy(zero_copy_only=False)[idx])
+            detected[idx] = langs_a
+            conf[idx] = confs_a
+            low = confs_a < self.min_conf
+            mis = (~low & np.isin(claimed, list(self.model_langs))
+                   & (langs_a != claimed))
+            keep[idx[low | mis]] = False
+            low_mask[idx[low]] = True
+            mis_mask[idx[mis]] = True
         batch = batch.append_column("detected_lang", pa.array(detected, pa.string()))
         batch = batch.append_column("lang_conf", pa.array(conf, pa.float64()))
         batch = batch.set_column(batch.schema.get_field_index("keep"), "keep", pa.array(keep))
+        reason = batch["drop_reason"].combine_chunks()
+        if low_mask.any():
+            reason = pa.compute.if_else(
+                pa.array(low_mask),
+                pa.scalar(rules.DROP_LANGID_LOWCONF, pa.string()), reason)
+        if mis_mask.any():
+            reason = pa.compute.if_else(
+                pa.array(mis_mask),
+                pa.scalar(rules.DROP_LANGID_MISMATCH, pa.string()), reason)
         return batch.set_column(batch.schema.get_field_index("drop_reason"),
-                                "drop_reason", pa.array(reason, pa.string()))
+                                "drop_reason", reason)
 
 
 class CombinedScorer:
@@ -102,13 +119,17 @@ class PerplexityScorer:
         self.mult = thresholds["ppl_multiplier"]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # same vectorized rebuild as LangIdScorer: index assignment for
+        # scores, ONE boolean mask + if_else for keep/drop_reason
         n = batch.num_rows
         ppl = np.full(n, np.nan)
         keep = batch["keep"].combine_chunks().to_numpy(zero_copy_only=False).copy()
-        reason = np.asarray(batch["drop_reason"].to_pylist(), object)
+        hi_mask = np.zeros(n, bool)
         if keep.any():
-            claimed = np.asarray(batch["lang"].to_pylist(), object)
-            detected = np.asarray(batch["detected_lang"].to_pylist(), object)
+            claimed = (batch["lang"].combine_chunks()
+                       .to_numpy(zero_copy_only=False))
+            detected = (batch["detected_lang"].combine_chunks()
+                        .to_numpy(zero_copy_only=False))
             lang_for = np.where(np.isin(claimed, list(self.m.lms)), claimed, detected)
             # one batched pass per language present in the batch
             for lang in set(lang_for[keep]):
@@ -118,12 +139,16 @@ class PerplexityScorer:
                 buf, off, idx = _heads_buffer(batch["content"], mask)
                 vals = self.m.lms[lang].ppl_block(buf, off)
                 thr = self.m.ppl_threshold[lang] * self.mult
-                for j, i in enumerate(idx):
-                    ppl[i] = vals[j]
-                    if vals[j] > thr:
-                        keep[i] = False
-                        reason[i] = rules.DROP_PPL_HIGH
+                ppl[idx] = vals
+                hi = vals > thr
+                keep[idx[hi]] = False
+                hi_mask[idx[hi]] = True
         batch = batch.append_column("ppl", pa.array(ppl, pa.float64()))
         batch = batch.set_column(batch.schema.get_field_index("keep"), "keep", pa.array(keep))
+        reason = batch["drop_reason"].combine_chunks()
+        if hi_mask.any():
+            reason = pa.compute.if_else(
+                pa.array(hi_mask),
+                pa.scalar(rules.DROP_PPL_HIGH, pa.string()), reason)
         return batch.set_column(batch.schema.get_field_index("drop_reason"),
-                                "drop_reason", pa.array(reason, pa.string()))
+                                "drop_reason", reason)
