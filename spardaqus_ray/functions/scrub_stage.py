@@ -30,26 +30,34 @@ def scrub_and_stamp(batch: pa.Table, scrub_enabled: bool = True) -> pa.Table:
             buf, offsets = _flat_utf8(batch["content"])
             cand = scrub_candidates(buf, offsets)
             sel = np.flatnonzero(keep & cand)
-            # materialize Python strings ONLY when candidates exist —
-            # the common no-candidate batch pays zero per-row conversion
-            contents = batch["content"].to_pylist() if sel.size else None
-            changed = False
-            for i in sel:
-                s = contents[i]
-                if SCRUB_RE.search(s) is None:
-                    continue
-                s2, c = scrub_text(s)
-                contents[i] = s2
-                changed = True
-                counts["scrub_email"][i] = c["email"]
-                counts["scrub_ip"][i] = c["ip"]
-                counts["scrub_key"][i] = c["key"]
-                counts["scrub_tox"][i] = c["tox"]
-            if changed:
-                batch = batch.set_column(
-                    batch.schema.get_field_index("content"), "content",
-                    pa.array(contents, batch.schema.field("content").type),
-                )
+            if sel.size:
+                # materialize Python strings ONLY for candidate rows
+                # (~15% of the batch); rewrites scatter back through ONE
+                # replace_with_mask — the non-candidate majority never
+                # round-trips through Python
+                texts = batch["content"].take(pa.array(sel)).to_pylist()
+                repl: list[str] = []
+                changed_idx: list[int] = []
+                for j, s in enumerate(texts):
+                    if SCRUB_RE.search(s) is None:
+                        continue
+                    s2, c = scrub_text(s)
+                    i = int(sel[j])
+                    repl.append(s2)
+                    changed_idx.append(i)
+                    counts["scrub_email"][i] = c["email"]
+                    counts["scrub_ip"][i] = c["ip"]
+                    counts["scrub_key"][i] = c["key"]
+                    counts["scrub_tox"][i] = c["tox"]
+                if changed_idx:
+                    mask = np.zeros(n, bool)
+                    mask[changed_idx] = True
+                    col = batch["content"].combine_chunks()
+                    batch = batch.set_column(
+                        batch.schema.get_field_index("content"), "content",
+                        pa.compute.replace_with_mask(
+                            col, pa.array(mask), pa.array(repl, col.type)),
+                    )
     batch = batch.append_column("content_sha256", sha256_column(batch["content"]))
     for c in _COUNT_COLS:
         batch = batch.append_column(c, pa.array(counts[c]))

@@ -39,7 +39,7 @@ def query_vectors(sf_dir: str, vec_ids: tuple[int, ...] = (0, 1, 2)) -> np.ndarr
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
                       columns=["vec_id", "embedding"])
-    ids = np.asarray(t["vec_id"].to_pylist())
+    ids = t["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
     mat = _mat(t)
     sel = [int(np.flatnonzero(ids == q)[0]) for q in vec_ids]
     return _unit(mat[sel].astype(np.float64))
@@ -53,7 +53,8 @@ def ann_bruteforce(sf_dir: str, k: int = 10,
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def local_topk(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t["vec_id"].to_pylist(), np.int64)
+        ids = (t["vec_id"].combine_chunks()
+               .to_numpy(zero_copy_only=False).astype(np.int64))
         unit = _unit(_mat(t)).astype(np.float64)
         cos = q @ unit.T                         # (nq, n)
         out_q, out_id, out_c = [], [], []
@@ -140,7 +141,8 @@ def ann_ivf(sf_dir: str, k: int = 10, n_centroids: int = 16, nprobe: int = 4,
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def local_topk(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t["vec_id"].to_pylist(), np.int64)
+        ids = (t["vec_id"].combine_chunks()
+               .to_numpy(zero_copy_only=False).astype(np.int64))
         unit = _unit(_mat(t)).astype(np.float64)
         assign = (unit @ cents.T).argmax(axis=1)
         out_q, out_id, out_c = [], [], []

@@ -95,11 +95,16 @@ def repo_level_drop(annotated: ray.data.Dataset, min_kept_frac: float = 0.25,
         if not hit.any():
             return t
         keep = t["keep"].combine_chunks().to_numpy(zero_copy_only=False) & ~hit
-        reason = np.asarray(t["drop_reason"].to_pylist(), object)
-        reason[hit & (reason == "")] = DROP_REPO
+        reason = t["drop_reason"].combine_chunks()
+        # only rows with no prior drop reason get DROP_REPO — one
+        # vectorized if_else, no Python object materialization
+        mark_mask = pa.compute.and_(pa.array(hit),
+                                    pa.compute.equal(reason, ""))
+        reason = pa.compute.if_else(
+            mark_mask, pa.scalar(DROP_REPO, pa.string()), reason)
         t = t.set_column(t.schema.get_field_index("keep"), "keep", pa.array(keep))
         return t.set_column(t.schema.get_field_index("drop_reason"),
-                            "drop_reason", pa.array(reason, pa.string()))
+                            "drop_reason", reason)
 
     return annotated.map_batches(mark, batch_format="pyarrow", zero_copy_batch=True)
 
