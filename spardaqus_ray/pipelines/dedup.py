@@ -390,7 +390,8 @@ def minhash_lsh_pairs_ds(sf_dir: str, jaccard_threshold: float = 0.7,
     ensure_hash_shuffle(ds)
 
     def emit(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t["doc_id"].to_pylist(), np.int64)
+        ids = (t["doc_id"].combine_chunks()
+               .to_numpy(zero_copy_only=False).astype(np.int64))
         sig = minhash_block(t["text"])
         keys = band_keys(sig)
         n = t.num_rows
@@ -751,7 +752,8 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3,
 
     def emit(t: pa.Table) -> pa.Table:
         sh = simhash_block(t["text"])
-        ids = np.asarray(t["doc_id"].to_pylist(), np.int64)
+        ids = (t["doc_id"].combine_chunks()
+               .to_numpy(zero_copy_only=False).astype(np.int64))
         n = len(ids)
         bands = np.empty((n, 4), np.int64)
         for b in range(4):
@@ -935,7 +937,8 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.98,
                          np.float32).reshape(t.num_rows, -1)
         norm = np.linalg.norm(arr, axis=1, keepdims=True)
         unit = arr / np.maximum(norm, 1e-12)
-        ids = np.asarray(t["vec_id"].to_pylist(), np.int64)
+        ids = (t["vec_id"].combine_chunks()
+               .to_numpy(zero_copy_only=False).astype(np.int64))
         tabs = []
         for b in range(n_tables):
             signs = (unit @ planes[b].T) > 0              # (n, bits)
