@@ -855,3 +855,166 @@ FROM firsts f
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Q110: split-contamination audit (GPT-3 appendix-C style): for each
+# held-out split, how many documents share at least one k-token shingle
+# with ANY train-split document. q45 REMOVES contaminated rows against
+# an external benchmark file; this ships the per-split contamination-
+# rate table a data engineer reads before trusting an eval number.
+# Splits come from the same deterministic doc_id hash as q82, so the
+# audit needs no split column materialized anywhere.
+# --------------------------------------------------------------------------
+
+
+def q110_split_contamination(sf_dir: str,
+                             k: int = DUPSPAN_K) -> pd.DataFrame:
+    """Per held-out split (val/test): n_docs, n_contaminated (docs
+    sharing >= 1 k-token shingle with any train doc), and the share.
+
+    Plan: blocks collapse to globally-unique (gram, doc_id) rows (docs
+    never split across blocks, q53's argument); ONE hash exchange on
+    the 8-byte gram key; in-block segment scan recomputes each row's
+    split from doc_id (nothing but two int64 columns ever shuffles)
+    and emits held-out doc_ids seen in a train-containing segment; a
+    second doc_id-keyed exchange dedups those (ndocs-bounded), and the
+    driver folds #blocks x #splits partial counts. Denominators are
+    stateless block partials off the base read. At 100 TB both
+    exchanges carry int64 pairs only — the text never moves."""
+    from spardaqus_ray.pipelines.curation import (SPLIT_MULT,
+                                                  SPLIT_TRAIN_PCT,
+                                                  SPLIT_VAL_PCT)
+
+    def _buckets(ids: np.ndarray) -> np.ndarray:
+        u = ids.astype(np.uint64)
+        return ((u * np.uint64(SPLIT_MULT)) & np.uint64(0xFFFFFFFF)) % 100
+
+    def _names(bucket: np.ndarray) -> np.ndarray:
+        names = np.full(len(bucket), "test", dtype=object)
+        names[bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT] = "val"
+        names[bucket < SPLIT_TRAIN_PCT] = "train"
+        return names
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ensure_hash_shuffle(ds)
+    width = default_partitions(size_bytes=table_bytes(sf_dir, "documents"))
+
+    def explode(t: pa.Table) -> pa.Table:
+        empty = pa.table({"gram": pa.array([], pa.int64()),
+                          "doc_id": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        h, rid = _gram_hashes(t, k)
+        if len(h) == 0:
+            return empty
+        doc = t["doc_id"].combine_chunks().to_numpy(
+            zero_copy_only=False)[rid]
+        df = pd.DataFrame({"gram": h.view(np.int64), "doc_id": doc})
+        df = df.drop_duplicates(["gram", "doc_id"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    ex = (ds.map_batches(explode, batch_format="pyarrow",
+                         zero_copy_batch=True)
+          .repartition(width, keys=["gram"]))
+
+    def mark(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        g = t["gram"].combine_chunks().to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        idx = np.argsort(g, kind="stable")
+        g, doc = g[idx], doc[idx]
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        seglen = np.diff(np.r_[starts, len(g)])
+        is_train = _buckets(doc) < SPLIT_TRAIN_PCT
+        seg_has_train = np.add.reduceat(
+            is_train.astype(np.int64), starts) > 0
+        hit = np.repeat(seg_has_train, seglen) & ~is_train
+        return pa.table({"doc_id": pa.array(np.unique(doc[hit]))})
+
+    contaminated = (ex.map_batches(mark, batch_format="pyarrow",
+                                   zero_copy_batch=True, batch_size=None)
+                    .repartition(width, keys=["doc_id"]))
+
+    def count_contam(t: pa.Table) -> pa.Table:
+        empty = pa.table({"split": pa.array([], pa.string()),
+                          "n_contaminated": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        doc = np.unique(t["doc_id"].combine_chunks()
+                        .to_numpy(zero_copy_only=False))
+        names, counts = np.unique(_names(_buckets(doc)),
+                                  return_counts=True)
+        return pa.table({"split": pa.array(names.astype(object)),
+                         "n_contaminated": pa.array(
+                             counts.astype(np.int64))})
+
+    def count_docs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"split": pa.array([], pa.string()),
+                          "n_docs": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = _buckets(ids)
+        names, counts = np.unique(_names(b[b >= SPLIT_TRAIN_PCT]),
+                                  return_counts=True)
+        return pa.table({"split": pa.array(names.astype(object)),
+                         "n_docs": pa.array(counts.astype(np.int64))})
+
+    # both partial streams are #blocks x #splits rows — driver folds
+    contam = (contaminated.map_batches(count_contam,
+                                       batch_format="pyarrow",
+                                       batch_size=None).to_pandas())
+    denom = (ds.map_batches(count_docs, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas())
+    out = (denom.groupby("split", sort=True)["n_docs"].sum()
+           .reset_index())
+    c = (contam.groupby("split", sort=True)["n_contaminated"].sum()
+         if len(contam) else pd.Series(dtype=np.int64))
+    out["n_contaminated"] = (out["split"].map(c).fillna(0)
+                             .astype(np.int64))
+    out["contaminated_share"] = (out["n_contaminated"]
+                                 / out["n_docs"]).round(6)
+    out = out.astype({"n_docs": "int64"})
+    return out.sort_values("split").reset_index(drop=True)
+
+
+def _q110_sql() -> str:
+    from spardaqus_ray.pipelines.curation import (SPLIT_MULT,
+                                                  SPLIT_TRAIN_PCT,
+                                                  SPLIT_VAL_PCT)
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN (doc_id * {SPLIT_MULT}) % 4294967296 % 100
+                   < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN (doc_id * {SPLIT_MULT}) % 4294967296 % 100
+                   < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split,
+         list_filter(string_split(lower(text), ' '),
+                     x -> x <> '') AS toks
+  FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, split,
+         array_to_string(toks[u.pos : u.pos + {DUPSPAN_K - 1}], ' ')
+             AS gram
+  FROM d, unnest(range(1, len(toks) - {DUPSPAN_K - 2})) AS u(pos)),
+tg AS (SELECT DISTINCT gram FROM g WHERE split = 'train'),
+c AS (SELECT DISTINCT g.doc_id, g.split
+      FROM g JOIN tg USING (gram) WHERE g.split <> 'train'),
+n AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM d WHERE split <> 'train' GROUP BY split),
+cc AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+       FROM c GROUP BY split)
+SELECT n.split, n.n_docs,
+       CAST(COALESCE(cc.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       ROUND(CAST(COALESCE(cc.n_contaminated, 0) AS DOUBLE)
+             / n.n_docs, 6) AS contaminated_share
+FROM n LEFT JOIN cc USING (split)
+ORDER BY n.split
+"""
+
+
+Q110_SQL = _q110_sql()

@@ -77,3 +77,52 @@ def test_chunk_dedup_planted(ray_session, tmp_path):
                            + " tail1 tail2")               # dup removed
     assert out.removed_chunks.tolist() == [0, 0, 1]
     assert out.kept_chunks.tolist() == [2, 1, 2]
+
+
+def test_q110_planted_contamination(ray_session, tmp_path):
+    """Planted cross-split shingle overlap: one val doc and one test doc
+    each share a 5-token shingle with a train doc; a clean test doc and
+    a short (<k tokens, zero shingles) test doc count only in the
+    denominator."""
+    import pyarrow.parquet as pq
+
+    from spardaqus_ray.pipelines.curation import (SPLIT_MULT,
+                                                  SPLIT_TRAIN_PCT,
+                                                  SPLIT_VAL_PCT)
+    from spardaqus_ray.pipelines.quality import q110_split_contamination
+
+    def split_of(i):
+        b = (i * SPLIT_MULT) % (1 << 32) % 100
+        return ("train" if b < SPLIT_TRAIN_PCT
+                else "val" if b < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT
+                else "test")
+
+    ids = {"train": [], "val": [], "test": []}
+    i = 0
+    while min(len(v) for v in ids.values()) < 3:
+        ids[split_of(i)].append(i)
+        i += 1
+
+    rows = [
+        (ids["train"][0], "a b c d e f"),        # shingles: abcde, bcdef
+        (ids["train"][1], "m n o p q r"),        # unshared train doc
+        (ids["val"][0], "a b c d e zz"),         # contaminated via abcde
+        (ids["test"][0], "yy b c d e f"),        # contaminated via bcdef
+        (ids["test"][1], "p q r s t u"),         # clean (no full shingle match)
+        (ids["test"][2], "x y"),                 # short: zero shingles
+    ]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+        "source": pa.array(["s"] * len(rows), pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    out = q110_split_contamination(str(tmp_path)).set_index("split")
+    assert out.loc["val", "n_docs"] == 1
+    assert out.loc["val", "n_contaminated"] == 1
+    assert out.loc["val", "contaminated_share"] == 1.0
+    assert out.loc["test", "n_docs"] == 3
+    assert out.loc["test", "n_contaminated"] == 1
+    assert out.loc["test", "contaminated_share"] == round(1 / 3, 6)
