@@ -259,6 +259,7 @@ def bench_queries() -> dict:
         ("q107_dup_doc_share_by_source", curation.q107_dup_doc_share_by_source),
         ("q108_cross_source_prefix_dups", curation.q108_cross_source_prefix_dups),
         ("q109_cohort_repeat_orders", relational.q109_cohort_repeat_orders),
+        ("q110_split_contamination", quality.q110_split_contamination),
     ]:
         h0 = _host_cpu_sample()
         t0 = time.time()
