@@ -881,7 +881,11 @@ def q110_split_contamination(sf_dir: str,
     second doc_id-keyed exchange dedups those (ndocs-bounded), and the
     driver folds #blocks x #splits partial counts. Denominators are
     stateless block partials off the base read. At 100 TB both
-    exchanges carry int64 pairs only — the text never moves."""
+    exchanges carry int64 pairs only — the text never moves.
+
+    Split hash = q82's (uint64 math, exact for any non-negative doc_id;
+    the SQL mirror's BIGINT multiply caps at doc_id < 2^63/mult, same
+    documented bound as Q82_SQL)."""
     from spardaqus_ray.pipelines.curation import (SPLIT_MULT,
                                                   SPLIT_TRAIN_PCT,
                                                   SPLIT_VAL_PCT)
