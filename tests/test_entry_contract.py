@@ -1,0 +1,64 @@
+"""Driver-contract invariants for __ray_entry__.py (SURVEY.md §5.6).
+
+The driver evaluates only the FIRST ~50 queries() entries for its
+CORRECTNESS window, and a window slot spent on an entry without an
+oracle_sql() mirror can only ever return err="no_oracle" (4 slots were
+burned that way in round 4 — VERDICT r4 item #1). These tests pin the
+registration hygiene so a future edit cannot silently re-break it.
+"""
+
+import importlib.util
+import pathlib
+
+import pytest
+
+ENTRY = pathlib.Path(__file__).resolve().parent.parent / "__ray_entry__.py"
+
+
+@pytest.fixture(scope="module")
+def entry_mod():
+    spec = importlib.util.spec_from_file_location("__ray_entry__", ENTRY)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_first_50_window_entries_all_oracle_gated(entry_mod):
+    """Every driver-window slot must carry a SQL-oracle-gated entry —
+    rows-only entries in the window waste a correctness check."""
+    keys = list(entry_mod.queries())
+    oracle = entry_mod.oracle_sql()
+    missing = [k for k in keys[:50] if k not in oracle]
+    assert missing == [], f"window slots without an oracle: {missing}"
+
+
+def test_every_oracle_key_has_a_query(entry_mod):
+    q = entry_mod.queries()
+    dangling = [k for k in entry_mod.oracle_sql() if k not in q]
+    assert dangling == [], f"oracle entries with no queries() fn: {dangling}"
+
+
+def test_no_duplicate_query_callables_in_window(entry_mod):
+    """A window slot duplicating another slot's callable re-checks the
+    same operator twice and starves a never-checked one."""
+    q = entry_mod.queries()
+    win = list(q)[:50]
+    fns = [q[k] for k in win]
+    assert len(set(fns)) == len(fns)
+
+
+def test_entry_module_never_owns_the_ray_session():
+    """The driver calls ray.init() BEFORE importing this module
+    (__ray_entry__.py:14-16) — the module must not init/shutdown."""
+    import ast
+
+    calls = [
+        node
+        for node in ast.walk(ast.parse(ENTRY.read_text()))
+        if isinstance(node, ast.Call)
+        and isinstance(node.func, ast.Attribute)
+        and node.func.attr in ("init", "shutdown")
+        and isinstance(node.func.value, ast.Name)
+        and node.func.value.id == "ray"
+    ]
+    assert calls == []
