@@ -260,6 +260,7 @@ def bench_queries() -> dict:
         ("q108_cross_source_prefix_dups", curation.q108_cross_source_prefix_dups),
         ("q109_cohort_repeat_orders", relational.q109_cohort_repeat_orders),
         ("q110_split_contamination", quality.q110_split_contamination),
+        ("q111_char_entropy_by_source", curation.q111_char_entropy_by_source),
     ]:
         h0 = _host_cpu_sample()
         t0 = time.time()

@@ -1193,3 +1193,122 @@ FROM d a JOIN d b ON a.p = b.p AND a.source < b.source
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# q111: bounded slab for the per-doc byte-histogram bincount — caps the
+# transient (docs x 256) int64 matrix at ~16 MB regardless of block size.
+ENTROPY_CHUNK = 8192
+
+
+def _entropy_block(t: pa.Table) -> pa.Table:
+    """Per-block q111 kernel: per-doc Shannon codepoint entropy (bits),
+    reduced to one (source, n_docs, sum_h, min_h, max_h) partial row per
+    source. ONE np.bincount over (doc_idx*256 + byte) composite keys
+    builds every doc's byte histogram at once on the zero-copy flat
+    UTF-8 buffer (bytes == codepoints for ASCII); the rare non-ASCII
+    doc is recomputed exactly at codepoint level. Empty/null docs are
+    excluded (entropy undefined), matching the oracle's length guard."""
+    empty = pa.table({"source": pa.array([], pa.string()),
+                      "n_docs": pa.array([], pa.int64()),
+                      "sum_h": pa.array([], pa.float64()),
+                      "min_h": pa.array([], pa.float64()),
+                      "max_h": pa.array([], pa.float64())})
+    if t.num_rows == 0:
+        return empty
+    from spardaqus_ray.functions.heuristics import _flat_utf8
+
+    text = pc.fill_null(t["text"].combine_chunks(), "")
+    buf, offsets = _flat_utf8(text)
+    lens = np.diff(offsets)
+    n = t.num_rows
+    h = np.zeros(n, np.float64)
+    doc_of_byte = np.repeat(np.arange(n, dtype=np.int64), lens)
+    for s0 in range(0, n, ENTROPY_CHUNK):
+        s1 = min(s0 + ENTROPY_CHUNK, n)
+        lo, hi = int(offsets[s0]), int(offsets[s1])
+        seg = buf[lo:hi].astype(np.int64)
+        rid = doc_of_byte[lo:hi] - s0
+        hist = (np.bincount(rid * 256 + seg, minlength=(s1 - s0) * 256)
+                .reshape(s1 - s0, 256).astype(np.float64))
+        tot = hist.sum(1)
+        safe = np.where(tot == 0, 1.0, tot)
+        p = hist / safe[:, None]
+        lg = np.zeros_like(p)
+        np.log2(p, out=lg, where=p > 0)
+        h[s0:s1] = -(p * lg).sum(1)
+        # continuation/lead bytes >= 0x80 flag a non-ASCII doc: its byte
+        # entropy is not its codepoint entropy - recompute those exactly
+        for j in np.nonzero(hist[:, 128:].sum(1) > 0)[0]:
+            i = int(s0 + j)
+            cps = np.frombuffer(text[i].as_py().encode("utf-32-le"),
+                                np.uint32)
+            _, c = np.unique(cps, return_counts=True)
+            pj = c / c.sum()
+            h[i] = float(-(pj * np.log2(pj)).sum())
+    keep = lens > 0  # empty docs out AFTER slabbing (offsets stay aligned)
+    if not keep.any():
+        return empty
+    src = t["source"].combine_chunks().to_numpy(zero_copy_only=False)
+    hk = h[keep]
+    df = pd.DataFrame({"source": src[keep], "n_docs": np.int64(1),
+                       "sum_h": hk, "min_h": hk, "max_h": hk})
+    g = (df.groupby("source", sort=False)
+         .agg(n_docs=("n_docs", "sum"), sum_h=("sum_h", "sum"),
+              min_h=("min_h", "min"), max_h=("max_h", "max"))
+         .reset_index())
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def q111_char_entropy_by_source(sf_dir: str) -> pd.DataFrame:
+    """Per-source Shannon character-entropy profile — the classic
+    low-entropy-junk / high-entropy-noise quality-filter signal
+    (CCNet-style): per document, entropy in bits of its codepoint
+    distribution; per source, doc count plus avg/min/max entropy.
+
+    Scale shape: stateless per-block kernel (`_entropy_block`) emitting
+    #sources partial rows per block; the only exchange is the
+    dimension-sized grouped SUM/MIN/MAX — no keyed shuffle, no
+    corpus-sized intermediate, slab-bounded kernel memory."""
+    from ray.data.aggregate import Max, Min
+
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+    out = (ds.map_batches(_entropy_block, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("source")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("sum_h", alias_name="sum_h"),
+                      Min("min_h", alias_name="min_h"),
+                      Max("max_h", alias_name="max_h"))
+           .to_pandas())
+    out = out.astype({"n_docs": "int64"})
+    out["avg_entropy_bits"] = (out["sum_h"] / out["n_docs"]).round(6)
+    out["min_entropy_bits"] = out["min_h"].round(6)
+    out["max_entropy_bits"] = out["max_h"].round(6)
+    out = out.drop(columns=["sum_h", "min_h", "max_h"])
+    return out.sort_values("source").reset_index(drop=True)
+
+
+Q111_SQL = """
+WITH chars AS (
+  SELECT doc_id, source,
+         unnest(regexp_split_to_array(text, '')) AS ch
+  FROM documents WHERE length(COALESCE(text, '')) > 0),
+freq AS (
+  SELECT doc_id, source, ch, COUNT(*) AS c
+  FROM chars GROUP BY doc_id, source, ch),
+tot AS (
+  SELECT doc_id, SUM(c) AS n FROM freq GROUP BY doc_id),
+ent AS (
+  SELECT f.source, f.doc_id,
+         -SUM((f.c * 1.0 / t.n) * log2(f.c * 1.0 / t.n)) AS h
+  FROM freq f JOIN tot t ON f.doc_id = t.doc_id
+  GROUP BY f.doc_id, f.source)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(h), 6) AS avg_entropy_bits,
+       ROUND(MIN(h), 6) AS min_entropy_bits,
+       ROUND(MAX(h), 6) AS max_entropy_bits
+FROM ent
+GROUP BY source
+ORDER BY source
+"""

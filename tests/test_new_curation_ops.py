@@ -172,3 +172,50 @@ def test_q109_cohort_semantics(ray_session, tmp_path):
     assert jan["repeat_rate"] == 0.5
     feb = out[out["cohort"] == "2024-02"].iloc[0]
     assert feb["n_customers"] == 1 and feb["repeat_rate"] == 0.0
+
+
+def test_q111_entropy_kernel_edges():
+    """_entropy_block: non-ASCII docs take the exact codepoint path
+    (byte entropy would differ), empty/null docs are excluded, ASCII
+    byte fast-path equals a direct per-doc computation."""
+    import math
+
+    import pyarrow as pa
+
+    from spardaqus_ray.pipelines.curation import _entropy_block
+
+    t = pa.table({"source": ["s1", "s1", "s2", "s2"],
+                  "text": ["héé", "abab", "", None]})
+    out = _entropy_block(t).to_pandas().set_index("source")
+    # héé codepoints {h:1, é:2}/3; UTF-8 BYTES would be {h:1,0xc3:2,0xa9:2}/5
+    exp_uni = -((1 / 3) * math.log2(1 / 3) + (2 / 3) * math.log2(2 / 3))
+    assert "s2" not in out.index  # both docs empty/null -> excluded
+    assert int(out.loc["s1", "n_docs"]) == 2
+    assert abs(out.loc["s1", "min_h"] - min(exp_uni, 1.0)) < 1e-12
+    assert abs(out.loc["s1", "max_h"] - max(exp_uni, 1.0)) < 1e-12
+
+
+def test_q111_entropy_slab_boundary():
+    """A block larger than ENTROPY_CHUNK slabs correctly: per-doc values
+    are identical to a single-slab computation (offsets stay aligned
+    across slab cuts)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from spardaqus_ray.pipelines import curation
+
+    rng = np.random.default_rng(7)
+    alphabet = np.array(list("abcdefgh"))
+    docs = ["".join(rng.choice(alphabet, size=int(rng.integers(1, 30))))
+            for _ in range(10)]
+    t = pa.table({"source": ["s"] * len(docs), "text": docs})
+    base = curation._entropy_block(t).to_pandas()
+    old = curation.ENTROPY_CHUNK
+    try:
+        curation.ENTROPY_CHUNK = 3  # force many slab cuts
+        slabbed = curation._entropy_block(t).to_pandas()
+    finally:
+        curation.ENTROPY_CHUNK = old
+    for c in ("n_docs", "sum_h", "min_h", "max_h"):
+        assert abs(float(base[c].iloc[0]) - float(slabbed[c].iloc[0])) \
+            < 1e-12, c
