@@ -261,6 +261,7 @@ def bench_queries() -> dict:
         ("q109_cohort_repeat_orders", relational.q109_cohort_repeat_orders),
         ("q110_split_contamination", quality.q110_split_contamination),
         ("q111_char_entropy_by_source", curation.q111_char_entropy_by_source),
+        ("q112_session_size_hist", funnel.q112_session_size_hist),
     ]:
         h0 = _host_cpu_sample()
         t0 = time.time()

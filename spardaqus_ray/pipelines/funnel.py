@@ -719,3 +719,106 @@ FROM v JOIN p USING (user_id)
 GROUP BY latency_hours
 ORDER BY latency_hours
 """
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # q18's 30-min inactivity window
+SESSION_SIZE_CAP = 10                 # histogram tail bucket: "10+"
+
+
+def q112_session_size_hist(sf_dir: str) -> pd.DataFrame:
+    """Session-grain histogram behind q18's per-user counts: sessionize
+    every user's stream with the 30-min gap rule, then bucket SESSIONS
+    by event count (1..9, 10 = "10+") and report per bucket the session
+    count plus sum/max/avg session duration — the engagement-shape
+    profile (how long are big sessions vs one-shot hits). Session
+    boundaries depend only on the sorted timestamp multiset, so
+    timestamp ties cannot make the result order-dependent. ONE keyed
+    shuffle co-locates each user (a session never spans blocks); the
+    block kernel emits <= SESSION_SIZE_CAP partial rows; durations are
+    exchanged as exact int64 microsecond sums."""
+    from ray.data.aggregate import Max
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    tune_hash_width(ds, table_bytes(sf_dir, "events"))
+    ds = _keyed(ds, "user_id",
+                default_partitions(size_bytes=table_bytes(sf_dir, "events")))
+
+    def block(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "session_size_bucket": pa.array([], pa.int64()),
+            "n_sessions": pa.array([], pa.int64()),
+            "sum_duration_us": pa.array([], pa.int64()),
+            "max_duration_us": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = _np(t["user_id"]).astype(np.int64)
+        tt = _ts_us(t["ts"])
+        order = np.lexsort((tt, u))
+        u, tt = u[order], tt[order]
+        new_user = np.zeros(len(u), bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        brk = np.zeros(len(u), bool)
+        brk[1:] = (tt[1:] - tt[:-1]) > SESSION_GAP_US
+        sess_start = np.nonzero(new_user | brk)[0]
+        ends = np.append(sess_start[1:], len(u)) - 1  # last row per session
+        n_events = ends - sess_start + 1
+        dur = tt[ends] - tt[sess_start]
+        bucket = np.minimum(n_events, SESSION_SIZE_CAP)
+        n_sess = np.bincount(bucket, minlength=SESSION_SIZE_CAP + 1)
+        # int64 reduceat over the bucket-sorted durations, NOT
+        # bincount(weights=...): the float64 weight path loses integer
+        # exactness past 2^53, which many sessions x day-scale us reach
+        srt = np.lexsort((dur, bucket))
+        db, ds_ = bucket[srt], dur[srt].astype(np.int64)
+        starts = np.concatenate(([0], np.nonzero(db[1:] != db[:-1])[0] + 1))
+        kinds = db[starts]
+        sm = np.zeros(SESSION_SIZE_CAP + 1, np.int64)
+        sm[kinds] = np.add.reduceat(ds_, starts)
+        mx = np.zeros(SESSION_SIZE_CAP + 1, np.int64)
+        mx[kinds] = np.maximum.reduceat(ds_, starts)
+        present = np.nonzero(n_sess)[0]
+        return pa.table({
+            "session_size_bucket": pa.array(present.astype(np.int64)),
+            "n_sessions": pa.array(n_sess[present].astype(np.int64)),
+            "sum_duration_us": pa.array(sm[present]),
+            "max_duration_us": pa.array(mx[present])})
+
+    out = (ds.map_batches(block, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+           .groupby("session_size_bucket")
+           .aggregate(Sum("n_sessions", alias_name="n_sessions"),
+                      Sum("sum_duration_us", alias_name="sum_duration_us"),
+                      Max("max_duration_us", alias_name="max_duration_us"))
+           .to_pandas())
+    out = out.astype({"session_size_bucket": "int64", "n_sessions": "int64",
+                      "sum_duration_us": "int64", "max_duration_us": "int64"})
+    out["avg_duration_us"] = (out["sum_duration_us"]
+                              / out["n_sessions"]).round(6)
+    return (out.sort_values("session_size_bucket").reset_index(drop=True))
+
+
+Q112_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t FROM events),
+s AS (
+  SELECT user_id, t,
+         CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+                   > 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM e),
+s2 AS (
+  SELECT user_id, t,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM s),
+g AS (
+  SELECT user_id, sess, COUNT(*) AS n_events,
+         MAX(t) - MIN(t) AS dur_us
+  FROM s2 GROUP BY user_id, sess)
+SELECT CAST(LEAST(n_events, 10) AS BIGINT) AS session_size_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(dur_us) AS BIGINT) AS sum_duration_us,
+       CAST(MAX(dur_us) AS BIGINT) AS max_duration_us,
+       ROUND(SUM(dur_us) * 1.0 / COUNT(*), 6) AS avg_duration_us
+FROM g GROUP BY 1 ORDER BY 1
+"""

@@ -74,3 +74,46 @@ def test_retention_gap_days(ray_session, tmp_path):
                 f"read_parquet('{sf}/events.parquet')")
     o = con.execute(funnel.Q49_SQL).fetchdf()
     pd.testing.assert_frame_equal(out, o, check_dtype=True)
+
+
+def test_q112_session_semantics(ray_session, tmp_path):
+    """Planted sessions: the 30-min gap rule splits streams correctly,
+    the size cap buckets a long session at 10+, and durations are
+    last-minus-first event per session (exact microseconds)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spardaqus_ray.pipelines.funnel import q112_session_size_hist
+
+    base = pd.Timestamp("2024-03-01 12:00:00").value // 1000  # us
+    MIN = 60_000_000
+    rows = []
+    # user 1: 3 events 5 min apart (one 3-event session, dur 10 min),
+    # then a 2-h gap, then 1 lone event (a second, size-1 session)
+    for i in range(3):
+        rows.append((1, base + i * 5 * MIN))
+    rows.append((1, base + 150 * MIN))
+    # user 2: 12 events 1 min apart -> one session bucketed at 10+
+    for i in range(12):
+        rows.append((2, base + i * MIN))
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows],
+                                dtype="datetime64[us]")),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array(["view"] * len(rows), pa.string()),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string())})
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    out = (q112_session_size_hist(str(tmp_path))
+           .set_index("session_size_bucket"))
+    assert set(out.index) == {1, 3, 10}
+    assert int(out.loc[1, "n_sessions"]) == 1
+    assert int(out.loc[1, "sum_duration_us"]) == 0
+    assert int(out.loc[3, "n_sessions"]) == 1
+    assert int(out.loc[3, "sum_duration_us"]) == 10 * MIN
+    assert int(out.loc[10, "n_sessions"]) == 1  # 12 events -> "10+"
+    assert int(out.loc[10, "max_duration_us"]) == 11 * MIN
