@@ -262,6 +262,7 @@ def bench_queries() -> dict:
         ("q110_split_contamination", quality.q110_split_contamination),
         ("q111_char_entropy_by_source", curation.q111_char_entropy_by_source),
         ("q112_session_size_hist", funnel.q112_session_size_hist),
+        ("q113_monthly_stickiness", funnel.q113_monthly_stickiness),
     ]:
         h0 = _host_cpu_sample()
         t0 = time.time()

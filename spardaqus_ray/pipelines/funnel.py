@@ -462,6 +462,29 @@ FROM ranked
 WAU_WINDOW_DAYS = 7
 
 
+def _distinct_user_days(t: pa.Table) -> pa.Table:
+    """Block kernel: distinct (user_id, day-number) pairs. On a
+    user-keyed exchange each user is whole inside one block, so the
+    local np.unique yields GLOBALLY distinct pairs. Packing bounds
+    (day < 2^20 holds until year 4840, user_id < 2^40 ~ 1.1e12) match
+    wau_block's (day << 40 | user) packing and fail loudly — an
+    out-of-range id must never silently corrupt the day bits."""
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "d": pa.array([], pa.int64())})
+    if t.num_rows == 0:
+        return empty
+    u = _np(t["user_id"]).astype(np.int64)
+    day = _ts_us(t["ts"]) // _DAY_US
+    if u.size and (int(u.max()) >> 40 or int(u.min()) < 0):
+        raise ValueError("user_id must be in [0, 2^40)")
+    key = np.unique(u.astype(np.uint64) * np.uint64(1 << 20)
+                    + day.astype(np.uint64))
+    return pa.table({"user_id": pa.array((key >> np.uint64(20))
+                                         .astype(np.int64)),
+                     "d": pa.array((key & np.uint64((1 << 20) - 1))
+                                   .astype(np.int64))})
+
+
 def q100_rolling_wau(sf_dir: str) -> pd.DataFrame:
     """DAU and trailing-7-day WAU per activity day — sliding COUNT
     DISTINCT, the engagement curve every event stream gets asked for.
@@ -476,27 +499,7 @@ def q100_rolling_wau(sf_dir: str) -> pd.DataFrame:
     tune_hash_width(ds, table_bytes(sf_dir, "events"))
     width = default_partitions(size_bytes=table_bytes(sf_dir, "events"))
     keyed = _keyed(ds, "user_id", width)
-
-    def user_days(t: pa.Table) -> pa.Table:
-        empty = pa.table({"user_id": pa.array([], pa.int64()),
-                          "d": pa.array([], pa.int64())})
-        if t.num_rows == 0:
-            return empty
-        u = _np(t["user_id"]).astype(np.int64)
-        day = _ts_us(t["ts"]) // _DAY_US
-        # pack (user, day) into one uint64 for a single np.unique:
-        # day < 2^20 holds until year 4840, user_id < 2^40 (~1.1e12) —
-        # the SAME bound wau_block's (day << 40 | user) packing needs,
-        # enforced in BOTH kernels so an out-of-range id fails loudly
-        # instead of silently corrupting the day bits downstream
-        if u.size and (int(u.max()) >> 40 or int(u.min()) < 0):
-            raise ValueError("q100: user_id must be in [0, 2^40)")
-        key = np.unique(u.astype(np.uint64) * np.uint64(1 << 20)
-                        + day.astype(np.uint64))
-        return pa.table({"user_id": pa.array((key >> np.uint64(20))
-                                             .astype(np.int64)),
-                         "d": pa.array((key & np.uint64((1 << 20) - 1))
-                                       .astype(np.int64))})
+    user_days = _distinct_user_days
 
     # two consumers (WAU expansion + DAU partials): materialize the
     # deduped pairs ONCE or each lazily re-runs the read + user shuffle.
@@ -821,4 +824,97 @@ SELECT CAST(LEAST(n_events, 10) AS BIGINT) AS session_size_bucket,
        CAST(MAX(dur_us) AS BIGINT) AS max_duration_us,
        ROUND(SUM(dur_us) * 1.0 / COUNT(*), 6) AS avg_duration_us
 FROM g GROUP BY 1 ORDER BY 1
+"""
+
+
+def q113_monthly_stickiness(sf_dir: str) -> pd.DataFrame:
+    """DAU/MAU stickiness per calendar month — the canonical engagement
+    ratio: avg daily active users over monthly active users. Rides the
+    q100 machinery: ONE user-keyed exchange + `_distinct_user_days`
+    makes globally-distinct activity pairs (each distinct (user, day)
+    contributes exactly 1 to its day's DAU, so a month's sum-of-DAU is
+    just its pair count); MAU is exact in-block because pairs stay
+    user-keyed (a user's months never span blocks). Both follow-up
+    exchanges are dimension-sized (#days / #months x blocks rows)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    tune_hash_width(ds, table_bytes(sf_dir, "events"))
+    width = default_partitions(size_bytes=table_bytes(sf_dir, "events"))
+    keyed = _keyed(ds, "user_id", width)
+    # two consumers (day partials + per-month MAU): materialize the
+    # bounded pair table once, as q100 does
+    pairs = keyed.map_batches(_distinct_user_days, batch_format="pyarrow",
+                              batch_size=None).materialize()
+
+    def _months(d: np.ndarray) -> np.ndarray:
+        # day-number -> 'YYYY-MM' label (non-negative epochs: the same
+        # CAST(ts AS DATE) caveat q24/q100 document)
+        return np.datetime_as_string(
+            d.astype("datetime64[D]").astype("datetime64[M]"), unit="M")
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"d": pa.array([], pa.int64()),
+                          "dau": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        d = t["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        vals, counts = np.unique(d, return_counts=True)
+        return pa.table({"d": pa.array(vals.astype(np.int64)),
+                         "dau": pa.array(counts.astype(np.int64))})
+
+    dau = (pairs.map_batches(day_partial, batch_format="pyarrow",
+                             batch_size=None)
+           .groupby("d").aggregate(Sum("dau", alias_name="dau"))
+           .to_pandas())
+
+    def mau_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"month": pa.array([], pa.string()),
+                          "mau": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = t["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        mon = (d.astype("datetime64[D]").astype("datetime64[M]")
+               .astype(np.int64))
+        # distinct (user, month): months since epoch < 2^20, same
+        # packing discipline as _distinct_user_days (bound checked there)
+        key = np.unique(u.astype(np.uint64) * np.uint64(1 << 20)
+                        + mon.astype(np.uint64))
+        mvals, counts = np.unique(key & np.uint64((1 << 20) - 1),
+                                  return_counts=True)
+        lab = np.datetime_as_string(
+            mvals.astype(np.int64).astype("datetime64[M]"), unit="M")
+        return pa.table({"month": pa.array(lab),
+                         "mau": pa.array(counts.astype(np.int64))})
+
+    mau = (pairs.map_batches(mau_partial, batch_format="pyarrow",
+                             batch_size=None)
+           .groupby("month").aggregate(Sum("mau", alias_name="mau"))
+           .to_pandas())
+
+    dau["month"] = _months(dau["d"].to_numpy())
+    m1 = (dau.groupby("month")
+          .agg(n_active_days=("d", "size"), sum_dau=("dau", "sum"))
+          .reset_index())
+    out = m1.merge(mau, on="month", how="inner").astype(
+        {"n_active_days": "int64", "sum_dau": "int64", "mau": "int64"})
+    out["stickiness"] = (out["sum_dau"] / out["n_active_days"]
+                         / out["mau"]).round(6)
+    return out.sort_values("month").reset_index(drop=True)
+
+
+Q113_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+m1 AS (SELECT strftime(day, '%Y-%m') AS month,
+              CAST(COUNT(*) AS BIGINT) AS n_active_days,
+              CAST(SUM(dau) AS BIGINT) AS sum_dau
+       FROM dau GROUP BY 1),
+m2 AS (SELECT strftime(day, '%Y-%m') AS month,
+              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+       FROM ud GROUP BY 1)
+SELECT m1.month AS month, n_active_days, sum_dau, mau,
+       ROUND(sum_dau * 1.0 / n_active_days / mau, 6) AS stickiness
+FROM m1 JOIN m2 ON m1.month = m2.month
+ORDER BY m1.month
 """

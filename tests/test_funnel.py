@@ -117,3 +117,42 @@ def test_q112_session_semantics(ray_session, tmp_path):
     assert int(out.loc[3, "sum_duration_us"]) == 10 * MIN
     assert int(out.loc[10, "n_sessions"]) == 1  # 12 events -> "10+"
     assert int(out.loc[10, "max_duration_us"]) == 11 * MIN
+
+
+def test_q113_multi_month_semantics(ray_session, tmp_path):
+    """Planted two-month stream: MAU counts a cross-month user in BOTH
+    months, sum_dau counts distinct user-days, months split correctly
+    at the calendar boundary."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spardaqus_ray.pipelines.funnel import q113_monthly_stickiness
+
+    def us(s):
+        return pd.Timestamp(s).value // 1000
+
+    rows = [
+        # Jan: user 1 active 2 days (one day twice), user 2 active 1 day
+        (1, us("2024-01-05 01:00")), (1, us("2024-01-05 23:00")),
+        (1, us("2024-01-31 12:00")), (2, us("2024-01-20 09:00")),
+        # Feb: user 1 again (cross-month), user 3 new
+        (1, us("2024-02-01 08:00")), (3, us("2024-02-10 10:00")),
+    ]
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], "datetime64[us]")),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array(["view"] * len(rows), pa.string()),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string())})
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    out = q113_monthly_stickiness(str(tmp_path)).set_index("month")
+    jan, feb = out.loc["2024-01"], out.loc["2024-02"]
+    assert int(jan["n_active_days"]) == 3      # Jan 5, 20, 31
+    assert int(jan["sum_dau"]) == 3            # (1,5) deduped, (1,31), (2,20)
+    assert int(jan["mau"]) == 2                # users 1, 2
+    assert int(feb["n_active_days"]) == 2 and int(feb["mau"]) == 2
+    assert int(feb["sum_dau"]) == 2
