@@ -1312,3 +1312,91 @@ FROM ent
 GROUP BY source
 ORDER BY source
 """
+
+
+def q114_indentation_profile(sf_dir: str) -> pd.DataFrame:
+    """Per-source indentation profile over the code corpus: total lines,
+    tab- vs space-indented line counts, total leading-whitespace chars
+    and docs mixing both indent styles — the style-consistency signal a
+    code-quality filter keys on (mixed-indent files correlate with
+    low-quality scrapes). Stateless per-block kernel, pure Arrow
+    kernels (split_pattern / utf8_ltrim / utf8_length — no Python over
+    rows); the exchange is one #sources-row grouped SUM. All outputs
+    are exact integers, so the oracle compare is hash-exact."""
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "n_lines": pa.array([], pa.int64()),
+                          "n_tab_indented": pa.array([], pa.int64()),
+                          "n_space_indented": pa.array([], pa.int64()),
+                          "sum_indent_chars": pa.array([], pa.int64()),
+                          "n_mixed_docs": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        text = pc.fill_null(t["text"].combine_chunks(), "")
+        lines = pc.split_pattern(text, "\n")
+        lens = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(lines)
+        rid = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        first = pc.utf8_slice_codeunits(flat, 0, 1)
+        tab = pc.equal(first, "\t").to_numpy(zero_copy_only=False)
+        sp = pc.equal(first, " ").to_numpy(zero_copy_only=False)
+        indent = pc.subtract(
+            pc.utf8_length(flat),
+            pc.utf8_length(pc.utf8_ltrim(flat, " \t"))
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        tabs_per_doc = np.bincount(rid[tab], minlength=t.num_rows)
+        sps_per_doc = np.bincount(rid[sp], minlength=t.num_rows)
+        df = pd.DataFrame({
+            "source": t["source"].combine_chunks()
+            .to_numpy(zero_copy_only=False),
+            "n_lines": lens.astype(np.int64),
+            "n_tab_indented": tabs_per_doc.astype(np.int64),
+            "n_space_indented": sps_per_doc.astype(np.int64),
+            "sum_indent_chars": np.bincount(
+                rid, weights=indent, minlength=t.num_rows).astype(np.int64),
+            "n_mixed_docs": ((tabs_per_doc > 0) & (sps_per_doc > 0))
+            .astype(np.int64)})
+        g = df.groupby("source", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("source")
+           .aggregate(Sum("n_lines", alias_name="n_lines"),
+                      Sum("n_tab_indented", alias_name="n_tab_indented"),
+                      Sum("n_space_indented",
+                          alias_name="n_space_indented"),
+                      Sum("sum_indent_chars",
+                          alias_name="sum_indent_chars"),
+                      Sum("n_mixed_docs", alias_name="n_mixed_docs"))
+           .to_pandas())
+    out = out.astype({c: "int64" for c in out.columns if c != "source"})
+    return out.sort_values("source").reset_index(drop=True)
+
+
+Q114_SQL = """
+WITH lines AS (
+  SELECT doc_id, source,
+         unnest(string_split(COALESCE(text, ''), chr(10))) AS line
+  FROM documents),
+x AS (
+  SELECT doc_id, source,
+         length(line) - length(ltrim(line, ' ' || chr(9))) AS indent,
+         CASE WHEN line LIKE chr(9) || '%' THEN 1 ELSE 0 END AS tab_ind,
+         CASE WHEN line LIKE ' %' THEN 1 ELSE 0 END AS sp_ind
+  FROM lines),
+per_doc AS (
+  SELECT doc_id, source, COUNT(*) AS n_lines, SUM(indent) AS sum_indent,
+         SUM(tab_ind) AS tabs, SUM(sp_ind) AS sps
+  FROM x GROUP BY doc_id, source)
+SELECT source,
+       CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+       CAST(SUM(tabs) AS BIGINT) AS n_tab_indented,
+       CAST(SUM(sps) AS BIGINT) AS n_space_indented,
+       CAST(SUM(sum_indent) AS BIGINT) AS sum_indent_chars,
+       CAST(SUM(CASE WHEN tabs > 0 AND sps > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_mixed_docs
+FROM per_doc GROUP BY source ORDER BY source
+"""

@@ -219,3 +219,39 @@ def test_q111_entropy_slab_boundary():
     for c in ("n_docs", "sum_h", "min_h", "max_h"):
         assert abs(float(base[c].iloc[0]) - float(slabbed[c].iloc[0])) \
             < 1e-12, c
+
+
+def test_q114_indentation_semantics(ray_session, tmp_path):
+    """Planted indent styles: tab vs space line classification, leading
+    whitespace totals, mixed-style doc detection, empty/null docs — and
+    exact DuckDB oracle parity on the same planted table (the sf
+    fixtures have no indentation, so this carries the semantics)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spardaqus_ray.pipelines.curation import (Q114_SQL,
+                                                  q114_indentation_profile)
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "source": ["s1", "s1", "s2", "s2"],
+                  "text": ["\tx\n  y\nz", "  a\n  b", "", None],
+                  "lang": ["en"] * 4,
+                  "n_chars": pa.array([8, 6, 0, 0], pa.int64())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    out = q114_indentation_profile(str(tmp_path)).set_index("source")
+    assert int(out.loc["s1", "n_lines"]) == 5
+    assert int(out.loc["s1", "n_tab_indented"]) == 1
+    assert int(out.loc["s1", "n_space_indented"]) == 3
+    assert int(out.loc["s1", "sum_indent_chars"]) == 7  # 1+2+2+2
+    assert int(out.loc["s1", "n_mixed_docs"]) == 1
+    assert int(out.loc["s2", "n_lines"]) == 2  # empty/null -> 1 line each
+    assert int(out.loc["s2", "n_mixed_docs"]) == 0
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM read_parquet("
+                f"'{tmp_path}/documents.parquet')")
+    sql = con.execute(Q114_SQL).fetchdf().set_index("source")
+    for c in out.columns:
+        assert (out[c].values == sql[c].astype("int64").values).all(), c
