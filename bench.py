@@ -264,6 +264,7 @@ def bench_queries() -> dict:
         ("q112_session_size_hist", funnel.q112_session_size_hist),
         ("q113_monthly_stickiness", funnel.q113_monthly_stickiness),
         ("q114_indentation_profile", curation.q114_indentation_profile),
+        ("q115_charclass_profile", curation.q115_charclass_profile),
     ]:
         h0 = _host_cpu_sample()
         t0 = time.time()

@@ -1400,3 +1400,100 @@ SELECT source,
             AS BIGINT) AS n_mixed_docs
 FROM per_doc GROUP BY source ORDER BY source
 """
+
+
+def q115_charclass_profile(sf_dir: str) -> pd.DataFrame:
+    """Per-source ASCII character-class census: total codepoints plus
+    digit / uppercase / lowercase / whitespace counts and their ratios
+    — the raw material of the classic quality heuristics (symbol-ratio,
+    shouting-ratio, numeric-junk filters) surfaced as an auditable
+    aggregate. Byte-level numpy masks over the zero-copy flat UTF-8
+    buffer are exact at codepoint level (UTF-8 continuation bytes are
+    >= 0x80, so they can never collide with an ASCII class); totals use
+    utf8_length so non-ASCII text still counts codepoints. One
+    #sources-row grouped SUM; all counts exact int64."""
+    from spardaqus_ray.functions.heuristics import _flat_utf8
+
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "n_chars": pa.array([], pa.int64()),
+                          "n_digits": pa.array([], pa.int64()),
+                          "n_upper": pa.array([], pa.int64()),
+                          "n_lower": pa.array([], pa.int64()),
+                          "n_ws": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        text = pc.fill_null(t["text"].combine_chunks(), "")
+        buf, offsets = _flat_utf8(text)
+        starts = offsets[:-1]
+        nch = pc.utf8_length(text).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+
+        def class_count(mask: np.ndarray) -> np.ndarray:
+            cum = np.concatenate(([0], np.cumsum(mask, dtype=np.int64)))
+            return cum[offsets[1:]] - cum[starts]
+
+        dig = class_count((buf >= 0x30) & (buf <= 0x39))
+        up = class_count((buf >= 0x41) & (buf <= 0x5A))
+        lo = class_count((buf >= 0x61) & (buf <= 0x7A))
+        ws = class_count((buf == 0x20) | (buf == 0x09)
+                         | (buf == 0x0A) | (buf == 0x0D))
+        df = pd.DataFrame({
+            "source": t["source"].combine_chunks()
+            .to_numpy(zero_copy_only=False),
+            "n_chars": nch, "n_digits": dig, "n_upper": up,
+            "n_lower": lo, "n_ws": ws})
+        g = df.groupby("source", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("source")
+           .aggregate(Sum("n_chars", alias_name="n_chars"),
+                      Sum("n_digits", alias_name="n_digits"),
+                      Sum("n_upper", alias_name="n_upper"),
+                      Sum("n_lower", alias_name="n_lower"),
+                      Sum("n_ws", alias_name="n_ws"))
+           .to_pandas())
+    out = out.astype({c: "int64" for c in out.columns if c != "source"})
+    for c in ("digits", "upper", "lower", "ws"):
+        out[f"{c}_ratio"] = (out[f"n_{c}"]
+                             / out["n_chars"].clip(lower=1)).round(6)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+Q115_SQL = """
+WITH x AS (
+  SELECT source,
+         length(COALESCE(text, '')) AS n_chars,
+         length(COALESCE(text, ''))
+           - length(regexp_replace(COALESCE(text, ''), '[0-9]', '', 'g'))
+           AS n_digits,
+         length(COALESCE(text, ''))
+           - length(regexp_replace(COALESCE(text, ''), '[A-Z]', '', 'g'))
+           AS n_upper,
+         length(COALESCE(text, ''))
+           - length(regexp_replace(COALESCE(text, ''), '[a-z]', '', 'g'))
+           AS n_lower,
+         length(COALESCE(text, ''))
+           - length(regexp_replace(COALESCE(text, ''),
+                                   '[ ' || chr(9) || chr(10) || chr(13)
+                                   || ']', '', 'g')) AS n_ws
+  FROM documents),
+g AS (
+  SELECT source,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         CAST(SUM(n_digits) AS BIGINT) AS n_digits,
+         CAST(SUM(n_upper) AS BIGINT) AS n_upper,
+         CAST(SUM(n_lower) AS BIGINT) AS n_lower,
+         CAST(SUM(n_ws) AS BIGINT) AS n_ws
+  FROM x GROUP BY source)
+SELECT source, n_chars, n_digits, n_upper, n_lower, n_ws,
+       ROUND(n_digits * 1.0 / GREATEST(n_chars, 1), 6) AS digits_ratio,
+       ROUND(n_upper * 1.0 / GREATEST(n_chars, 1), 6) AS upper_ratio,
+       ROUND(n_lower * 1.0 / GREATEST(n_chars, 1), 6) AS lower_ratio,
+       ROUND(n_ws * 1.0 / GREATEST(n_chars, 1), 6) AS ws_ratio
+FROM g ORDER BY source
+"""

@@ -255,3 +255,36 @@ def test_q114_indentation_semantics(ray_session, tmp_path):
     sql = con.execute(Q114_SQL).fetchdf().set_index("source")
     for c in out.columns:
         assert (out[c].values == sql[c].astype("int64").values).all(), c
+
+
+def test_q115_charclass_unicode_parity(ray_session, tmp_path):
+    """Byte-level ASCII class masks must stay codepoint-exact on
+    non-ASCII text (continuation bytes never collide with ASCII
+    ranges), and totals count codepoints, matching the SQL oracle."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spardaqus_ray.pipelines.curation import (Q115_SQL,
+                                                  q115_charclass_profile)
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "source": ["s1", "s1"],
+                  "text": ["Héllo1 \tZ9", None],
+                  "lang": ["fr", "en"],
+                  "n_chars": pa.array([10, 0], pa.int64())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    out = q115_charclass_profile(str(tmp_path)).set_index("source")
+    assert int(out.loc["s1", "n_chars"]) == 10  # é is ONE codepoint
+    assert int(out.loc["s1", "n_digits"]) == 2
+    assert int(out.loc["s1", "n_upper"]) == 2   # H, Z ([A-Z] excludes é)
+    assert int(out.loc["s1", "n_lower"]) == 3   # l, l, o
+    assert int(out.loc["s1", "n_ws"]) == 2
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM read_parquet("
+                f"'{tmp_path}/documents.parquet')")
+    sql = con.execute(Q115_SQL).fetchdf().set_index("source")
+    for c in ("n_chars", "n_digits", "n_upper", "n_lower", "n_ws"):
+        assert int(out.loc["s1", c]) == int(sql.loc["s1", c]), c
