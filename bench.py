@@ -265,6 +265,7 @@ def bench_queries() -> dict:
         ("q113_monthly_stickiness", funnel.q113_monthly_stickiness),
         ("q114_indentation_profile", curation.q114_indentation_profile),
         ("q115_charclass_profile", curation.q115_charclass_profile),
+        ("q116_boilerplate_lines", curation.q116_boilerplate_lines),
     ]:
         h0 = _host_cpu_sample()
         t0 = time.time()

@@ -1497,3 +1497,77 @@ SELECT source, n_chars, n_digits, n_upper, n_lower, n_ws,
        ROUND(n_ws * 1.0 / GREATEST(n_chars, 1), 6) AS ws_ratio
 FROM g ORDER BY source
 """
+
+
+BOILERPLATE_MIN_CHARS = 10
+BOILERPLATE_TOP_K = 20
+
+
+def q116_boilerplate_lines(sf_dir: str) -> pd.DataFrame:
+    """Top-K most repeated lines across the corpus (trimmed, >= 10
+    chars): occurrence count and how many distinct docs carry each —
+    the license-header / template / nav-chrome detector that seeds
+    line-level boilerplate stripping. Per-block kernel counts via
+    dictionary codes + one (doc, code) composite np.unique (a doc is
+    whole within its block, so per-block distinct-doc partial counts
+    SUM to the exact global figure); the exchange is line-keyed
+    pre-aggregated counts (the established vocab-aggregate shape), and
+    the result is a deterministic top-K sort (n desc, line asc)."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"line": pa.array([], pa.string()),
+                          "n_occurrences": pa.array([], pa.int64()),
+                          "n_docs": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        text = pc.fill_null(t["text"].combine_chunks(), "")
+        split = pc.split_pattern(text, "\n")
+        lines = pc.list_flatten(split)
+        lens = pc.list_value_length(split).to_numpy(zero_copy_only=False)
+        rid = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        trimmed = pc.utf8_trim(lines, " \t\r")
+        keep = pc.greater_equal(pc.utf8_length(trimmed),
+                                BOILERPLATE_MIN_CHARS) \
+            .to_numpy(zero_copy_only=False)
+        if not keep.any():
+            return empty
+        kept = trimmed.filter(pa.array(keep))
+        rid = rid[keep]
+        enc = kept.dictionary_encode()
+        codes = np.asarray(enc.indices, np.int64)
+        vocab = enc.dictionary
+        n_occ = np.bincount(codes, minlength=len(vocab)).astype(np.int64)
+        ncodes = len(vocab)
+        distinct = np.unique(rid * ncodes + codes) % ncodes
+        n_docs = np.bincount(distinct, minlength=ncodes).astype(np.int64)
+        return pa.table({"line": vocab,
+                         "n_occurrences": pa.array(n_occ),
+                         "n_docs": pa.array(n_docs)})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("line")
+           .aggregate(Sum("n_occurrences", alias_name="n_occurrences"),
+                      Sum("n_docs", alias_name="n_docs")))
+    out = (agg.sort(["n_occurrences", "line"], descending=[True, False])
+           .limit(BOILERPLATE_TOP_K).to_pandas())
+    return out.astype({"n_occurrences": "int64",
+                       "n_docs": "int64"}).reset_index(drop=True)
+
+
+Q116_SQL = f"""
+WITH lines AS (
+  SELECT doc_id,
+         trim(unnest(string_split(COALESCE(text, ''), chr(10))),
+              ' ' || chr(9) || chr(13)) AS line
+  FROM documents),
+f AS (
+  SELECT line, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM lines WHERE length(line) >= {BOILERPLATE_MIN_CHARS}
+  GROUP BY line)
+SELECT line, n_occurrences, n_docs FROM f
+ORDER BY n_occurrences DESC, line ASC
+LIMIT {BOILERPLATE_TOP_K}
+"""

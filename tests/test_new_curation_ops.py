@@ -288,3 +288,43 @@ def test_q115_charclass_unicode_parity(ray_session, tmp_path):
     sql = con.execute(Q115_SQL).fetchdf().set_index("source")
     for c in ("n_chars", "n_digits", "n_upper", "n_lower", "n_ws"):
         assert int(out.loc["s1", c]) == int(sql.loc["s1", c]), c
+
+
+def test_q116_boilerplate_semantics(ray_session, tmp_path):
+    """Planted boilerplate: a header line repeated across docs tops the
+    list with the right doc count, short lines are filtered, trimming
+    uses the explicit ' \\t\\r' set, ties break (n desc, line asc) —
+    plus exact DuckDB oracle parity on the planted table."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spardaqus_ray.pipelines.curation import (Q116_SQL,
+                                                  q116_boilerplate_lines)
+
+    hdr = "# Licensed under Apache-2.0"
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "source": ["s1", "s1", "s2"],
+        "text": [f"{hdr}\ncode a\nshort",
+                 f"  {hdr}\t\n{hdr}\ncode bbbbbb",
+                 "unrelated body line\ncode bbbbbb"],
+        "lang": ["en"] * 3,
+        "n_chars": pa.array([1, 1, 1], pa.int64())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    out = q116_boilerplate_lines(str(tmp_path))
+    assert out.iloc[0]["line"] == hdr          # trimmed variants merge
+    assert int(out.iloc[0]["n_occurrences"]) == 3
+    assert int(out.iloc[0]["n_docs"]) == 2     # docs 1 and 2
+    assert "short" not in set(out["line"])     # < 10 chars filtered
+    # tie at n=2: 'code bbbbbb' sorts before 'unrelated...' won't tie —
+    # check full-frame oracle parity instead
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM read_parquet("
+                f"'{tmp_path}/documents.parquet')")
+    sql = con.execute(Q116_SQL).fetchdf()
+    assert len(out) == len(sql)
+    for c in out.columns:
+        assert (out[c].astype(str).values
+                == sql[c].astype(str).values).all(), c
