@@ -179,8 +179,8 @@ def bench_flagship() -> dict:
 
 def bench_queries() -> dict:
     from spardaqus_ray.pipelines import (ann, bloom, bpe, cms, curation, d4,
-                                         dedup, dsir, funnel, graph, learn,
-                                         packing, quality, quantize,
+                                         decomp, dedup, dsir, funnel, graph,
+                                         learn, packing, quality, quantize,
                                          relational, search, semdedup, stats,
                                          textops, winnow)
 
@@ -266,6 +266,7 @@ def bench_queries() -> dict:
         ("q114_indentation_profile", curation.q114_indentation_profile),
         ("q115_charclass_profile", curation.q115_charclass_profile),
         ("q116_boilerplate_lines", curation.q116_boilerplate_lines),
+        ("q117_embedding_dim_stats", decomp.q117_embedding_dim_stats),
     ]:
         h0 = _host_cpu_sample()
         t0 = time.time()

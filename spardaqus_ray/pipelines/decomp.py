@@ -165,3 +165,72 @@ FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(pos)
 GROUP BY label, u.pos
 ORDER BY label, u.pos
 """
+
+
+def q117_embedding_dim_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-dimension census of the embedding space: n, mean, population
+    std, min, max for every coordinate — the dead-dimension / scale-
+    drift QA check run before quantization or ANN indexing (a dim with
+    ~zero std carries no information; one with a wild range breaks
+    int8 grids). Same mergeable-partial shape as q56: each block
+    collapses to d rows of (n, sum, sumsq, min, max) moment partials,
+    ONE dimension-sized groupby, driver does the algebra. Dims are
+    1-based to match the SQL subscripts."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = read_table(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"dim": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.float64()),
+                          "ss": pa.array([], pa.float64()),
+                          "mn": pa.array([], pa.float64()),
+                          "mx": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        m = _mat(t).astype(np.float64)
+        d = m.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+            "n": pa.array(np.full(d, m.shape[0], dtype=np.int64)),
+            "s": pa.array(m.sum(axis=0)),
+            "ss": pa.array((m * m).sum(axis=0)),
+            "mn": pa.array(m.min(axis=0)),
+            "mx": pa.array(m.max(axis=0)),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("dim")
+           .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                      Sum("ss", alias_name="ss"),
+                      Min("mn", alias_name="mn"),
+                      Max("mx", alias_name="mx"))
+           .to_pandas())
+    n = agg["n"].astype("int64")
+    mean = agg["s"] / n
+    var = (agg["ss"] / n - mean * mean).clip(lower=0.0)
+    out = pd.DataFrame({
+        "dim": agg["dim"].astype("int64"),
+        "n_vecs": n,
+        "mean_val": mean.round(6),
+        "std_val": np.sqrt(var).round(6),
+        "min_val": agg["mn"].round(6),
+        "max_val": agg["mx"].round(6),
+    })
+    return out.sort_values("dim").reset_index(drop=True)
+
+
+Q117_SQL = """
+SELECT CAST(u.pos AS BIGINT) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(AVG(CAST(embedding[u.pos] AS DOUBLE)), 6) AS mean_val,
+       ROUND(COALESCE(stddev_pop(CAST(embedding[u.pos] AS DOUBLE)), 0),
+             6) AS std_val,
+       ROUND(MIN(CAST(embedding[u.pos] AS DOUBLE)), 6) AS min_val,
+       ROUND(MAX(CAST(embedding[u.pos] AS DOUBLE)), 6) AS max_val
+FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(pos)
+GROUP BY u.pos
+ORDER BY dim
+"""

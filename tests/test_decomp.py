@@ -46,3 +46,37 @@ def test_pca_spectrum_sums_to_variance(ray_session):
     df = decomp.pca_embeddings(SF001, k=64)
     assert abs(df["explained_variance_ratio"].sum() - 1.0) < 1e-3
     assert (df["eigenvalue"].diff().dropna() <= 1e-12).all()  # descending
+
+
+def test_q117_dead_dim_detection(ray_session, tmp_path):
+    """A planted constant dimension reads std 0 and mean == the
+    constant; a live dimension reads its exact moments (partials merge
+    across blocks without drift)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spardaqus_ray.pipelines.decomp import q117_embedding_dim_stats
+
+    rng = np.random.default_rng(3)
+    n = 300
+    m = np.zeros((n, 4), np.float32)
+    m[:, 0] = 2.5                       # dead dim
+    m[:, 1] = rng.normal(0, 1, n)       # live dim
+    m[:, 2] = np.arange(n)              # known moments
+    t = pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                  "embedding": pa.array(list(m), pa.list_(pa.float32())),
+                  "label": pa.array([0] * n, pa.int32())})
+    pq.write_table(t, tmp_path / "embeddings.parquet", row_group_size=32)
+
+    out = q117_embedding_dim_stats(str(tmp_path)).set_index("dim")
+    assert float(out.loc[1, "std_val"]) == 0.0
+    assert float(out.loc[1, "mean_val"]) == 2.5
+    assert float(out.loc[3, "min_val"]) == 0.0
+    assert float(out.loc[3, "max_val"]) == float(n - 1)
+    exp_mean = float(np.mean(np.arange(n, dtype=np.float64)))
+    assert abs(float(out.loc[3, "mean_val"]) - exp_mean) < 1e-6
+    exp_std = float(np.std(np.arange(n, dtype=np.float64)))
+    assert abs(float(out.loc[3, "std_val"]) - exp_std) < 1e-4
+    assert int(out.loc[4, "n_vecs"]) == n and \
+        float(out.loc[4, "std_val"]) == 0.0
