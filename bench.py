@@ -267,6 +267,7 @@ def bench_queries() -> dict:
         ("q115_charclass_profile", curation.q115_charclass_profile),
         ("q116_boilerplate_lines", curation.q116_boilerplate_lines),
         ("q117_embedding_dim_stats", decomp.q117_embedding_dim_stats),
+        ("q118_provenance_markers", curation.q118_provenance_markers),
     ]:
         h0 = _host_cpu_sample()
         t0 = time.time()

@@ -1571,3 +1571,77 @@ SELECT line, n_occurrences, n_docs FROM f
 ORDER BY n_occurrences DESC, line ASC
 LIMIT {BOILERPLATE_TOP_K}
 """
+
+
+PROVENANCE_HEAD_CHARS = 200
+LICENSE_RE = "license|copyright|apache-2|mit license|gpl"
+AUTOGEN_RE = "auto-generated|do not edit|autogenerated|generated by"
+
+
+def q118_provenance_markers(sf_dir: str) -> pd.DataFrame:
+    """Per-source provenance audit over document heads: how many docs
+    declare a license/copyright and how many are machine-generated
+    ('do not edit' banners) within the first PROVENANCE_HEAD_CHARS
+    codepoints — the compliance + synthetic-content triage every code
+    corpus needs before training. Stateless vectorized kernel (Arrow
+    slice/lower + ONE RE2 match per marker class — the same regex
+    engine DuckDB binds, so oracle parity is engine-exact); exchange is
+    a #sources-row grouped SUM of exact integers."""
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "n_docs": pa.array([], pa.int64()),
+                          "n_license": pa.array([], pa.int64()),
+                          "n_autogen": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        text = pc.fill_null(t["text"].combine_chunks(), "")
+        head = pc.utf8_lower(
+            pc.utf8_slice_codeunits(text, 0, PROVENANCE_HEAD_CHARS))
+        lic = pc.match_substring_regex(head, LICENSE_RE) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        gen = pc.match_substring_regex(head, AUTOGEN_RE) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({
+            "source": t["source"].combine_chunks()
+            .to_numpy(zero_copy_only=False),
+            "n_docs": np.int64(1), "n_license": lic, "n_autogen": gen})
+        g = df.groupby("source", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("source")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_license", alias_name="n_license"),
+                      Sum("n_autogen", alias_name="n_autogen"))
+           .to_pandas())
+    out = out.astype({"n_docs": "int64", "n_license": "int64",
+                      "n_autogen": "int64"})
+    out["license_share"] = (out["n_license"]
+                            / out["n_docs"].clip(lower=1)).round(6)
+    out["autogen_share"] = (out["n_autogen"]
+                            / out["n_docs"].clip(lower=1)).round(6)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+Q118_SQL = f"""
+WITH x AS (
+  SELECT source,
+         lower(substring(COALESCE(text, ''), 1,
+                         {PROVENANCE_HEAD_CHARS})) AS head
+  FROM documents),
+g AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN regexp_matches(head, '{LICENSE_RE}')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_license,
+         CAST(SUM(CASE WHEN regexp_matches(head, '{AUTOGEN_RE}')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_autogen
+  FROM x GROUP BY source)
+SELECT source, n_docs, n_license, n_autogen,
+       ROUND(n_license * 1.0 / GREATEST(n_docs, 1), 6) AS license_share,
+       ROUND(n_autogen * 1.0 / GREATEST(n_docs, 1), 6) AS autogen_share
+FROM g ORDER BY source
+"""

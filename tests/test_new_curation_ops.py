@@ -328,3 +328,40 @@ def test_q116_boilerplate_semantics(ray_session, tmp_path):
     for c in out.columns:
         assert (out[c].astype(str).values
                 == sql[c].astype(str).values).all(), c
+
+
+def test_q118_provenance_semantics(ray_session, tmp_path):
+    """Planted markers: license/copyright and do-not-edit banners are
+    detected case-insensitively within the head window only, and the
+    Arrow-RE2 kernel agrees with the DuckDB-RE2 oracle exactly."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spardaqus_ray.pipelines.curation import (Q118_SQL,
+                                                  q118_provenance_markers)
+
+    beyond = "x" * 300 + " Copyright 2024"  # marker PAST the head window
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "source": ["s1", "s1", "s1", "s2"],
+        "text": ["# Licensed under the Apache-2.0 license\ncode",
+                 "// AUTO-GENERATED, DO NOT EDIT\nstuff",
+                 beyond,
+                 "plain body with no markers"],
+        "lang": ["en"] * 4,
+        "n_chars": pa.array([1, 1, 1, 1], pa.int64())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    out = q118_provenance_markers(str(tmp_path)).set_index("source")
+    assert int(out.loc["s1", "n_docs"]) == 3
+    assert int(out.loc["s1", "n_license"]) == 1   # doc 3's is past head
+    assert int(out.loc["s1", "n_autogen"]) == 1   # case-insensitive
+    assert int(out.loc["s2", "n_license"]) == 0
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM read_parquet("
+                f"'{tmp_path}/documents.parquet')")
+    sql = con.execute(Q118_SQL).fetchdf().set_index("source")
+    for c in ("n_docs", "n_license", "n_autogen"):
+        assert (out[c].values == sql[c].astype("int64").values).all(), c
