@@ -268,6 +268,8 @@ def bench_queries() -> dict:
         ("q116_boilerplate_lines", curation.q116_boilerplate_lines),
         ("q117_embedding_dim_stats", decomp.q117_embedding_dim_stats),
         ("q118_provenance_markers", curation.q118_provenance_markers),
+        ("q119_session_type_cooccurrence",
+         funnel.q119_session_type_cooccurrence),
     ]:
         h0 = _host_cpu_sample()
         t0 = time.time()

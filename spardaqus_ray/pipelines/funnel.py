@@ -918,3 +918,101 @@ SELECT m1.month AS month, n_active_days, sum_dau, mau,
 FROM m1 JOIN m2 ON m1.month = m2.month
 ORDER BY m1.month
 """
+
+
+def q119_session_type_cooccurrence(sf_dir: str) -> pd.DataFrame:
+    """Event-type market basket over sessions: for every unordered pair
+    of DISTINCT event types, how many 30-min-gap sessions contain both
+    — the co-engagement matrix behind funnel hypotheses. Same physical
+    plan as q112 (ONE user-keyed shuffle; sessions are block-local), a
+    composite np.unique collapses each session to its distinct type
+    set, pairs are emitted with the vectorized upper-triangle arithmetic
+    (no per-session Python), and the exchange is <= |event_types|^2
+    partial rows per block."""
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type"])
+    tune_hash_width(ds, table_bytes(sf_dir, "events"))
+    ds = _keyed(ds, "user_id",
+                default_partitions(size_bytes=table_bytes(sf_dir, "events")))
+
+    def block(t: pa.Table) -> pa.Table:
+        empty = pa.table({"type_a": pa.array([], pa.string()),
+                          "type_b": pa.array([], pa.string()),
+                          "n_sessions": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = _np(t["user_id"]).astype(np.int64)
+        tt = _ts_us(t["ts"])
+        typ = t["event_type"].combine_chunks().dictionary_encode()
+        raw_code = np.asarray(typ.indices, dtype=np.int64)
+        raw_names = typ.dictionary.to_numpy(zero_copy_only=False)
+        ntypes = len(raw_names)
+        # remap appearance-order dictionary codes to LEXICOGRAPHIC rank
+        # so in-segment ascending codes == the oracle's type_a < type_b
+        lex = np.argsort(raw_names)
+        rank = np.empty(ntypes, np.int64)
+        rank[lex] = np.arange(ntypes)
+        code = rank[raw_code]
+        names = raw_names[lex]
+        order = np.lexsort((tt, u))
+        u, tt, code = u[order], tt[order], code[order]
+        new_user = np.zeros(len(u), bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        brk = np.zeros(len(u), bool)
+        brk[1:] = (tt[1:] - tt[:-1]) > SESSION_GAP_US
+        sess_id = np.cumsum(new_user | brk) - 1
+        # distinct (session, type), sorted by session then type
+        st = np.unique(sess_id * ntypes + code)
+        s2, c2 = st // ntypes, st % ntypes
+        starts = np.concatenate(([0],
+                                 np.nonzero(s2[1:] != s2[:-1])[0] + 1))
+        seg_len = np.diff(np.append(starts, len(s2)))
+        pos = np.arange(len(s2)) - np.repeat(starts, seg_len)
+        reps = np.repeat(seg_len, seg_len) - 1 - pos   # pairs led by each
+        total = int(reps.sum())
+        if total == 0:
+            return empty
+        a_idx = np.repeat(np.arange(len(s2)), reps)
+        run0 = np.repeat(np.cumsum(reps) - reps, reps)
+        b_idx = a_idx + (np.arange(total) - run0) + 1
+        pair_key = c2[a_idx] * ntypes + c2[b_idx]  # c2 asc in-segment
+        cnt = np.bincount(pair_key, minlength=ntypes * ntypes)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({
+            "type_a": pa.array(names[nz // ntypes]),
+            "type_b": pa.array(names[nz % ntypes]),
+            "n_sessions": pa.array(cnt[nz].astype(np.int64))})
+
+    out = (ds.map_batches(block, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+           .groupby(["type_a", "type_b"])
+           .aggregate(Sum("n_sessions", alias_name="n_sessions"))
+           .to_pandas())
+    out = out.astype({"n_sessions": "int64"})
+    return (out.sort_values(["type_a", "type_b"])
+            .reset_index(drop=True))
+
+
+Q119_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+s AS (
+  SELECT user_id, t, event_type,
+         CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+                   > 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM e),
+s2 AS (
+  SELECT user_id, event_type,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM s),
+st AS (SELECT DISTINCT user_id, sess, event_type FROM s2)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM st a JOIN st b
+  ON a.user_id = b.user_id AND a.sess = b.sess
+ AND a.event_type < b.event_type
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

@@ -156,3 +156,37 @@ def test_q113_multi_month_semantics(ray_session, tmp_path):
     assert int(jan["mau"]) == 2                # users 1, 2
     assert int(feb["n_active_days"]) == 2 and int(feb["mau"]) == 2
     assert int(feb["sum_dau"]) == 2
+
+
+def test_q119_cooccurrence_semantics(ray_session, tmp_path):
+    """Planted sessions: only types inside the SAME session pair up,
+    duplicate type hits count the session once, pair orientation is
+    lexicographic even when types first appear in reverse order."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spardaqus_ray.pipelines.funnel import q119_session_type_cooccurrence
+
+    base = pd.Timestamp("2024-03-01 12:00:00").value // 1000
+    MIN = 60_000_000
+    # user 1 session A: zeta, alpha, zeta (dup) -> one (alpha, zeta)
+    # user 1 session B (2h later): alpha only -> no pair
+    # user 2 session C: beta, alpha -> one (alpha, beta)
+    rows = [(1, base, "zeta"), (1, base + MIN, "alpha"),
+            (1, base + 2 * MIN, "zeta"),
+            (1, base + 150 * MIN, "alpha"),
+            (2, base, "beta"), (2, base + MIN, "alpha")]
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], "datetime64[us]")),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string())})
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    out = q119_session_type_cooccurrence(str(tmp_path))
+    got = {(r.type_a, r.type_b): r.n_sessions for r in out.itertuples()}
+    assert got == {("alpha", "zeta"): 1, ("alpha", "beta"): 1}
