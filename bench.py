@@ -270,6 +270,7 @@ def bench_queries() -> dict:
         ("q118_provenance_markers", curation.q118_provenance_markers),
         ("q119_session_type_cooccurrence",
          funnel.q119_session_type_cooccurrence),
+        ("q120_hapax_share_by_source", textops.q120_hapax_share_by_source),
     ]:
         h0 = _host_cpu_sample()
         t0 = time.time()

@@ -1230,3 +1230,96 @@ FROM tf JOIN g USING (token)
 GROUP BY source
 ORDER BY source
 """
+
+
+def q120_hapax_share_by_source(sf_dir: str) -> pd.DataFrame:
+    """Hapax-legomena share per source: of a source's distinct
+    whitespace tokens, how many occur exactly once — the lexical-
+    richness vs OCR-junk diagnostic (healthy prose sits near ~0.4-0.6;
+    shattered encodings and boilerplate both push it to extremes).
+    Canonical tokenizer (= vocab_top_tokens: lower + U+0020 split,
+    empties dropped). Hapax is a GLOBAL property, so the plan is the
+    established vocab-aggregate shape: per-block (source, token)
+    partial counts (one composite bincount), ONE (source, token)-keyed
+    grouped SUM, then per-block partials over that aggregate fold to a
+    #sources-row result — no corpus-sized driver pull."""
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "token": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        text = pc.fill_null(t["text"].combine_chunks(), "")
+        split = pc.split_pattern(pc.utf8_lower(text), " ")
+        lens = pc.list_value_length(split).to_numpy(zero_copy_only=False)
+        toks = pc.list_flatten(split)
+        src_codes_per_doc = t["source"].combine_chunks().dictionary_encode()
+        snames = src_codes_per_doc.dictionary.to_numpy(zero_copy_only=False)
+        s = np.repeat(np.asarray(src_codes_per_doc.indices, np.int64), lens)
+        keep = pc.not_equal(toks, "").to_numpy(zero_copy_only=False)
+        toks = toks.filter(pa.array(keep))
+        s = s[keep]
+        enc = toks.dictionary_encode()
+        c = np.asarray(enc.indices, np.int64)
+        ntok = len(enc.dictionary)
+        key = s * ntok + c
+        cnt = np.bincount(key, minlength=len(snames) * ntok)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({
+            "source": pa.array(snames[nz // ntok]),
+            "token": enc.dictionary.take(pa.array(nz % ntok)),
+            "n": pa.array(cnt[nz].astype(np.int64))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["source", "token"])
+           .aggregate(Sum("n", alias_name="n")))
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "vocab_size": pa.array([], pa.int64()),
+                          "n_hapax": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        df = pd.DataFrame({
+            "source": t["source"].combine_chunks()
+            .to_numpy(zero_copy_only=False),
+            "n_tokens": n, "vocab_size": np.int64(1),
+            "n_hapax": (n == 1).astype(np.int64)})
+        g = df.groupby("source", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (agg.map_batches(fold, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                      Sum("vocab_size", alias_name="vocab_size"),
+                      Sum("n_hapax", alias_name="n_hapax"))
+           .to_pandas())
+    out = out.astype({"n_tokens": "int64", "vocab_size": "int64",
+                      "n_hapax": "int64"})
+    out["hapax_share"] = (out["n_hapax"]
+                          / out["vocab_size"].clip(lower=1)).round(6)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+Q120_SQL = """
+WITH tok AS (
+  SELECT source,
+         unnest(string_split(lower(COALESCE(text, '')), ' ')) AS token
+  FROM documents),
+f AS (
+  SELECT source, token, COUNT(*) AS n
+  FROM tok WHERE token <> '' GROUP BY source, token)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       ROUND(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1.0
+             / GREATEST(COUNT(*), 1), 6) AS hapax_share
+FROM f GROUP BY source ORDER BY source
+"""

@@ -114,3 +114,33 @@ def test_pmi_plan_equivalence(ray_session, monkeypatch):
     monkeypatch.setattr(textops, "TFIDF_DF_BROADCAST_MAX_BYTES", 0)
     b = textops.pmi_bigrams(SF001)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_q120_hapax_cross_block_globality(ray_session, tmp_path):
+    """A token occurring once in each of TWO row groups is NOT hapax —
+    the (source, token) exchange must merge counts globally before the
+    n == 1 test; per-source isolation also pinned (the same token may
+    be hapax in one source and not another)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spardaqus_ray.pipelines.textops import q120_hapax_share_by_source
+
+    docs = (["rare1 common common"] + ["filler common"] * 20
+            + ["rare1 zz"] + ["only once here"])
+    srcs = ["s1"] * 21 + ["s2"] * 2
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "source": srcs, "text": docs,
+                  "lang": ["en"] * len(docs),
+                  "n_chars": pa.array([len(d) for d in docs], pa.int64())})
+    # tiny row groups force the duplicated token into different blocks
+    pq.write_table(t, tmp_path / "documents.parquet", row_group_size=4)
+
+    out = q120_hapax_share_by_source(str(tmp_path)).set_index("source")
+    # s1: tokens rare1(x1), common(x21), filler(x20) -> hapax = rare1
+    assert int(out.loc["s1", "vocab_size"]) == 3
+    assert int(out.loc["s1", "n_hapax"]) == 1
+    # s2: rare1 occurs once in s2 too -> hapax THERE independently;
+    # all five s2 tokens are hapax
+    assert int(out.loc["s2", "vocab_size"]) == 5
+    assert int(out.loc["s2", "n_hapax"]) == 5
