@@ -1016,3 +1016,72 @@ FROM st a JOIN st b
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+COHORT_MAX_WEEKS = 8
+
+
+def q121_weekly_cohort_triangle(sf_dir: str) -> pd.DataFrame:
+    """Weekly cohort-retention triangle: users bucketed by first-active
+    epoch week (floor(day/7) — epoch-aligned, the same definition the
+    oracle uses, NOT Monday-truncated), counted again in each later
+    week they return, offsets capped at COHORT_MAX_WEEKS. The classic
+    growth-accounting table behind q49's global curve. ONE user-keyed
+    exchange; a user's first week is exact in-block; partials are
+    (weeks x 9)-sized packed-key bincounts."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    tune_hash_width(ds, table_bytes(sf_dir, "events"))
+    ds = _keyed(ds, "user_id",
+                default_partitions(size_bytes=table_bytes(sf_dir, "events")))
+
+    def block(t: pa.Table) -> pa.Table:
+        empty = pa.table({"cohort_week": pa.array([], pa.int64()),
+                          "offset_weeks": pa.array([], pa.int64()),
+                          "n_users": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = _np(t["user_id"]).astype(np.int64)
+        if u.size and (int(u.max()) >> 40 or int(u.min()) < 0):
+            raise ValueError("q121: user_id must be in [0, 2^40)")
+        w = (_ts_us(t["ts"]) // _DAY_US) // 7
+        uw = np.unique(u.astype(np.uint64) * np.uint64(1 << 20)
+                       + w.astype(np.uint64))
+        u2 = (uw >> np.uint64(20)).astype(np.int64)
+        w2 = (uw & np.uint64((1 << 20) - 1)).astype(np.int64)
+        starts = _segments(u2)
+        seg_id = np.searchsorted(starts, np.arange(len(u2)), "right") - 1
+        w0 = w2[starts][seg_id]          # w2 ascending per user
+        off = w2 - w0
+        keep = off <= COHORT_MAX_WEEKS
+        pack = w0[keep] * (COHORT_MAX_WEEKS + 1) + off[keep]
+        vals, counts = np.unique(pack, return_counts=True)
+        return pa.table({
+            "cohort_week": pa.array(vals // (COHORT_MAX_WEEKS + 1)),
+            "offset_weeks": pa.array(vals % (COHORT_MAX_WEEKS + 1)),
+            "n_users": pa.array(counts.astype(np.int64))})
+
+    out = (ds.map_batches(block, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+           .groupby(["cohort_week", "offset_weeks"])
+           .aggregate(Sum("n_users", alias_name="n_users"))
+           .to_pandas())
+    out = out.astype({"cohort_week": "int64", "offset_weeks": "int64",
+                      "n_users": "int64"})
+    return (out.sort_values(["cohort_week", "offset_weeks"])
+            .reset_index(drop=True))
+
+
+Q121_SQL = f"""
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS w
+  FROM events),
+c AS (SELECT user_id, MIN(w) AS w0 FROM uw GROUP BY user_id)
+SELECT CAST(c.w0 AS BIGINT) AS cohort_week,
+       CAST(uw.w - c.w0 AS BIGINT) AS offset_weeks,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM uw JOIN c USING (user_id)
+WHERE uw.w - c.w0 <= {COHORT_MAX_WEEKS}
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

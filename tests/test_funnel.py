@@ -190,3 +190,42 @@ def test_q119_cooccurrence_semantics(ray_session, tmp_path):
     out = q119_session_type_cooccurrence(str(tmp_path))
     got = {(r.type_a, r.type_b): r.n_sessions for r in out.itertuples()}
     assert got == {("alpha", "zeta"): 1, ("alpha", "beta"): 1}
+
+
+def test_q121_cohort_triangle_semantics(ray_session, tmp_path):
+    """Planted cohorts: users bucket by FIRST-active epoch week, return
+    weeks land in the right offset cell, the cap drops far returns, and
+    a week with multiple active days counts the user once."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spardaqus_ray.pipelines.funnel import (COHORT_MAX_WEEKS,
+                                                q121_weekly_cohort_triangle)
+
+    def us(s):
+        return pd.Timestamp(s).value // 1000
+
+    WEEK = 7 * 86_400_000_000
+    w0 = (us("2024-01-04") // WEEK) * WEEK  # an exact epoch-week start
+    rows = [
+        (1, w0), (1, w0 + 86_400_000_000),     # same week twice -> once
+        (1, w0 + 2 * WEEK),                    # offset 2
+        (1, w0 + (COHORT_MAX_WEEKS + 3) * WEEK),  # past cap -> dropped
+        (2, w0 + WEEK),                        # later cohort, offset 0
+    ]
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], "datetime64[us]")),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array(["view"] * len(rows), pa.string()),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string())})
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    out = q121_weekly_cohort_triangle(str(tmp_path))
+    wk = w0 // WEEK
+    got = {(r.cohort_week, r.offset_weeks): r.n_users
+           for r in out.itertuples()}
+    assert got == {(wk, 0): 1, (wk, 2): 1, (wk + 1, 0): 1}
