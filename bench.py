@@ -272,6 +272,7 @@ def bench_queries() -> dict:
          funnel.q119_session_type_cooccurrence),
         ("q120_hapax_share_by_source", textops.q120_hapax_share_by_source),
         ("q121_weekly_cohort_triangle", funnel.q121_weekly_cohort_triangle),
+        ("q122_line_length_profile", curation.q122_line_length_profile),
     ]:
         h0 = _host_cpu_sample()
         t0 = time.time()

@@ -1645,3 +1645,92 @@ SELECT source, n_docs, n_license, n_autogen,
        ROUND(n_autogen * 1.0 / GREATEST(n_docs, 1), 6) AS autogen_share
 FROM g ORDER BY source
 """
+
+
+LONG_LINE_CHARS = 120
+
+
+def q122_line_length_profile(sf_dir: str) -> pd.DataFrame:
+    """Per-source line-length profile: line count, total/max length and
+    the share of lines over LONG_LINE_CHARS — the minified-bundle /
+    generated-file detector (a source whose max line is 40k chars with
+    a high long-line share is shipping webpack output, not code to
+    train on). Pure Arrow split+length kernels, exact int64 partials,
+    ONE #sources-row grouped SUM/MAX."""
+    from ray.data.aggregate import Max
+
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "n_lines": pa.array([], pa.int64()),
+                          "sum_line_chars": pa.array([], pa.int64()),
+                          "max_line_chars": pa.array([], pa.int64()),
+                          "n_long_lines": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        text = pc.fill_null(t["text"].combine_chunks(), "")
+        split = pc.split_pattern(text, "\n")
+        nlines = pc.list_value_length(split).to_numpy(zero_copy_only=False)
+        llen = pc.utf8_length(pc.list_flatten(split)) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        rid = np.repeat(np.arange(t.num_rows, dtype=np.int64), nlines)
+        cum = np.concatenate(([0], np.cumsum(llen)))
+        starts = np.concatenate(([0], np.cumsum(nlines)))
+        sums = cum[starts[1:]] - cum[starts[:-1]]
+        mx = np.zeros(t.num_rows, np.int64)
+        if len(llen):
+            np.maximum.at(mx, rid, llen)
+        long_ = np.bincount(rid[llen > LONG_LINE_CHARS],
+                            minlength=t.num_rows).astype(np.int64)
+        df = pd.DataFrame({
+            "source": t["source"].combine_chunks()
+            .to_numpy(zero_copy_only=False),
+            "n_lines": nlines.astype(np.int64),
+            "sum_line_chars": sums.astype(np.int64),
+            "max_line_chars": mx, "n_long_lines": long_})
+        g = (df.groupby("source", sort=False)
+             .agg(n_lines=("n_lines", "sum"),
+                  sum_line_chars=("sum_line_chars", "sum"),
+                  max_line_chars=("max_line_chars", "max"),
+                  n_long_lines=("n_long_lines", "sum"))
+             .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("source")
+           .aggregate(Sum("n_lines", alias_name="n_lines"),
+                      Sum("sum_line_chars", alias_name="sum_line_chars"),
+                      Max("max_line_chars", alias_name="max_line_chars"),
+                      Sum("n_long_lines", alias_name="n_long_lines"))
+           .to_pandas())
+    out = out.astype({c: "int64" for c in out.columns if c != "source"})
+    out["long_line_share"] = (out["n_long_lines"]
+                              / out["n_lines"].clip(lower=1)).round(6)
+    out["avg_line_chars"] = (out["sum_line_chars"]
+                             / out["n_lines"].clip(lower=1)).round(6)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+Q122_SQL = f"""
+WITH lines AS (
+  SELECT source,
+         length(unnest(string_split(COALESCE(text, ''), chr(10))))
+           AS line_len
+  FROM documents),
+g AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(line_len) AS BIGINT) AS sum_line_chars,
+         CAST(MAX(line_len) AS BIGINT) AS max_line_chars,
+         CAST(SUM(CASE WHEN line_len > {LONG_LINE_CHARS}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_long_lines
+  FROM lines GROUP BY source)
+SELECT source, n_lines, sum_line_chars, max_line_chars, n_long_lines,
+       ROUND(n_long_lines * 1.0 / GREATEST(n_lines, 1), 6)
+         AS long_line_share,
+       ROUND(sum_line_chars * 1.0 / GREATEST(n_lines, 1), 6)
+         AS avg_line_chars
+FROM g ORDER BY source
+"""

@@ -365,3 +365,32 @@ def test_q118_provenance_semantics(ray_session, tmp_path):
     sql = con.execute(Q118_SQL).fetchdf().set_index("source")
     for c in ("n_docs", "n_license", "n_autogen"):
         assert (out[c].values == sql[c].astype("int64").values).all(), c
+
+
+def test_q122_line_length_semantics(ray_session, tmp_path):
+    """Planted lines: max is the single longest line, long-line count
+    respects the strict > threshold, empty docs contribute one
+    zero-length line (string_split semantics), multi-doc maxima merge
+    via MAX not SUM."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spardaqus_ray.pipelines.curation import (LONG_LINE_CHARS,
+                                                  q122_line_length_profile)
+
+    exact = "x" * LONG_LINE_CHARS          # == threshold: NOT long
+    long1 = "y" * (LONG_LINE_CHARS + 1)
+    huge = "z" * 5000
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "source": ["s1", "s1", "s2"],
+                  "text": [f"{exact}\n{long1}", huge, ""],
+                  "lang": ["en"] * 3,
+                  "n_chars": pa.array([1, 1, 0], pa.int64())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    out = q122_line_length_profile(str(tmp_path)).set_index("source")
+    assert int(out.loc["s1", "n_lines"]) == 3
+    assert int(out.loc["s1", "n_long_lines"]) == 2  # long1 + huge
+    assert int(out.loc["s1", "max_line_chars"]) == 5000
+    assert int(out.loc["s2", "n_lines"]) == 1       # empty doc -> [""]
+    assert int(out.loc["s2", "max_line_chars"]) == 0
