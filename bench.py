@@ -273,6 +273,8 @@ def bench_queries() -> dict:
         ("q120_hapax_share_by_source", textops.q120_hapax_share_by_source),
         ("q121_weekly_cohort_triangle", funnel.q121_weekly_cohort_triangle),
         ("q122_line_length_profile", curation.q122_line_length_profile),
+        ("q123_doc_size_gini_by_source",
+         curation.q123_doc_size_gini_by_source),
     ]:
         h0 = _host_cpu_sample()
         t0 = time.time()

@@ -1734,3 +1734,70 @@ SELECT source, n_lines, sum_line_chars, max_line_chars, n_long_lines,
          AS avg_line_chars
 FROM g ORDER BY source
 """
+
+
+def q123_doc_size_gini_by_source(sf_dir: str) -> pd.DataFrame:
+    """Per-source Gini of document-size concentration (n_chars): does a
+    handful of giant files carry most of a source's bytes — the scrape
+    pathology that skews every per-source statistic and the partition
+    planner's block sizing. q96's histogram trick per source: stateless
+    per-block (source, size-value) count partials (histograms SUM
+    across blocks, so no keyed doc exchange at all), ONE dimension-
+    sized groupby, and the driver folds each source's histogram into
+    the exact integer rank-sum Gini — tie-order invariant, corpus-sized
+    vector never sorted globally."""
+    ds = read_table(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "sz": pa.array([], pa.int64()),
+                          "n_docs": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        df = pd.DataFrame({
+            "source": t["source"].combine_chunks()
+            .to_numpy(zero_copy_only=False),
+            "sz": t["n_chars"].combine_chunks()
+            .to_numpy(zero_copy_only=False).astype(np.int64)})
+        g = (df.groupby(["source", "sz"], sort=False).size()
+             .rename("n_docs").reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    h = (ds.map_batches(hist, batch_format="pyarrow",
+                        zero_copy_batch=True)
+         .groupby(["source", "sz"])
+         .aggregate(Sum("n_docs", alias_name="n_docs"))
+         .to_pandas())
+    rows = []
+    for src, grp in h.groupby("source", sort=True):
+        grp = grp.sort_values("sz")
+        n, total, rank_sum, r0 = 0, 0, 0, 0
+        for v, m in zip(grp["sz"].astype(int), grp["n_docs"].astype(int)):
+            rank_sum += v * (m * r0 + m * (m + 1) // 2)
+            total += v * m
+            r0 += m
+            n += m
+        gini = (0.0 if n == 0 or total == 0
+                else 2.0 * rank_sum / (n * total) - (n + 1.0) / n)
+        rows.append({"source": src, "n_docs": n, "total_chars": total,
+                     "gini": round(gini, 6)})
+    out = pd.DataFrame(rows, columns=["source", "n_docs", "total_chars",
+                                      "gini"])
+    return (out.astype({"n_docs": "int64", "total_chars": "int64"})
+            .sort_values("source").reset_index(drop=True))
+
+
+Q123_SQL = """
+WITH ranked AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS r
+  FROM documents)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND(2.0 * SUM(r * n_chars) / (COUNT(*) * SUM(n_chars))
+             - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""

@@ -394,3 +394,34 @@ def test_q122_line_length_semantics(ray_session, tmp_path):
     assert int(out.loc["s1", "max_line_chars"]) == 5000
     assert int(out.loc["s2", "n_lines"]) == 1       # empty doc -> [""]
     assert int(out.loc["s2", "max_line_chars"]) == 0
+
+
+def test_q123_gini_semantics(ray_session, tmp_path):
+    """Planted concentrations: equal sizes -> gini 0; one giant doc
+    dominating -> high gini matching the closed-form rank-sum value;
+    histogram partials across row groups lose nothing (tie-invariant)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spardaqus_ray.pipelines.curation import q123_doc_size_gini_by_source
+
+    sizes_s1 = [100] * 10                 # perfectly equal
+    sizes_s2 = [1] * 9 + [991]            # one dominant doc
+    sizes = sizes_s1 + sizes_s2
+    srcs = ["s1"] * 10 + ["s2"] * 10
+    t = pa.table({"doc_id": pa.array(range(20), pa.int64()),
+                  "source": srcs,
+                  "text": ["x" * s for s in sizes],
+                  "lang": ["en"] * 20,
+                  "n_chars": pa.array(sizes, pa.int64())})
+    pq.write_table(t, tmp_path / "documents.parquet", row_group_size=3)
+
+    out = (q123_doc_size_gini_by_source(str(tmp_path))
+           .set_index("source"))
+    assert float(out.loc["s1", "gini"]) == 0.0
+    assert int(out.loc["s2", "total_chars"]) == 1000
+    # closed form: x sorted = [1]*9 + [991]; n=10, sum=1000
+    # sum(r*x) = (1+..+9)*1 + 10*991 = 45 + 9910 = 9955
+    exp = 2.0 * 9955 / (10 * 1000) - 11.0 / 10
+    assert abs(float(out.loc["s2", "gini"]) - round(exp, 6)) < 1e-9
