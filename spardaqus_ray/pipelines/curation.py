@@ -1801,3 +1801,143 @@ FROM ranked
 GROUP BY source
 ORDER BY source
 """
+
+
+JACCARD_MAX_SOURCES = 62  # bitmask fits a signed int64 Sum
+
+
+def q124_source_vocab_jaccard(sf_dir: str) -> pd.DataFrame:
+    """Pairwise vocabulary overlap between sources: Jaccard similarity
+    of each source pair's DISTINCT whitespace-token sets — the 'are
+    these two feeds actually the same crawl' curation check (mirrored
+    corpora show up near 1.0, disjoint domains near 0). Canonical
+    tokenizer (lower + U+0020 split, empties dropped).
+
+    Plan: per-block distinct (source, token) partials -> ONE grouped
+    (source, token) exchange (vocab-bounded) -> re-key by token with
+    the source encoded as a BIT (Sum of distinct one-hot bits == OR,
+    valid because the first groupby made pairs unique) -> per-block
+    B^T @ B co-occurrence partials over the token->mask aggregate
+    (each block emits <= S(S+1)/2 rows) -> final S^2-row grouped SUM.
+    The driver only ever sees dimension-sized tables; intersections
+    AND vocab sizes both fall out of one matrix (the diagonal), so no
+    second corpus pass. Bitmask packing requires S <= 62 sources; at
+    web scale with more feeds, stripe the mask into ceil(S/62) int64
+    columns (same plan, wider partials) — asserted loudly here."""
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "token": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        text = pc.fill_null(t["text"].combine_chunks(), "")
+        toks = pc.split_pattern(pc.utf8_lower(text), " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        src = np.repeat(t["source"].combine_chunks()
+                        .to_numpy(zero_copy_only=False), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        grp = pa.table({"source": pa.array(src[keep]),
+                        "token": flat.filter(pa.array(keep))})
+        g = grp.group_by(["source", "token"]).aggregate([("token", "count")])
+        return pa.table({"source": g["source"], "token": g["token"],
+                         "n": pa.array(np.ones(g.num_rows, np.int64))})
+
+    st = (ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+          .groupby(["source", "token"])
+          .aggregate(Sum("n", alias_name="n"))
+          .materialize())
+    srcs = sorted(st.groupby("source")
+                  .aggregate(Sum("n", alias_name="nn"))
+                  .to_pandas()["source"].tolist())
+    if len(srcs) > JACCARD_MAX_SOURCES:
+        raise ValueError(
+            f"q124: {len(srcs)} sources > {JACCARD_MAX_SOURCES}; stripe "
+            "the bitmask into ceil(S/62) int64 columns for wider feeds")
+    sid = {s: i for i, s in enumerate(srcs)}
+    n_src = len(srcs)
+
+    def to_bits(t: pa.Table) -> pa.Table:
+        empty = pa.table({"token": pa.array([], pa.string()),
+                          "bit": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        src = t["source"].combine_chunks().to_numpy(zero_copy_only=False)
+        idx = pd.Series(src).map(sid).to_numpy(np.int64)
+        return pa.table({"token": t["token"],
+                         "bit": pa.array(np.int64(1) << idx)})
+
+    masks = (st.map_batches(to_bits, batch_format="pyarrow",
+                            batch_size=None)
+             .groupby("token")
+             .aggregate(Sum("bit", alias_name="mask")))
+
+    def cooc(t: pa.Table) -> pa.Table:
+        empty = pa.table({"ai": pa.array([], pa.int64()),
+                          "aj": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        m = (t["mask"].combine_chunks()
+             .to_numpy(zero_copy_only=False).astype(np.uint64))
+        bmat = ((m[:, None] >> np.arange(n_src, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int64)
+        cm = bmat.T @ bmat
+        iu = np.triu_indices(n_src)
+        cnt = cm[iu]
+        keep = cnt > 0
+        return pa.table({"ai": pa.array(iu[0][keep].astype(np.int64)),
+                         "aj": pa.array(iu[1][keep].astype(np.int64)),
+                         "n": pa.array(cnt[keep])})
+
+    cm = (masks.map_batches(cooc, batch_format="pyarrow",
+                            batch_size=None)
+          .groupby(["ai", "aj"]).aggregate(Sum("n", alias_name="n"))
+          .to_pandas())
+    full = np.zeros((n_src, n_src), np.int64)
+    full[cm["ai"].to_numpy(np.int64), cm["aj"].to_numpy(np.int64)] = \
+        cm["n"].to_numpy(np.int64)
+    vocab = np.diag(full)
+    rows = []
+    for i in range(n_src):
+        for j in range(i + 1, n_src):
+            inter = int(full[i, j])
+            if inter == 0:  # match the oracle's inner-join semantics
+                continue
+            union = int(vocab[i]) + int(vocab[j]) - inter
+            rows.append({"src_a": srcs[i], "src_b": srcs[j],
+                         "vocab_a": int(vocab[i]), "vocab_b": int(vocab[j]),
+                         "n_common": inter,
+                         "jaccard": round(inter / union, 6)})
+    out = pd.DataFrame(rows, columns=["src_a", "src_b", "vocab_a",
+                                      "vocab_b", "n_common", "jaccard"])
+    return (out.astype({"vocab_a": "int64", "vocab_b": "int64",
+                        "n_common": "int64"})
+            .sort_values(["src_a", "src_b"]).reset_index(drop=True))
+
+
+Q124_SQL = """
+WITH tok AS (
+  SELECT DISTINCT source,
+         token
+  FROM (SELECT source,
+               unnest(string_split(lower(COALESCE(text, '')), ' '))
+                   AS token
+        FROM documents)
+  WHERE token <> ''),
+sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS v
+       FROM tok GROUP BY source)
+SELECT a.source AS src_a, b.source AS src_b,
+       sa.v AS vocab_a, sb.v AS vocab_b,
+       CAST(COUNT(*) AS BIGINT) AS n_common,
+       ROUND(COUNT(*) * 1.0 / (sa.v + sb.v - COUNT(*)), 6) AS jaccard
+FROM tok a
+JOIN tok b ON a.token = b.token AND a.source < b.source
+JOIN sz sa ON a.source = sa.source
+JOIN sz sb ON b.source = sb.source
+GROUP BY a.source, b.source, sa.v, sb.v
+ORDER BY src_a, src_b
+"""

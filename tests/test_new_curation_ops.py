@@ -425,3 +425,34 @@ def test_q123_gini_semantics(ray_session, tmp_path):
     # sum(r*x) = (1+..+9)*1 + 10*991 = 45 + 9910 = 9955
     exp = 2.0 * 9955 / (10 * 1000) - 11.0 / 10
     assert abs(float(out.loc["s2", "gini"]) - round(exp, 6)) < 1e-9
+
+
+def test_q124_jaccard_cross_block_globality(ray_session, tmp_path):
+    """Pairwise vocab Jaccard must be computed over GLOBAL distinct
+    token sets: the same token repeated in different row groups of the
+    same source counts once, and a token shared by two sources must
+    intersect even when the two sources never share a block. Hand
+    Jaccard: s1={a,b,c}, s2={b,c,d}, s3={e} -> j(s1,s2)=2/4,
+    s3 intersects nothing (row absent, matching the oracle join)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spardaqus_ray.pipelines.curation import q124_source_vocab_jaccard
+
+    docs = (["a b", "b c", "a a a"] * 3          # s1 vocab {a,b,c}
+            + ["b c", "c d", "d d"] * 3          # s2 vocab {b,c,d}
+            + ["e", "e e"])                      # s3 vocab {e}
+    srcs = ["s1"] * 9 + ["s2"] * 9 + ["s3"] * 2
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "source": srcs, "text": docs,
+                  "lang": ["en"] * len(docs),
+                  "n_chars": pa.array([len(d) for d in docs], pa.int64())})
+    pq.write_table(t, tmp_path / "documents.parquet", row_group_size=3)
+
+    out = q124_source_vocab_jaccard(str(tmp_path))
+    assert len(out) == 1  # only (s1, s2) intersect
+    r = out.iloc[0]
+    assert (r["src_a"], r["src_b"]) == ("s1", "s2")
+    assert (int(r["vocab_a"]), int(r["vocab_b"])) == (3, 3)
+    assert int(r["n_common"]) == 2
+    assert abs(float(r["jaccard"]) - 0.5) < 1e-9
