@@ -905,3 +905,65 @@ FROM hourly
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+AUTOCORR_MAX_LAG = 7
+
+
+def q125_daily_autocorr(sf_dir: str) -> pd.DataFrame:
+    """Calendar-lag autocorrelation of the daily event-count series for
+    lags 1..7 days — the weekly-seasonality detector a feed monitor
+    runs (a crawl with a weekday cycle shows a lag-7 peak; a decaying
+    lag-1 means momentum, not rhythm). Lag pairing is CALENDAR-based:
+    day t pairs with day t+k only when BOTH days observed events, so
+    gap days neither fabricate zeros nor shift the series (matches the
+    oracle's self-join on day arithmetic exactly).
+
+    Plan: ONE tumbling-window grouped count (the q103 shape, daily
+    grain, no keys) whose output is #days rows — dimension-sized —
+    then the driver derives all 7 Pearson correlations from that one
+    aggregate. The event stream itself is never exchanged or pulled."""
+    from ray.data.aggregate import Count
+
+    from spardaqus_ray.pipelines.windows import tumbling_agg
+
+    ds = read_table(sf_dir, "events", columns=["ts"])
+    daily = (tumbling_agg(ds, ts="ts", every_us=86_400_000_000,
+                          aggs=[Count(alias_name="n")],
+                          window_name="day")
+             .to_pandas())
+    # unit-safe epoch-day index (the window column arrives as
+    # datetime64[s]; a raw int64 view would be seconds, not days)
+    day = (pd.to_datetime(daily["day"]).to_numpy()
+           .astype("datetime64[D]").astype(np.int64))
+    n = daily["n"].to_numpy(np.float64)
+    series = pd.Series(n, index=day)
+    rows = []
+    for lag in range(1, AUTOCORR_MAX_LAG + 1):
+        b = series.reindex(series.index + lag)
+        ok = b.notna().to_numpy()
+        a_v, b_v = n[ok], b.to_numpy()[ok]
+        if len(a_v) >= 2 and a_v.std() > 0 and b_v.std() > 0:
+            r = round(float(np.corrcoef(a_v, b_v)[0, 1]), 6)
+        else:
+            r = float("nan")  # DuckDB corr() -> NULL, canon-equal
+        rows.append({"lag": lag, "n_pairs": len(a_v), "corr": r})
+    return (pd.DataFrame(rows, columns=["lag", "n_pairs", "corr"])
+            .astype({"lag": "int64", "n_pairs": "int64"}))
+
+
+Q125_SQL = """
+WITH daily AS (
+  SELECT time_bucket(INTERVAL 1 DAY, ts) AS day,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM events GROUP BY day),
+lags AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS lag)
+SELECT CAST(lag AS BIGINT) AS lag,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CORR(a.n, b.n), 6) AS corr
+FROM lags
+JOIN daily a ON TRUE
+JOIN daily b ON b.day = a.day + lag * INTERVAL 1 DAY
+GROUP BY lag
+ORDER BY lag
+"""

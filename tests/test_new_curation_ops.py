@@ -456,3 +456,42 @@ def test_q124_jaccard_cross_block_globality(ray_session, tmp_path):
     assert (int(r["vocab_a"]), int(r["vocab_b"])) == (3, 3)
     assert int(r["n_common"]) == 2
     assert abs(float(r["jaccard"]) - 0.5) < 1e-9
+
+
+def test_q125_autocorr_calendar_gap_semantics(ray_session, tmp_path):
+    """Lag pairing is calendar-based: a missing day drops its pairs
+    instead of splicing neighbours together. Days 0,1,2,4 with counts
+    1,2,3,5 -> lag-1 pairs are (d0,d1),(d1,d2) ONLY (d2's calendar
+    successor d3 is absent; row-shift pairing would wrongly pair d2
+    with d4); lag-2 pairs are (d0,d2),(d2,d4)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spardaqus_ray.pipelines.stats import q125_daily_autocorr
+
+    _DAY = 86_400_000_000
+    base = 1_700_000_000_000_000
+    counts = {0: 1, 1: 2, 2: 3, 4: 5}
+    ts, eid = [], []
+    for d, n in counts.items():
+        for i in range(n):
+            ts.append(base + d * _DAY + i)
+            eid.append(len(eid))
+    t = pa.table({"event_id": pa.array(eid, pa.int64()),
+                  "ts": pa.array(ts, pa.timestamp("us")),
+                  "user_id": pa.array([1] * len(eid), pa.int64()),
+                  "event_type": ["click"] * len(eid),
+                  "value": pa.array([0.0] * len(eid), pa.float64()),
+                  "props": ["{}"] * len(eid)})
+    pq.write_table(t, tmp_path / "events.parquet", row_group_size=3)
+
+    out = q125_daily_autocorr(str(tmp_path)).set_index("lag")
+    assert int(out.loc[1, "n_pairs"]) == 2
+    assert int(out.loc[2, "n_pairs"]) == 2
+    # lag-1 pairs (1,2),(2,3) -> perfect positive correlation
+    assert abs(float(out.loc[1, "corr"]) - 1.0) < 1e-9
+    # lag-2 pairs (1,3),(3,5) -> also perfectly linear
+    assert abs(float(out.loc[2, "corr"]) - 1.0) < 1e-9
+    # lags with < 2 pairs or zero variance -> NaN
+    assert np.isnan(out.loc[4, "corr"]) and int(out.loc[4, "n_pairs"]) == 1
