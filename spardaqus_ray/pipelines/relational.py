@@ -2533,3 +2533,144 @@ FROM firsts
 GROUP BY cohort
 ORDER BY cohort
 """
+
+
+Q126_SUPP_BCAST_MAX_BYTES = 256 << 20
+
+
+def q126_nation_supplier_hhi(sf_dir: str) -> pd.DataFrame:
+    """Supply-concentration audit: each supplier's Herfindahl index over
+    its part-quantity mix (1.0 = ships one part only, ->0 = evenly
+    spread), rolled up per nation as (n_suppliers, avg_hhi, max_hhi) —
+    the 'is this region one-part-shop heavy' sourcing-risk scan.
+
+    Plan: per-block (suppkey, partkey) quantity partials -> grouped SUM
+    (the only fact-sized exchange; after it every (s, p) total is
+    final) -> per-block partials of (Σq, Σq², n_parts) keyed by
+    supplier -> second grouped SUM (#suppliers rows) finalizes each
+    HHI = Σq² / (Σq)² in-block -> supplier nation attaches via the
+    capped broadcast (hash-join fallback above the cap, q55's shape)
+    -> per-block per-nation (Σhhi, max hhi, n) partials -> final
+    #nations-row grouped SUM/MAX; the driver sees only that."""
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_suppkey", "l_partkey", "l_quantity"])
+
+    def p1(t: pa.Table) -> pa.Table:
+        empty = pa.table({"sk": pa.array([], pa.int64()),
+                          "pk": pa.array([], pa.int64()),
+                          "q": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        df = pd.DataFrame({
+            "sk": t["l_suppkey"].combine_chunks()
+            .to_numpy(zero_copy_only=False).astype(np.int64),
+            "pk": t["l_partkey"].combine_chunks()
+            .to_numpy(zero_copy_only=False).astype(np.int64),
+            "q": t["l_quantity"].combine_chunks()
+            .to_numpy(zero_copy_only=False).astype(np.float64)})
+        g = df.groupby(["sk", "pk"], sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    sp = (ds.map_batches(p1, batch_format="pyarrow", zero_copy_batch=True)
+          .groupby(["sk", "pk"]).aggregate(Sum("q", alias_name="q")))
+
+    def p2(t: pa.Table) -> pa.Table:
+        empty = pa.table({"sk": pa.array([], pa.int64()),
+                          "q": pa.array([], pa.float64()),
+                          "q2": pa.array([], pa.float64()),
+                          "n_parts": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        q = (t["q"].combine_chunks()
+             .to_numpy(zero_copy_only=False).astype(np.float64))
+        df = pd.DataFrame({"sk": t["sk"].combine_chunks()
+                           .to_numpy(zero_copy_only=False),
+                           "q": q, "q2": q * q, "n_parts": np.int64(1)})
+        g = df.groupby("sk", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    h = (sp.map_batches(p2, batch_format="pyarrow", batch_size=None)
+         .groupby("sk")
+         .aggregate(Sum("q", alias_name="q"),
+                    Sum("q2", alias_name="q2"),
+                    Sum("n_parts", alias_name="n_parts")))
+
+    if table_bytes(sf_dir, "supplier") <= Q126_SUPP_BCAST_MAX_BYTES:
+        supp = read_table(sf_dir, "supplier",
+                          columns=["s_suppkey", "s_nationkey"]).to_pandas()
+        sk_arr = pa.array(supp["s_suppkey"].to_numpy(), pa.int64())
+        sn_arr = pa.array(supp["s_nationkey"].to_numpy(np.int64), pa.int64())
+
+        def attach(t: pa.Table) -> pa.Table:
+            idx = pc.index_in(pc.cast(t["sk"], pa.int64()),
+                              value_set=sk_arr)
+            return t.append_column("s_nationkey", pc.take(sn_arr, idx))
+
+        h = h.map_batches(attach, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    else:
+        supp_ds = read_table(sf_dir, "supplier",
+                             columns=["s_suppkey", "s_nationkey"])
+        ensure_hash_shuffle(h)
+        ensure_hash_shuffle(supp_ds)
+        h = h.join(supp_ds, "inner",
+                   num_partitions=default_partitions(
+                       size_bytes=table_bytes(sf_dir, "lineitem")),
+                   on=("sk",), right_on=("s_suppkey",))
+
+    def p3(t: pa.Table) -> pa.Table:
+        empty = pa.table({"nk": pa.array([], pa.int64()),
+                          "hhi_sum": pa.array([], pa.float64()),
+                          "hhi_max": pa.array([], pa.float64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        q = (t["q"].combine_chunks()
+             .to_numpy(zero_copy_only=False).astype(np.float64))
+        q2 = (t["q2"].combine_chunks()
+              .to_numpy(zero_copy_only=False).astype(np.float64))
+        hhi = q2 / (q * q)
+        df = pd.DataFrame({"nk": t["s_nationkey"].combine_chunks()
+                           .to_numpy(zero_copy_only=False)
+                           .astype(np.int64),
+                           "hhi_sum": hhi, "hhi_max": hhi,
+                           "n": np.int64(1)})
+        g = (df.groupby("nk", sort=False)
+             .agg(hhi_sum=("hhi_sum", "sum"), hhi_max=("hhi_max", "max"),
+                  n=("n", "sum")).reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (h.map_batches(p3, batch_format="pyarrow", batch_size=None)
+           .groupby("nk")
+           .aggregate(Sum("hhi_sum", alias_name="hhi_sum"),
+                      Max("hhi_max", alias_name="hhi_max"),
+                      Sum("n", alias_name="n"))
+           .to_pandas())
+    nat = read_table(sf_dir, "nation",
+                     columns=["n_nationkey", "n_name"]).to_pandas()
+    out["n_name"] = out["nk"].map(
+        dict(zip(nat["n_nationkey"].astype(np.int64), nat["n_name"])))
+    out["n_suppliers"] = out["n"].astype("int64")
+    out["avg_hhi"] = (out["hhi_sum"] / out["n"]).round(6)
+    out["max_hhi"] = out["hhi_max"].round(6)
+    return (out[["n_name", "n_suppliers", "avg_hhi", "max_hhi"]]
+            .sort_values("n_name").reset_index(drop=True))
+
+
+Q126_SQL = """
+WITH sp AS (
+  SELECT l_suppkey AS sk, l_partkey, SUM(l_quantity) AS q
+  FROM lineitem GROUP BY 1, 2),
+h AS (
+  SELECT sk, SUM(q * q) / (SUM(q) * SUM(q)) AS hhi
+  FROM sp GROUP BY sk)
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       ROUND(AVG(hhi), 6) AS avg_hhi,
+       ROUND(MAX(hhi), 6) AS max_hhi
+FROM h
+JOIN supplier ON sk = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
