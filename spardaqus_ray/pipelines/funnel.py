@@ -1085,3 +1085,53 @@ WHERE uw.w - c.w0 <= {COHORT_MAX_WEEKS}
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+def q127_markov_cond_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-state predictability of the event stream: for each
+    prev_type, the Shannon entropy (bits) of the next-event
+    distribution over each user's ts-ordered stream — ~0 means the
+    next step is deterministic (a rigid funnel), log2(#types) means
+    anything follows anything (noise / bot traffic). Composes q51's
+    transition matrix: ONE user-keyed exchange + in-block
+    lexsort/shift-by-one pair counts -> a <= |types|^2-row aggregate;
+    the entropy fold is driver algebra over that bounded matrix, so
+    this costs exactly one more tiny reduction than q51 itself."""
+    tm = q51_event_transitions(sf_dir)
+    rows = []
+    for prev, g in tm.groupby("prev_type", sort=True):
+        n = g["n"].to_numpy(np.float64)
+        tot = n.sum()
+        p = n / tot
+        ent = float(-(p * np.log2(p)).sum())
+        rows.append({"prev_type": prev, "n_transitions": int(tot),
+                     "n_next_types": len(g),
+                     "cond_entropy_bits": round(ent, 6)})
+    return (pd.DataFrame(rows, columns=["prev_type", "n_transitions",
+                                        "n_next_types",
+                                        "cond_entropy_bits"])
+            .astype({"n_transitions": "int64", "n_next_types": "int64"})
+            .sort_values("prev_type").reset_index(drop=True))
+
+
+Q127_SQL = """
+WITH pairs AS (
+  SELECT prev_type, event_type, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM (SELECT event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev_type
+        FROM events)
+  WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2),
+tot AS (
+  SELECT prev_type, SUM(n) AS tot, COUNT(*) AS k
+  FROM pairs GROUP BY prev_type)
+SELECT p.prev_type,
+       CAST(t.tot AS BIGINT) AS n_transitions,
+       CAST(t.k AS BIGINT) AS n_next_types,
+       ROUND(SUM(-(p.n / t.tot) * LOG2(p.n / t.tot)), 6)
+           AS cond_entropy_bits
+FROM pairs p JOIN tot t USING (prev_type)
+GROUP BY p.prev_type, t.tot, t.k
+ORDER BY prev_type
+"""
