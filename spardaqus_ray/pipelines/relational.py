@@ -2674,3 +2674,88 @@ JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_name
 ORDER BY n_name
 """
+
+
+Q128_LATE_DAYS = 60.0
+
+
+def q128_ship_delay_by_priority(sf_dir: str) -> pd.DataFrame:
+    """Fulfilment-latency profile: ship delay (l_shipdate minus the
+    order's o_orderdate, in exact fractional days) summarized per
+    o_orderpriority as (n_items, avg, max, share late > 60 d) — the
+    'does URGENT actually ship faster' SLA audit. Plan: ONE fact-fact
+    hash join on orderkey (both sides column-pruned at the read, width
+    data-sized), then per-block moment partials (Σdelay, max, n,
+    n_late) keyed by the 5-value priority -> a #priorities-row grouped
+    SUM/MAX. Nothing fact-sized ever reaches the driver."""
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_shipdate"])
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderdate",
+                                 "o_orderpriority"])
+    jb = table_bytes(sf_dir, "lineitem", "orders")
+    tune_hash_width(li, jb)
+    tune_hash_width(orders, jb)
+    j = li.join(orders, "inner",
+                num_partitions=default_partitions(size_bytes=jb),
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"o_orderpriority": pa.array([], pa.string()),
+                          "d_sum": pa.array([], pa.float64()),
+                          "d_max": pa.array([], pa.float64()),
+                          "n": pa.array([], pa.int64()),
+                          "n_late": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        ship = (t["l_shipdate"].combine_chunks()
+                .cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]").astype(np.int64))
+        od = (t["o_orderdate"].combine_chunks()
+              .cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        delay = (ship - od) / 86_400_000_000.0
+        df = pd.DataFrame({
+            "o_orderpriority": t["o_orderpriority"].combine_chunks()
+            .to_numpy(zero_copy_only=False),
+            "d_sum": delay, "d_max": delay,
+            "n": np.int64(1),
+            "n_late": (delay > Q128_LATE_DAYS).astype(np.int64)})
+        g = (df.groupby("o_orderpriority", sort=False)
+             .agg(d_sum=("d_sum", "sum"), d_max=("d_max", "max"),
+                  n=("n", "sum"), n_late=("n_late", "sum")).reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (j.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+           .groupby("o_orderpriority")
+           .aggregate(Sum("d_sum", alias_name="d_sum"),
+                      Max("d_max", alias_name="d_max"),
+                      Sum("n", alias_name="n"),
+                      Sum("n_late", alias_name="n_late"))
+           .to_pandas())
+    out["n_items"] = out["n"].astype("int64")
+    out["avg_delay_days"] = (out["d_sum"] / out["n"]).round(4)
+    out["max_delay_days"] = out["d_max"].round(4)
+    out["late_share"] = (out["n_late"] / out["n"]).round(6)
+    return (out[["o_orderpriority", "n_items", "avg_delay_days",
+                 "max_delay_days", "late_share"]]
+            .sort_values("o_orderpriority").reset_index(drop=True))
+
+
+Q128_SQL = f"""
+WITH d AS (
+  SELECT o_orderpriority,
+         (epoch_us(l_shipdate) - epoch_us(o_orderdate))
+             / 86400000000.0 AS delay
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(AVG(delay), 4) AS avg_delay_days,
+       ROUND(MAX(delay), 4) AS max_delay_days,
+       ROUND(COUNT(*) FILTER (WHERE delay > {Q128_LATE_DAYS})
+             * 1.0 / COUNT(*), 6) AS late_share
+FROM d
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
