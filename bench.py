@@ -275,6 +275,13 @@ def bench_queries() -> dict:
         ("q122_line_length_profile", curation.q122_line_length_profile),
         ("q123_doc_size_gini_by_source",
          curation.q123_doc_size_gini_by_source),
+        ("q124_source_vocab_jaccard", curation.q124_source_vocab_jaccard),
+        ("q125_daily_autocorr", stats.q125_daily_autocorr),
+        ("q126_nation_supplier_hhi", relational.q126_nation_supplier_hhi),
+        ("q127_markov_cond_entropy", funnel.q127_markov_cond_entropy),
+        ("q128_ship_delay_by_priority",
+         relational.q128_ship_delay_by_priority),
+        ("q129_dup_cluster_sources", dedup.q129_dup_cluster_sources),
     ]:
         h0 = _host_cpu_sample()
         t0 = time.time()

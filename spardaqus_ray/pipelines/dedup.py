@@ -1128,3 +1128,122 @@ FROM fam
 GROUP BY family_size
 ORDER BY family_size
 """
+
+
+def q129_dup_cluster_sources(sf_dir: str) -> pd.DataFrame:
+    """Duplicate-cluster provenance purity: for every exact-dup family
+    (size > 1), is it SINGLE-source (one feed re-crawling itself) or
+    CROSS-source (mirrors syndicating each other)? Histogrammed as
+    (cluster_size, cross_source) -> (n_clusters, n_docs). The planning
+    signal this buys at 100 TB: if duplication is overwhelmingly
+    intra-feed, exact dedup can run per-source-partition with NO
+    global digest shuffle.
+
+    Plan: per-block (source, sha256-of-text) count partials (text
+    never shuffles) -> grouped SUM makes (digest, source) globally
+    unique -> per-block (digest, n, 1) partials -> digest-keyed grouped
+    SUM finalizes each family's size and distinct-source count ->
+    per-block histogram partials -> final dimension-sized SUM. Three
+    exchanges, each strictly smaller than the last; the driver sees
+    only the histogram. Digest stands in for text equality (collision
+    odds negligible vs the oracle's GROUP BY text)."""
+    from ray.data.aggregate import Sum
+
+    from spardaqus_ray.functions.hashing import sha256_column
+
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+    tune_hash_width(ds, table_bytes(sf_dir, "documents"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"h": pa.array([], pa.string()),
+                          "source": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        h = sha256_column(pc.fill_null(t["text"].combine_chunks(), ""))
+        df = pd.DataFrame({
+            "h": h.to_numpy(zero_copy_only=False),
+            "source": t["source"].combine_chunks()
+            .to_numpy(zero_copy_only=False)})
+        g = (df.groupby(["h", "source"], sort=False).size()
+             .rename("n").reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    pairs = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["h", "source"])
+             .aggregate(Sum("n", alias_name="n")))
+
+    def fam_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"h": pa.array([], pa.string()),
+                          "sz": pa.array([], pa.int64()),
+                          "nsrc": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        return pa.table({"h": t["h"],
+                         "sz": pc.cast(t["n"], pa.int64()),
+                         "nsrc": pa.array(
+                             np.ones(t.num_rows, np.int64))})
+
+    fams = (pairs.map_batches(fam_partial, batch_format="pyarrow",
+                              batch_size=None)
+            .groupby("h")
+            .aggregate(Sum("sz", alias_name="sz"),
+                       Sum("nsrc", alias_name="nsrc")))
+
+    def hist(t: pa.Table) -> pa.Table:
+        empty = pa.table({"cluster_size": pa.array([], pa.int64()),
+                          "cross_source": pa.array([], pa.bool_()),
+                          "n_clusters": pa.array([], pa.int64()),
+                          "n_docs": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        sz = (t["sz"].combine_chunks()
+              .to_numpy(zero_copy_only=False).astype(np.int64))
+        nsrc = (t["nsrc"].combine_chunks()
+                .to_numpy(zero_copy_only=False).astype(np.int64))
+        keep = sz > 1
+        if not keep.any():
+            return empty
+        df = pd.DataFrame({"cluster_size": sz[keep],
+                           "cross_source": nsrc[keep] > 1,
+                           "n_clusters": np.int64(1),
+                           "n_docs": sz[keep]})
+        g = (df.groupby(["cluster_size", "cross_source"], sort=False)
+             .sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (fams.map_batches(hist, batch_format="pyarrow",
+                            batch_size=None)
+           .groupby(["cluster_size", "cross_source"])
+           .aggregate(Sum("n_clusters", alias_name="n_clusters"),
+                      Sum("n_docs", alias_name="n_docs"))
+           .to_pandas())
+    if out.empty:
+        # No dup family anywhere: the aggregate of an all-empty stream
+        # loses its columns, so rebuild the typed empty frame.
+        out = pd.DataFrame({"cluster_size": pd.Series([], dtype="int64"),
+                            "cross_source": pd.Series([], dtype="bool"),
+                            "n_clusters": pd.Series([], dtype="int64"),
+                            "n_docs": pd.Series([], dtype="int64")})
+    out = out.astype({"cluster_size": "int64", "cross_source": "bool",
+                      "n_clusters": "int64", "n_docs": "int64"})
+    return (out[["cluster_size", "cross_source", "n_clusters", "n_docs"]]
+            .sort_values(["cluster_size", "cross_source"])
+            .reset_index(drop=True))
+
+
+Q129_SQL = """
+WITH fam AS (
+  SELECT COALESCE(text, '') AS t, CAST(COUNT(*) AS BIGINT) AS sz,
+         COUNT(DISTINCT source) AS nsrc
+  FROM documents GROUP BY 1)
+SELECT sz AS cluster_size,
+       (nsrc > 1) AS cross_source,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(sz) AS BIGINT) AS n_docs
+FROM fam
+WHERE sz > 1
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
