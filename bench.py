@@ -179,10 +179,10 @@ def bench_flagship() -> dict:
 
 def bench_queries() -> dict:
     from spardaqus_ray.pipelines import (ann, bloom, bpe, cms, curation, d4,
-                                         decomp, dedup, dsir, funnel, graph,
-                                         learn, packing, quality, quantize,
-                                         relational, search, semdedup, stats,
-                                         textops, winnow)
+                                         decomp, dedup, dq, dsir, funnel,
+                                         graph, learn, packing, quality,
+                                         quantize, relational, search,
+                                         semdedup, stats, textops, winnow)
 
     out = {}
     steals = {}
@@ -282,6 +282,10 @@ def bench_queries() -> dict:
         ("q128_ship_delay_by_priority",
          relational.q128_ship_delay_by_priority),
         ("q129_dup_cluster_sources", dedup.q129_dup_cluster_sources),
+        ("q130_benford_price", dq.q130_benford_price),
+        ("q131_ref_integrity", dq.q131_ref_integrity),
+        ("q132_field_quality_profile", dq.q132_field_quality_profile),
+        ("q133_rule_violations", dq.q133_rule_violations),
     ]:
         h0 = _host_cpu_sample()
         t0 = time.time()

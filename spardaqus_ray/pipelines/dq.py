@@ -1,0 +1,504 @@
+"""Star-schema data-quality-assurance audit operators — the capability
+family closest to the reference's identity (Spardaqus = "data QUality
+assurance" over a record stream, SURVEY.md §1.1 [PK]): Benford's-law
+conformance of a monetary population, a referential-integrity orphan
+audit across every FK edge of the fixture schema, per-field
+completeness/blank profiling, and a declarative domain / cross-field
+rule registry reporting violation counts per rule.
+
+All four are SQL-expressible and oracle-gated (tests/test_oracle.py
+mirrors the driver's DuckDB compare).
+
+Scale shapes (100-TB reasoning):
+  * q130/q132/q133 are stateless per-block partials -> ONE
+    dimension-sized grouped SUM (9 digits / #fields rows / #rules
+    rows); nothing fact-sized moves.
+  * q131 exchanges DISTINCT KEYS only — child keys pre-counted
+    per block, parent keys deduped per block, then one key-keyed
+    grouped SUM whose output is bounded by the key domain (never by
+    fact-row count); the final fold is another per-block partial ->
+    a #edges-row SUM.
+  * q133's one cross-field rule (ship-before-order) needs fact-fact
+    co-location: a single orderkey hash join (both sides
+    column-pruned at the read, width data-sized) with the predicate
+    fused into the probe batch, so only (rule, n, n_viol) count
+    partials leave the join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data.aggregate import Max, Sum
+
+from spardaqus_ray.sources.code_parquet import read_table
+from spardaqus_ray.util import (default_partitions, table_bytes,
+                                tune_hash_width)
+
+# --------------------------------------------------------------------------
+# q130: Benford's-law first-digit audit of o_totalprice — the classic
+# fabricated-numbers screen. First digit is taken from exact integer
+# cents (round(price*100), prices carry 2 decimals) so the digit is
+# pure integer/string math on BOTH sides — no float log10 boundary
+# cases shared with the SQL mirror.
+# --------------------------------------------------------------------------
+
+
+def q130_benford_price(sf_dir: str) -> pd.DataFrame:
+    """Observed first-significant-digit distribution of order totals vs
+    the Benford expectation log10(1 + 1/d). Plan: per-block 9-bin
+    bincount partials -> one 9-row grouped SUM -> driver computes the
+    shares and expected probabilities (pure algebra on 9 rows)."""
+    ds = read_table(sf_dir, "orders", columns=["o_totalprice"])
+
+    digits = np.arange(1, 10, dtype=np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"digit": pa.array([], pa.int64()),
+                          "n_orders": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        x = (t["o_totalprice"].combine_chunks()
+             .to_numpy(zero_copy_only=False))
+        cents = np.round(x * 100.0).astype(np.int64)
+        cents = cents[cents > 0]
+        if cents.size == 0:
+            return empty
+        # first digit via vectorized int->str truncation (exact; avoids
+        # floor(log10()) ulp hazards at power-of-ten boundaries)
+        first = cents.astype("U20").astype("U1").astype(np.int64)
+        counts = np.bincount(first, minlength=10)[1:10]
+        return pa.table({"digit": digits, "n_orders": counts})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("digit")
+           .aggregate(Sum("n_orders", alias_name="n_orders"))
+           .to_pandas())
+    out = out[out["n_orders"] > 0].copy()
+    out = out.astype({"digit": "int64", "n_orders": "int64"})
+    total = float(out["n_orders"].sum())
+    out["share"] = (out["n_orders"] / total).round(4)
+    out["benford_p"] = np.round(
+        np.log10(1.0 + 1.0 / out["digit"].astype(float)), 4)
+    return (out[["digit", "n_orders", "share", "benford_p"]]
+            .sort_values("digit").reset_index(drop=True))
+
+
+Q130_SQL = """
+WITH d AS (
+  SELECT CAST(LEFT(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                        AS VARCHAR), 1) AS BIGINT) AS digit
+  FROM orders
+  WHERE ROUND(o_totalprice * 100) > 0)
+SELECT digit,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 4) AS share,
+       ROUND(LOG10(1.0 + 1.0 / digit), 4) AS benford_p
+FROM d
+GROUP BY digit
+ORDER BY digit
+"""
+
+
+# --------------------------------------------------------------------------
+# q131: referential-integrity orphan audit over every FK edge of the
+# star schema. Per edge the exchange carries DISTINCT KEYS only:
+# child side pre-counts (key, n_rows) per block, parent side dedupes
+# keys per block, a key-keyed grouped SUM/MAX unifies them, and a
+# final per-block fold emits a one-row partial per edge.
+# --------------------------------------------------------------------------
+
+FK_EDGES = [
+    ("customer.c_nationkey->nation.n_nationkey",
+     "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem.l_orderkey->orders.o_orderkey",
+     "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part.p_partkey",
+     "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier.s_suppkey",
+     "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer.c_custkey",
+     "orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier.s_nationkey->nation.n_nationkey",
+     "supplier", "s_nationkey", "nation", "n_nationkey"),
+]
+
+
+def _edge_audit(sf_dir: str, edge: str, child: str, ck: str,
+                parent: str, pk: str) -> pd.DataFrame:
+    cds = read_table(sf_dir, child, columns=[ck])
+    pds = read_table(sf_dir, parent, columns=[pk])
+    jb = table_bytes(sf_dir, child, parent)
+    tune_hash_width(cds, jb)
+    tune_hash_width(pds, jb)
+
+    def child_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"k": pa.array([], pa.int64()),
+                          "n_rows": pa.array([], pa.int64()),
+                          "is_parent": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        k = (t[ck].combine_chunks().cast(pa.int64())
+             .to_numpy(zero_copy_only=False))
+        uk, counts = np.unique(k, return_counts=True)
+        return pa.table({"k": uk, "n_rows": counts.astype(np.int64),
+                         "is_parent": np.zeros(len(uk), np.int64)})
+
+    def parent_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"k": pa.array([], pa.int64()),
+                          "n_rows": pa.array([], pa.int64()),
+                          "is_parent": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        uk = np.unique(t[pk].combine_chunks().cast(pa.int64())
+                       .to_numpy(zero_copy_only=False))
+        return pa.table({"k": uk, "n_rows": np.zeros(len(uk), np.int64),
+                         "is_parent": np.ones(len(uk), np.int64)})
+
+    keys = (cds.map_batches(child_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+            .union(pds.map_batches(parent_partial, batch_format="pyarrow",
+                                   zero_copy_batch=True))
+            .groupby("k")
+            .aggregate(Sum("n_rows", alias_name="n_rows"),
+                       Max("is_parent", alias_name="has_parent")))
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table({"edge": pa.array([], pa.string()),
+                          "n_rows": pa.array([], pa.int64()),
+                          "n_keys": pa.array([], pa.int64()),
+                          "orphan_rows": pa.array([], pa.int64()),
+                          "orphan_keys": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        n = (t["n_rows"].combine_chunks()
+             .to_numpy(zero_copy_only=False).astype(np.int64))
+        par = (t["has_parent"].combine_chunks()
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+        is_child = n > 0           # parent-only keys are unreferenced, not orphans
+        orphan = is_child & (par == 0)
+        return pa.table({"edge": pa.array([edge], pa.string()),
+                         "n_rows": pa.array([int(n.sum())], pa.int64()),
+                         "n_keys": pa.array([int(is_child.sum())], pa.int64()),
+                         "orphan_rows": pa.array([int(n[orphan].sum())],
+                                                 pa.int64()),
+                         "orphan_keys": pa.array([int(orphan.sum())],
+                                                 pa.int64())})
+
+    return (keys.map_batches(fold, batch_format="pyarrow", batch_size=None)
+            .groupby("edge")
+            .aggregate(Sum("n_rows", alias_name="n_rows"),
+                       Sum("n_keys", alias_name="n_keys"),
+                       Sum("orphan_rows", alias_name="orphan_rows"),
+                       Sum("orphan_keys", alias_name="orphan_keys"))
+            .to_pandas())
+
+
+def q131_ref_integrity(sf_dir: str) -> pd.DataFrame:
+    """Orphan audit across all 6 FK edges: child rows/keys whose parent
+    key does not exist. One distinct-key exchange per edge; the driver
+    sees 6 one-row folds."""
+    parts = [_edge_audit(sf_dir, *e) for e in FK_EDGES]
+    out = pd.concat(parts, ignore_index=True)
+    out = out.astype({"n_rows": "int64", "n_keys": "int64",
+                      "orphan_rows": "int64", "orphan_keys": "int64"})
+    return (out[["edge", "n_rows", "n_keys", "orphan_rows", "orphan_keys"]]
+            .sort_values("edge").reset_index(drop=True))
+
+
+Q131_SQL = """
+SELECT 'customer.c_nationkey->nation.n_nationkey' AS edge,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT c.c_nationkey) AS BIGINT) AS n_keys,
+       CAST(COUNT(*) FILTER (WHERE p.n_nationkey IS NULL) AS BIGINT)
+         AS orphan_rows,
+       CAST(COUNT(DISTINCT c.c_nationkey)
+            FILTER (WHERE p.n_nationkey IS NULL) AS BIGINT) AS orphan_keys
+FROM customer c LEFT JOIN nation p ON c.c_nationkey = p.n_nationkey
+UNION ALL
+SELECT 'lineitem.l_orderkey->orders.o_orderkey',
+       CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT c.l_orderkey) AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE p.o_orderkey IS NULL) AS BIGINT),
+       CAST(COUNT(DISTINCT c.l_orderkey)
+            FILTER (WHERE p.o_orderkey IS NULL) AS BIGINT)
+FROM lineitem c LEFT JOIN orders p ON c.l_orderkey = p.o_orderkey
+UNION ALL
+SELECT 'lineitem.l_partkey->part.p_partkey',
+       CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT c.l_partkey) AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE p.p_partkey IS NULL) AS BIGINT),
+       CAST(COUNT(DISTINCT c.l_partkey)
+            FILTER (WHERE p.p_partkey IS NULL) AS BIGINT)
+FROM lineitem c LEFT JOIN part p ON c.l_partkey = p.p_partkey
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier.s_suppkey',
+       CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT c.l_suppkey) AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE p.s_suppkey IS NULL) AS BIGINT),
+       CAST(COUNT(DISTINCT c.l_suppkey)
+            FILTER (WHERE p.s_suppkey IS NULL) AS BIGINT)
+FROM lineitem c LEFT JOIN supplier p ON c.l_suppkey = p.s_suppkey
+UNION ALL
+SELECT 'orders.o_custkey->customer.c_custkey',
+       CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT c.o_custkey) AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE p.c_custkey IS NULL) AS BIGINT),
+       CAST(COUNT(DISTINCT c.o_custkey)
+            FILTER (WHERE p.c_custkey IS NULL) AS BIGINT)
+FROM orders c LEFT JOIN customer p ON c.o_custkey = p.c_custkey
+UNION ALL
+SELECT 'supplier.s_nationkey->nation.n_nationkey',
+       CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT c.s_nationkey) AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE p.n_nationkey IS NULL) AS BIGINT),
+       CAST(COUNT(DISTINCT c.s_nationkey)
+            FILTER (WHERE p.n_nationkey IS NULL) AS BIGINT)
+FROM supplier c LEFT JOIN nation p ON c.s_nationkey = p.n_nationkey
+ORDER BY edge
+"""
+
+
+# --------------------------------------------------------------------------
+# q132: per-field completeness / blank profiling (the "is this feed
+# even populated" first look of any DQ run). Stateless per-block count
+# partials; the exchange is #fields rows.
+# --------------------------------------------------------------------------
+
+_WS = " \t\n\r"  # explicit trim set, identical in the SQL mirror
+
+
+def _profile_partial(table_name: str, fields: list[str]):
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"field": pa.array([], pa.string()),
+                          "n_rows": pa.array([], pa.int64()),
+                          "n_null": pa.array([], pa.int64()),
+                          "n_empty": pa.array([], pa.int64()),
+                          "n_ws_only": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        names, nr, nn, ne, nw = [], [], [], [], []
+        for f in fields:
+            col = t[f].combine_chunks()
+            null = pc.is_null(col)
+            nonnull = pc.fill_null(col, "@")  # sentinel: never '' / ws-only
+            emptym = pc.equal(nonnull, "")
+            ws = pc.and_(pc.equal(pc.utf8_trim(nonnull, _WS), ""),
+                         pc.invert(emptym))
+            names.append(f"{table_name}.{f}")
+            nr.append(t.num_rows)
+            nn.append(pc.sum(null).as_py() or 0)
+            ne.append(pc.sum(emptym).as_py() or 0)
+            nw.append(pc.sum(ws).as_py() or 0)
+        return pa.table({"field": pa.array(names, pa.string()),
+                         "n_rows": pa.array(nr, pa.int64()),
+                         "n_null": pa.array(nn, pa.int64()),
+                         "n_empty": pa.array(ne, pa.int64()),
+                         "n_ws_only": pa.array(nw, pa.int64())})
+    return partial
+
+
+def q132_field_quality_profile(sf_dir: str) -> pd.DataFrame:
+    """Completeness audit of every string field of the two record-stream
+    tables: nulls, empty strings, whitespace-only strings. Plan:
+    per-block count partials from both reads, union, one #fields-row
+    grouped SUM."""
+    docs = read_table(sf_dir, "documents",
+                      columns=["text", "lang", "source"])
+    events = read_table(sf_dir, "events",
+                        columns=["event_type", "props"])
+    parts = (docs.map_batches(
+                 _profile_partial("documents", ["text", "lang", "source"]),
+                 batch_format="pyarrow", zero_copy_batch=True)
+             .union(events.map_batches(
+                 _profile_partial("events", ["event_type", "props"]),
+                 batch_format="pyarrow", zero_copy_batch=True)))
+    out = (parts.groupby("field")
+           .aggregate(Sum("n_rows", alias_name="n_rows"),
+                      Sum("n_null", alias_name="n_null"),
+                      Sum("n_empty", alias_name="n_empty"),
+                      Sum("n_ws_only", alias_name="n_ws_only"))
+           .to_pandas())
+    out = out.astype({"n_rows": "int64", "n_null": "int64",
+                      "n_empty": "int64", "n_ws_only": "int64"})
+    return (out[["field", "n_rows", "n_null", "n_empty", "n_ws_only"]]
+            .sort_values("field").reset_index(drop=True))
+
+
+Q132_SQL = """
+SELECT 'documents.' || f AS field,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) FILTER (WHERE v IS NULL) AS BIGINT) AS n_null,
+       CAST(COUNT(*) FILTER (WHERE v = '') AS BIGINT) AS n_empty,
+       CAST(COUNT(*) FILTER (WHERE v <> '' AND TRIM(v, ' ' || CHR(9) ||
+            CHR(10) || CHR(13)) = '') AS BIGINT) AS n_ws_only
+FROM (SELECT text AS v, 'text' AS f FROM documents
+      UNION ALL SELECT lang, 'lang' FROM documents
+      UNION ALL SELECT source, 'source' FROM documents)
+GROUP BY f
+UNION ALL
+SELECT 'events.' || f,
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE v IS NULL) AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE v = '') AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE v <> '' AND TRIM(v, ' ' || CHR(9) ||
+            CHR(10) || CHR(13)) = '') AS BIGINT)
+FROM (SELECT event_type AS v, 'event_type' AS f FROM events
+      UNION ALL SELECT props, 'props' FROM events)
+GROUP BY f
+ORDER BY field
+"""
+
+
+# --------------------------------------------------------------------------
+# q133: declarative rule registry — domain ranges, value domains, and
+# one cross-field temporal rule that needs fact-fact co-location. Each
+# per-table pass emits fixed (rule, n_checked, n_violations) partials;
+# all passes union into ONE #rules-row grouped SUM.
+# --------------------------------------------------------------------------
+
+_RULE_SCHEMA = pa.schema([("rule", pa.string()),
+                          ("n_checked", pa.int64()),
+                          ("n_violations", pa.int64())])
+
+
+def _rule_rows(names: list[str], checked: list[int],
+               viol: list[int]) -> pa.Table:
+    return pa.table({"rule": pa.array(names, pa.string()),
+                     "n_checked": pa.array(checked, pa.int64()),
+                     "n_violations": pa.array(viol, pa.int64())})
+
+
+def q133_rule_violations(sf_dir: str) -> pd.DataFrame:
+    """Violation counts for the standing DQ rule registry: lineitem
+    range rules (discount/tax/qty/price), orders domain rules
+    (status/price), documents consistency (n_chars == LENGTH(text)),
+    and ship-before-order (cross-fact; the one rule that joins). All
+    rule passes are per-block vectorized predicates emitting count
+    partials; one final #rules-row SUM."""
+    empty = _RULE_SCHEMA.empty_table()
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_discount", "l_tax", "l_quantity",
+                             "l_extendedprice"])
+
+    def li_rules(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        d = t["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        tax = t["l_tax"].combine_chunks().to_numpy(zero_copy_only=False)
+        q = t["l_quantity"].combine_chunks().to_numpy(zero_copy_only=False)
+        p = (t["l_extendedprice"].combine_chunks()
+             .to_numpy(zero_copy_only=False))
+        n = t.num_rows
+        return _rule_rows(
+            ["lineitem.discount_range", "lineitem.tax_range",
+             "lineitem.qty_range", "lineitem.price_positive"],
+            [n, n, n, n],
+            [int(((d < 0.0) | (d > 0.1)).sum()),
+             int(((tax < 0.0) | (tax > 0.08)).sum()),
+             int(((q < 1.0) | (q > 50.0)).sum()),
+             int((p <= 0.0).sum())])
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderstatus", "o_totalprice"])
+
+    def ord_rules(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        st = t["o_orderstatus"].combine_chunks()
+        bad_st = pc.invert(pc.is_in(
+            st, value_set=pa.array(["O", "F", "P"], pa.string())))
+        p = (t["o_totalprice"].combine_chunks()
+             .to_numpy(zero_copy_only=False))
+        n = t.num_rows
+        return _rule_rows(
+            ["orders.status_domain", "orders.price_positive"],
+            [n, n],
+            [int(pc.sum(bad_st).as_py() or 0), int((p <= 0.0).sum())])
+
+    docs = read_table(sf_dir, "documents", columns=["text", "n_chars"])
+
+    def doc_rules(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        ln = pc.utf8_length(pc.fill_null(t["text"].combine_chunks(), ""))
+        nc = t["n_chars"].combine_chunks()
+        bad = pc.not_equal(pc.cast(ln, pa.int64()), pc.cast(nc, pa.int64()))
+        return _rule_rows(["documents.n_chars_consistent"], [t.num_rows],
+                          [int(pc.sum(bad).as_py() or 0)])
+
+    # cross-fact temporal rule: shipdate must not precede the order date
+    li2 = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    ord2 = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    jb = table_bytes(sf_dir, "lineitem", "orders")
+    tune_hash_width(li2, jb)
+    tune_hash_width(ord2, jb)
+    j = li2.join(ord2, "inner",
+                 num_partitions=default_partitions(size_bytes=jb),
+                 on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def ship_rule(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        ship = (t["l_shipdate"].combine_chunks().cast(pa.timestamp("us"))
+                .to_numpy(zero_copy_only=False))
+        od = (t["o_orderdate"].combine_chunks().cast(pa.timestamp("us"))
+              .to_numpy(zero_copy_only=False))
+        return _rule_rows(["order_lineitem.ship_not_before_order"],
+                          [t.num_rows], [int((ship < od).sum())])
+
+    parts = (li.map_batches(li_rules, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .union(orders.map_batches(ord_rules, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                    docs.map_batches(doc_rules, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                    j.map_batches(ship_rule, batch_format="pyarrow",
+                                  zero_copy_batch=True)))
+    out = (parts.groupby("rule")
+           .aggregate(Sum("n_checked", alias_name="n_checked"),
+                      Sum("n_violations", alias_name="n_violations"))
+           .to_pandas())
+    out = out.astype({"n_checked": "int64", "n_violations": "int64"})
+    return (out[["rule", "n_checked", "n_violations"]]
+            .sort_values("rule").reset_index(drop=True))
+
+
+Q133_SQL = """
+SELECT 'lineitem.discount_range' AS rule,
+       CAST(COUNT(*) AS BIGINT) AS n_checked,
+       CAST(COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1)
+            AS BIGINT) AS n_violations
+FROM lineitem
+UNION ALL
+SELECT 'lineitem.tax_range', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE l_tax < 0 OR l_tax > 0.08) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem.qty_range', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+            AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem.price_positive', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE l_extendedprice <= 0) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'orders.status_domain', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+            AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orders.price_positive', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'documents.n_chars_consistent', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE LENGTH(COALESCE(text, '')) <> n_chars)
+            AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'order_lineitem.ship_not_before_order', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE l_shipdate < o_orderdate) AS BIGINT)
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+ORDER BY rule
+"""
