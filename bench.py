@@ -286,6 +286,9 @@ def bench_queries() -> dict:
         ("q131_ref_integrity", dq.q131_ref_integrity),
         ("q132_field_quality_profile", dq.q132_field_quality_profile),
         ("q133_rule_violations", dq.q133_rule_violations),
+        ("q134_onboarding_latency", funnel.q134_onboarding_latency),
+        ("q135_monthly_revenue_growth",
+         relational.q135_monthly_revenue_growth),
     ]:
         h0 = _host_cpu_sample()
         t0 = time.time()

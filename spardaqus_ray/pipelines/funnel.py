@@ -1135,3 +1135,105 @@ FROM pairs p JOIN tot t USING (prev_type)
 GROUP BY p.prev_type, t.tot, t.k
 ORDER BY prev_type
 """
+
+
+def q134_onboarding_latency(sf_dir: str) -> pd.DataFrame:
+    """Feature-adoption latency: per event_type, how many whole days
+    after a user's FIRST-EVER event do they first fire this type, as
+    (n_users, median_days, p90_days) with PERCENTILE_DISC semantics
+    (element at ceil(p*n)-1 — q61's convention, mirrored by DuckDB
+    quantile_disc). Plan: per-block (user, type)->min-ts partials ->
+    grouped MIN (fact -> #users x #types, bounded) -> ONE user-keyed
+    repartition of that small aggregate so each user's rows co-locate
+    -> in-block per-user fold to whole-day latencies -> (type, days)
+    count partials -> dimension-sized SUM -> exact percentiles from
+    the day histogram as driver algebra. Raw events never re-shuffle."""
+    from ray.data.aggregate import Min
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "ts"])
+    tune_hash_width(ds, table_bytes(sf_dir, "events"))
+
+    def first_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "event_type": pa.array([], pa.string()),
+                          "t0": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        df = pd.DataFrame({
+            "user_id": _np(t["user_id"]).astype(np.int64),
+            "event_type": _np(t["event_type"]),
+            "t0": _ts_us(t["ts"])})
+        g = (df.groupby(["user_id", "event_type"], sort=False)["t0"]
+             .min().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    firsts = (ds.map_batches(first_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["user_id", "event_type"])
+              .aggregate(Min("t0", alias_name="t0")))
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"event_type": pa.array([], pa.string()),
+                          "days": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = _np(t["user_id"]).astype(np.int64)
+        typ = np.asarray(_np(t["event_type"]), object)
+        t0 = _np(t["t0"]).astype(np.int64)
+        idx = np.argsort(u, kind="stable")
+        u, typ, t0 = u[idx], typ[idx], t0[idx]
+        starts = _segments(u)
+        u0 = np.minimum.reduceat(t0, starts)
+        u0_full = np.repeat(u0, np.diff(np.r_[starts, len(u)]))
+        days = (t0 - u0_full) // 86_400_000_000
+        g = (pd.DataFrame({"event_type": typ, "days": days,
+                           "n": np.int64(1)})
+             .groupby(["event_type", "days"], sort=False)["n"]
+             .sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (_keyed(firsts, "user_id",
+                   default_partitions(size_bytes=table_bytes(sf_dir,
+                                                             "events")))
+            .map_batches(day_partial, batch_format="pyarrow",
+                         batch_size=None)
+            .groupby(["event_type", "days"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+
+    rows = []
+    for typ, g in hist.groupby("event_type"):
+        g = g.sort_values("days")
+        days = g["days"].to_numpy(np.int64)
+        counts = g["n"].to_numpy(np.int64)
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        med = days[np.searchsorted(cum, int(np.ceil(0.5 * n)))]
+        p90 = days[np.searchsorted(cum, int(np.ceil(0.9 * n)))]
+        rows.append((typ, n, int(med), int(p90)))
+    out = pd.DataFrame(rows, columns=["event_type", "n_users",
+                                      "median_days", "p90_days"])
+    return (out.astype({"n_users": "int64", "median_days": "int64",
+                        "p90_days": "int64"})
+            .sort_values("event_type").reset_index(drop=True))
+
+
+Q134_SQL = """
+WITH f AS (
+  SELECT user_id, event_type, MIN(ts) AS t0
+  FROM events GROUP BY 1, 2),
+u AS (SELECT user_id, MIN(t0) AS u0 FROM f GROUP BY 1),
+d AS (
+  SELECT f.event_type,
+         DATE_DIFF('microsecond', u.u0, f.t0) // 86400000000 AS days
+  FROM f JOIN u USING (user_id))
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(quantile_disc(days, 0.5) AS BIGINT) AS median_days,
+       CAST(quantile_disc(days, 0.9) AS BIGINT) AS p90_days
+FROM d
+GROUP BY event_type
+ORDER BY event_type
+"""

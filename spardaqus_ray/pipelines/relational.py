@@ -2759,3 +2759,72 @@ FROM d
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+def q135_monthly_revenue_growth(sf_dir: str) -> pd.DataFrame:
+    """Revenue trend monitor: calendar-month revenue with
+    month-over-month and year-over-year growth rates (NULL when the
+    previous calendar month / same month last year is absent — gaps
+    never splice, the q125 convention). Plan: per-block (year, month)
+    revenue partials -> one #months-row grouped SUM -> the growth
+    ratios are driver algebra over the rounded month table (both
+    sides derive ratios from the SAME 4-dp rounded revenues, so the
+    floats compare exactly)."""
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"year": pa.array([], pa.int64()),
+                          "month": pa.array([], pa.int64()),
+                          "revenue": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        d = (t["o_orderdate"].combine_chunks().cast(pa.timestamp("us"))
+             .to_numpy(zero_copy_only=False))
+        ym = d.astype("datetime64[M]").astype(np.int64)  # months since 1970
+        p = (t["o_totalprice"].combine_chunks()
+             .to_numpy(zero_copy_only=False))
+        g = (pd.DataFrame({"year": 1970 + ym // 12, "month": 1 + ym % 12,
+                           "revenue": p})
+             .groupby(["year", "month"], sort=False)["revenue"]
+             .sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["year", "month"])
+           .aggregate(Sum("revenue", alias_name="revenue"))
+           .to_pandas())
+    out = out.astype({"year": "int64", "month": "int64"})
+    out["revenue"] = out["revenue"].round(4)
+    out = out.sort_values(["year", "month"]).reset_index(drop=True)
+    rev = dict(zip(zip(out["year"], out["month"]), out["revenue"]))
+
+    def ratio(y: int, m: int, py: int, pm: int) -> float:
+        prev = rev.get((py, pm))
+        if prev is None:
+            return np.nan
+        return round(rev[(y, m)] / prev - 1.0, 4)
+
+    out["mom_growth"] = [
+        ratio(y, m, y if m > 1 else y - 1, m - 1 if m > 1 else 12)
+        for y, m in zip(out["year"], out["month"])]
+    out["yoy_growth"] = [ratio(y, m, y - 1, m)
+                         for y, m in zip(out["year"], out["month"])]
+    return out[["year", "month", "revenue", "mom_growth", "yoy_growth"]]
+
+
+Q135_SQL = """
+WITH m AS (
+  SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS year,
+         CAST(MONTH(o_orderdate) AS BIGINT) AS month,
+         ROUND(SUM(o_totalprice), 4) AS revenue
+  FROM orders GROUP BY 1, 2)
+SELECT a.year, a.month, a.revenue,
+       ROUND(a.revenue / b.revenue - 1, 4) AS mom_growth,
+       ROUND(a.revenue / c.revenue - 1, 4) AS yoy_growth
+FROM m a
+LEFT JOIN m b ON b.year * 12 + b.month = a.year * 12 + a.month - 1
+LEFT JOIN m c ON c.year = a.year - 1 AND c.month = a.month
+ORDER BY a.year, a.month
+"""
