@@ -289,6 +289,8 @@ def bench_queries() -> dict:
         ("q134_onboarding_latency", funnel.q134_onboarding_latency),
         ("q135_monthly_revenue_growth",
          relational.q135_monthly_revenue_growth),
+        ("q136_order_fanout_profile", dq.q136_order_fanout_profile),
+        ("q137_unit_price_consistency", dq.q137_unit_price_consistency),
     ]:
         h0 = _host_cpu_sample()
         t0 = time.time()

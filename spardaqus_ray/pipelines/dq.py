@@ -4,9 +4,10 @@ assurance" over a record stream, SURVEY.md §1.1 [PK]): Benford's-law
 conformance of a monetary population, a referential-integrity orphan
 audit across every FK edge of the fixture schema, per-field
 completeness/blank profiling, and a declarative domain / cross-field
-rule registry reporting violation counts per rule.
+rule registry reporting violation counts per rule — plus join-health
+fanout profiling (q136) and unit-price consistency (q137).
 
-All four are SQL-expressible and oracle-gated (tests/test_oracle.py
+All are SQL-expressible and oracle-gated (tests/test_oracle.py
 mirrors the driver's DuckDB compare).
 
 Scale shapes (100-TB reasoning):
@@ -31,7 +32,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
-from ray.data.aggregate import Max, Sum
+from ray.data.aggregate import Max, Min, Sum
 
 from spardaqus_ray.sources.code_parquet import read_table
 from spardaqus_ray.util import (default_partitions, table_bytes,
@@ -501,4 +502,195 @@ SELECT 'order_lineitem.ship_not_before_order', CAST(COUNT(*) AS BIGINT),
        CAST(COUNT(*) FILTER (WHERE l_shipdate < o_orderdate) AS BIGINT)
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 ORDER BY rule
+"""
+
+
+# --------------------------------------------------------------------------
+# q136: join-health fanout profile — the lineitems-per-order
+# distribution, INCLUDING zero-fanout orders (a fanout explosion or a
+# starving LEFT side are both join-killers at 100 TB; this is the
+# audit you run before planning one). Same distinct-key exchange as
+# q131: child pre-counts, parent dedupes, one key-keyed SUM/MAX,
+# histogram partials -> dimension-sized SUM.
+# --------------------------------------------------------------------------
+
+
+def q136_order_fanout_profile(sf_dir: str) -> pd.DataFrame:
+    """Histogram of lineitems-per-order over ALL orders (fanout 0 =
+    order with no lineitems). Orphan lineitem keys (no parent order)
+    are excluded, mirroring the SQL's LEFT JOIN from orders."""
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey"])
+    jb = table_bytes(sf_dir, "lineitem", "orders")
+    tune_hash_width(li, jb)
+    tune_hash_width(orders, jb)
+
+    def child_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"k": pa.array([], pa.int64()),
+                          "n_rows": pa.array([], pa.int64()),
+                          "is_parent": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        k = (t["l_orderkey"].combine_chunks().cast(pa.int64())
+             .to_numpy(zero_copy_only=False))
+        uk, counts = np.unique(k, return_counts=True)
+        return pa.table({"k": uk, "n_rows": counts.astype(np.int64),
+                         "is_parent": np.zeros(len(uk), np.int64)})
+
+    def parent_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"k": pa.array([], pa.int64()),
+                          "n_rows": pa.array([], pa.int64()),
+                          "is_parent": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        uk = np.unique(t["o_orderkey"].combine_chunks().cast(pa.int64())
+                       .to_numpy(zero_copy_only=False))
+        return pa.table({"k": uk, "n_rows": np.zeros(len(uk), np.int64),
+                         "is_parent": np.ones(len(uk), np.int64)})
+
+    keys = (li.map_batches(child_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .union(orders.map_batches(parent_partial,
+                                      batch_format="pyarrow",
+                                      zero_copy_batch=True))
+            .groupby("k")
+            .aggregate(Sum("n_rows", alias_name="fanout"),
+                       Max("is_parent", alias_name="has_parent")))
+
+    def hist(t: pa.Table) -> pa.Table:
+        empty = pa.table({"fanout": pa.array([], pa.int64()),
+                          "n_orders": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        f = (t["fanout"].combine_chunks()
+             .to_numpy(zero_copy_only=False).astype(np.int64))
+        par = (t["has_parent"].combine_chunks()
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+        f = f[par == 1]  # orphan lineitem keys are q131's finding, not ours
+        if f.size == 0:
+            return empty
+        uf, counts = np.unique(f, return_counts=True)
+        return pa.table({"fanout": uf, "n_orders": counts.astype(np.int64)})
+
+    out = (keys.map_batches(hist, batch_format="pyarrow", batch_size=None)
+           .groupby("fanout")
+           .aggregate(Sum("n_orders", alias_name="n_orders"))
+           .to_pandas())
+    out = out.astype({"fanout": "int64", "n_orders": "int64"})
+    return (out[["fanout", "n_orders"]]
+            .sort_values("fanout").reset_index(drop=True))
+
+
+Q136_SQL = """
+SELECT fanout, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM (
+  SELECT o.o_orderkey,
+         CAST(COUNT(l.l_orderkey) AS BIGINT) AS fanout
+  FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1)
+GROUP BY fanout
+ORDER BY fanout
+"""
+
+
+# --------------------------------------------------------------------------
+# q137: unit-price consistency — the same part selling at different
+# l_extendedprice/l_quantity ratios across lineitems is a pricing-feed
+# defect. Per-part min/max-unit partials (fact -> #parts), one partkey
+# hash join to attach the brand, then a #brands-row SUM.
+# --------------------------------------------------------------------------
+
+UNIT_PRICE_TOL = 0.01  # a cent of drift is a violation
+
+
+def q137_unit_price_consistency(sf_dir: str) -> pd.DataFrame:
+    """Per p_brand: parts sold, parts whose observed unit price drifts
+    more than a cent, and the lineitems covered. min/max of the SAME
+    float division on both sides, so the spread compares exactly."""
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_quantity", "l_extendedprice"])
+    jb = table_bytes(sf_dir, "lineitem", "part")
+    tune_hash_width(li, jb)
+
+    def unit_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"l_partkey": pa.array([], pa.int64()),
+                          "mn": pa.array([], pa.float64()),
+                          "mx": pa.array([], pa.float64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        k = (t["l_partkey"].combine_chunks()
+             .to_numpy(zero_copy_only=False).astype(np.int64))
+        unit = (t["l_extendedprice"].combine_chunks()
+                .to_numpy(zero_copy_only=False)
+                / t["l_quantity"].combine_chunks()
+                .to_numpy(zero_copy_only=False))
+        g = (pd.DataFrame({"l_partkey": k, "mn": unit, "mx": unit,
+                           "n": np.int64(1)})
+             .groupby("l_partkey", sort=False)
+             .agg(mn=("mn", "min"), mx=("mx", "max"), n=("n", "sum"))
+             .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_part = (li.map_batches(unit_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby("l_partkey")
+                .aggregate(Min("mn", alias_name="mn"),
+                           Max("mx", alias_name="mx"),
+                           Sum("n", alias_name="n")))
+
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    tune_hash_width(part, jb)
+    j = per_part.join(part, "inner",
+                      num_partitions=default_partitions(size_bytes=jb),
+                      on=("l_partkey",), right_on=("p_partkey",))
+
+    def brand_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"p_brand": pa.array([], pa.string()),
+                          "n_parts": pa.array([], pa.int64()),
+                          "n_inconsistent": pa.array([], pa.int64()),
+                          "n_items": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        mn = t["mn"].combine_chunks().to_numpy(zero_copy_only=False)
+        mx = t["mx"].combine_chunks().to_numpy(zero_copy_only=False)
+        g = (pd.DataFrame({
+                "p_brand": t["p_brand"].combine_chunks()
+                .to_numpy(zero_copy_only=False),
+                "n_parts": np.int64(1),
+                "n_inconsistent": (mx - mn > UNIT_PRICE_TOL)
+                .astype(np.int64),
+                "n_items": t["n"].combine_chunks()
+                .to_numpy(zero_copy_only=False).astype(np.int64)})
+             .groupby("p_brand", sort=False).sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (j.map_batches(brand_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+           .groupby("p_brand")
+           .aggregate(Sum("n_parts", alias_name="n_parts"),
+                      Sum("n_inconsistent", alias_name="n_inconsistent"),
+                      Sum("n_items", alias_name="n_items"))
+           .to_pandas())
+    out = out.astype({"n_parts": "int64", "n_inconsistent": "int64",
+                      "n_items": "int64"})
+    return (out[["p_brand", "n_parts", "n_inconsistent", "n_items"]]
+            .sort_values("p_brand").reset_index(drop=True))
+
+
+Q137_SQL = """
+WITH pu AS (
+  SELECT l_partkey,
+         MIN(l_extendedprice / l_quantity) AS mn,
+         MAX(l_extendedprice / l_quantity) AS mx,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1)
+SELECT p.p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(COUNT(*) FILTER (WHERE mx - mn > 0.01) AS BIGINT)
+         AS n_inconsistent,
+       CAST(SUM(n) AS BIGINT) AS n_items
+FROM pu JOIN part p ON pu.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+ORDER BY p.p_brand
 """
