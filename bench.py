@@ -291,6 +291,10 @@ def bench_queries() -> dict:
          relational.q135_monthly_revenue_growth),
         ("q136_order_fanout_profile", dq.q136_order_fanout_profile),
         ("q137_unit_price_consistency", dq.q137_unit_price_consistency),
+        ("q138_status_consistency", dq.q138_status_consistency),
+        ("q139_event_volume_stability", stats.q139_event_volume_stability),
+        ("q140_reorder_latency", relational.q140_reorder_latency),
+        ("q141_brand_return_rate", relational.q141_brand_return_rate),
     ]:
         h0 = _host_cpu_sample()
         t0 = time.time()

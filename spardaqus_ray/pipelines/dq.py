@@ -694,3 +694,101 @@ FROM pu JOIN part p ON pu.l_partkey = p.p_partkey
 GROUP BY p.p_brand
 ORDER BY p.p_brand
 """
+
+
+# --------------------------------------------------------------------------
+# q138: cross-fact lifecycle consistency — an order's status vs the
+# linestatus profile of its lineitems ('F' orders carrying still-open
+# 'O' lineitems are the lifecycle defect this catches; the fixture
+# plants ~43k such orders at sf0.1). Per-order linestatus counts are
+# pre-reduced per block, ONE orderkey hash join attaches the order
+# status, and only a 9-row histogram leaves the join.
+# --------------------------------------------------------------------------
+
+
+def q138_status_consistency(sf_dir: str) -> pd.DataFrame:
+    """Per (o_orderstatus, lineitem-status profile all_F/all_O/mixed):
+    order counts. Plan: per-block (orderkey, nF, nO) partials ->
+    grouped SUM (fact -> #orders, bounded by the key domain) -> one
+    orderkey hash join to attach o_orderstatus -> in-block profile
+    classification -> #statuses x 3-row SUM."""
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_linestatus"])
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderstatus"])
+    jb = table_bytes(sf_dir, "lineitem", "orders")
+    tune_hash_width(li, jb)
+    tune_hash_width(orders, jb)
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"l_orderkey": pa.array([], pa.int64()),
+                          "nf": pa.array([], pa.int64()),
+                          "no": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        k = (t["l_orderkey"].combine_chunks()
+             .to_numpy(zero_copy_only=False).astype(np.int64))
+        st = t["l_linestatus"].combine_chunks()
+        isf = pc.equal(st, "F").to_numpy(zero_copy_only=False)
+        g = (pd.DataFrame({"l_orderkey": k,
+                           "nf": isf.astype(np.int64),
+                           "no": (~isf).astype(np.int64)})
+             .groupby("l_orderkey", sort=False).sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    profiles = (li.map_batches(li_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby("l_orderkey")
+                .aggregate(Sum("nf", alias_name="nf"),
+                           Sum("no", alias_name="no")))
+
+    j = orders.join(profiles, "inner",
+                    num_partitions=default_partitions(size_bytes=jb),
+                    on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def hist(t: pa.Table) -> pa.Table:
+        empty = pa.table({"o_orderstatus": pa.array([], pa.string()),
+                          "li_profile": pa.array([], pa.string()),
+                          "n_orders": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        nf = (t["nf"].combine_chunks()
+              .to_numpy(zero_copy_only=False).astype(np.int64))
+        no = (t["no"].combine_chunks()
+              .to_numpy(zero_copy_only=False).astype(np.int64))
+        prof = np.where(no == 0, "all_F", np.where(nf == 0, "all_O",
+                                                   "mixed"))
+        g = (pd.DataFrame({
+                "o_orderstatus": t["o_orderstatus"].combine_chunks()
+                .to_numpy(zero_copy_only=False),
+                "li_profile": prof, "n_orders": np.int64(1)})
+             .groupby(["o_orderstatus", "li_profile"], sort=False)["n_orders"]
+             .sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (j.map_batches(hist, batch_format="pyarrow",
+                         zero_copy_batch=True)
+           .groupby(["o_orderstatus", "li_profile"])
+           .aggregate(Sum("n_orders", alias_name="n_orders"))
+           .to_pandas())
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return (out[["o_orderstatus", "li_profile", "n_orders"]]
+            .sort_values(["o_orderstatus", "li_profile"])
+            .reset_index(drop=True))
+
+
+Q138_SQL = """
+WITH lp AS (
+  SELECT l_orderkey,
+         SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS nf,
+         SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS no
+  FROM lineitem GROUP BY 1)
+SELECT o_orderstatus,
+       CASE WHEN no = 0 THEN 'all_F'
+            WHEN nf = 0 THEN 'all_O'
+            ELSE 'mixed' END AS li_profile,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders JOIN lp ON o_orderkey = l_orderkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

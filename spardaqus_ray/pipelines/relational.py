@@ -2828,3 +2828,167 @@ LEFT JOIN m b ON b.year * 12 + b.month = a.year * 12 + a.month - 1
 LEFT JOIN m c ON c.year = a.year - 1 AND c.month = a.month
 ORDER BY a.year, a.month
 """
+
+
+def q140_reorder_latency(sf_dir: str) -> pd.DataFrame:
+    """Repeat-purchase latency per market segment: whole-day gaps
+    between a customer's consecutive orders, summarized as (n_gaps,
+    mean, PERCENTILE_DISC median/p90 — q61's ceil(p*n)-1 convention).
+    Gap multisets are tie-order-independent (diffs of a date-sorted
+    sequence), so the window ordering ambiguity on same-day orders is
+    immaterial. Plan: capped-broadcast segment attach (join fallback)
+    -> ONE custkey-keyed repartition -> in-block lexsort/diff gap
+    extraction -> (segment, days) histogram partials ->
+    dimension-sized SUM -> exact percentiles as driver algebra."""
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    ds = _attach_segment(ds, sf_dir, keep=["o_custkey", "o_orderdate"])
+    ensure_hash_shuffle(ds)
+    ds = ds.repartition(
+        default_partitions(size_bytes=table_bytes(sf_dir, "orders")),
+        keys=["o_custkey"])
+
+    def gaps(t: pa.Table) -> pa.Table:
+        empty = pa.table({"c_mktsegment": pa.array([], pa.string()),
+                          "days": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        cust = (t["o_custkey"].combine_chunks()
+                .to_numpy(zero_copy_only=False).astype(np.int64))
+        d = (t["o_orderdate"].combine_chunks().cast(pa.timestamp("us"))
+             .to_numpy(zero_copy_only=False).astype("datetime64[us]")
+             .astype(np.int64))
+        seg = np.asarray(t["c_mktsegment"].to_pylist(), object)
+        idx = np.lexsort((d, cust))
+        cust, d, seg = cust[idx], d[idx], seg[idx]
+        same = cust[1:] == cust[:-1]  # consecutive-order pairs only
+        if not same.any():
+            return empty
+        gap_days = (d[1:] - d[:-1])[same] // 86_400_000_000
+        g = (pd.DataFrame({"c_mktsegment": seg[1:][same],
+                           "days": gap_days, "n": np.int64(1)})
+             .groupby(["c_mktsegment", "days"], sort=False)["n"]
+             .sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (ds.map_batches(gaps, batch_format="pyarrow", batch_size=None)
+            .groupby(["c_mktsegment", "days"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+
+    rows = []
+    for seg, g in hist.groupby("c_mktsegment"):
+        g = g.sort_values("days")
+        days = g["days"].to_numpy(np.int64)
+        counts = g["n"].to_numpy(np.int64)
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        mean = float((days * counts).sum()) / n
+        med = days[np.searchsorted(cum, int(np.ceil(0.5 * n)))]
+        p90 = days[np.searchsorted(cum, int(np.ceil(0.9 * n)))]
+        rows.append((seg, n, round(mean, 4), int(med), int(p90)))
+    out = pd.DataFrame(rows, columns=["c_mktsegment", "n_gaps",
+                                      "mean_days", "median_days",
+                                      "p90_days"])
+    return (out.astype({"n_gaps": "int64", "median_days": "int64",
+                        "p90_days": "int64"})
+            .sort_values("c_mktsegment").reset_index(drop=True))
+
+
+Q140_SQL = """
+WITH g AS (
+  SELECT c_mktsegment,
+         DATE_DIFF('day',
+                   LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate),
+                   o_orderdate) AS days
+  FROM orders JOIN customer ON o_custkey = c_custkey)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       ROUND(AVG(days), 4) AS mean_days,
+       CAST(quantile_disc(days, 0.5) AS BIGINT) AS median_days,
+       CAST(quantile_disc(days, 0.9) AS BIGINT) AS p90_days
+FROM g
+WHERE days IS NOT NULL
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def q141_brand_return_rate(sf_dir: str) -> pd.DataFrame:
+    """Return-rate monitor per part brand: items sold, items returned
+    (l_returnflag = 'R') and the return share — the defective-lot
+    screen. Plan: per-block (partkey, n, n_ret) count partials ->
+    grouped SUM (fact -> #parts) -> one partkey hash join for the
+    brand -> #brands-row SUM; the share is driver algebra."""
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_returnflag"])
+    jb = table_bytes(sf_dir, "lineitem", "part")
+    tune_hash_width(li, jb)
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"l_partkey": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64()),
+                          "n_ret": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        k = (t["l_partkey"].combine_chunks()
+             .to_numpy(zero_copy_only=False).astype(np.int64))
+        ret = (pc.equal(t["l_returnflag"].combine_chunks(), "R")
+               .to_numpy(zero_copy_only=False))
+        g = (pd.DataFrame({"l_partkey": k, "n": np.int64(1),
+                           "n_ret": ret.astype(np.int64)})
+             .groupby("l_partkey", sort=False).sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_part = (li.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby("l_partkey")
+                .aggregate(Sum("n", alias_name="n"),
+                           Sum("n_ret", alias_name="n_ret")))
+
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    tune_hash_width(part, jb)
+    j = per_part.join(part, "inner",
+                      num_partitions=default_partitions(size_bytes=jb),
+                      on=("l_partkey",), right_on=("p_partkey",))
+
+    def brand_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"p_brand": pa.array([], pa.string()),
+                          "n_items": pa.array([], pa.int64()),
+                          "n_returned": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        g = (pd.DataFrame({
+                "p_brand": t["p_brand"].combine_chunks()
+                .to_numpy(zero_copy_only=False),
+                "n_items": t["n"].combine_chunks()
+                .to_numpy(zero_copy_only=False).astype(np.int64),
+                "n_returned": t["n_ret"].combine_chunks()
+                .to_numpy(zero_copy_only=False).astype(np.int64)})
+             .groupby("p_brand", sort=False).sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (j.map_batches(brand_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+           .groupby("p_brand")
+           .aggregate(Sum("n_items", alias_name="n_items"),
+                      Sum("n_returned", alias_name="n_returned"))
+           .to_pandas())
+    out = out.astype({"n_items": "int64", "n_returned": "int64"})
+    out["return_share"] = (out["n_returned"] / out["n_items"]).round(4)
+    return (out[["p_brand", "n_items", "n_returned", "return_share"]]
+            .sort_values("p_brand").reset_index(drop=True))
+
+
+Q141_SQL = """
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT)
+         AS n_returned,
+       ROUND(COUNT(*) FILTER (WHERE l_returnflag = 'R')
+             / CAST(COUNT(*) AS DOUBLE), 4) AS return_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+"""

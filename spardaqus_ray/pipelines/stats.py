@@ -967,3 +967,47 @@ JOIN daily b ON b.day = a.day + lag * INTERVAL 1 DAY
 GROUP BY lag
 ORDER BY lag
 """
+
+
+def q139_event_volume_stability(sf_dir: str) -> pd.DataFrame:
+    """Telemetry volume-stability monitor: per event_type, daily-count
+    mean, coefficient of variation and peak-to-mean ratio over the
+    days the type was active (the 'did a feed flatline or spike'
+    check). Plan: ONE tumbling daily grouped count keyed by type
+    (the q125 shape + key) whose output is #types x #days rows —
+    dimension-sized — then all moments are driver algebra over that
+    aggregate. The event stream itself is never exchanged or pulled."""
+    from spardaqus_ray.pipelines.windows import tumbling_agg
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
+    daily = (tumbling_agg(ds, ts="ts", every_us=86_400_000_000,
+                          aggs=[Count(alias_name="n")],
+                          keys=["event_type"], window_name="day")
+             .to_pandas())
+    rows = []
+    for typ, g in daily.groupby("event_type"):
+        n = g["n"].to_numpy(np.float64)
+        mean = n.mean()
+        rows.append((typ, len(n), round(mean, 4),
+                     round(float(n.std()) / mean, 4),
+                     round(float(n.max()) / mean, 4)))
+    out = pd.DataFrame(rows, columns=["event_type", "n_days",
+                                      "mean_daily", "cv", "peak_ratio"])
+    return (out.astype({"n_days": "int64"})
+            .sort_values("event_type").reset_index(drop=True))
+
+
+Q139_SQL = """
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(AVG(n), 4) AS mean_daily,
+       ROUND(STDDEV_POP(n) / AVG(n), 4) AS cv,
+       ROUND(MAX(n) / AVG(n), 4) AS peak_ratio
+FROM d
+GROUP BY event_type
+ORDER BY event_type
+"""
