@@ -792,3 +792,329 @@ FROM orders JOIN lp ON o_orderkey = l_orderkey
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# q142: primary-key uniqueness audit — the first rule of any DQ run
+# (a silently-duplicated key corrupts every downstream join/aggregate).
+# One distinct-key exchange per table, same shape as q131: per-block
+# (key, count) partials -> key-keyed grouped SUM (output bounded by the
+# key domain) -> one-row fold per table -> #tables-row SUM.
+# --------------------------------------------------------------------------
+
+_PK_TABLES: list[tuple[str, str, list[str]]] = [
+    ("customer.c_custkey", "customer", ["c_custkey"]),
+    ("documents.doc_id", "documents", ["doc_id"]),
+    ("embeddings.vec_id", "embeddings", ["vec_id"]),
+    ("events.event_id", "events", ["event_id"]),
+    ("lineitem.(l_orderkey,l_linenumber)", "lineitem",
+     ["l_orderkey", "l_linenumber"]),
+    ("orders.o_orderkey", "orders", ["o_orderkey"]),
+    ("part.p_partkey", "part", ["p_partkey"]),
+    ("supplier.s_suppkey", "supplier", ["s_suppkey"]),
+]
+
+_PK_SHIFT = 16  # composite pack: orderkey << 16 | linenumber
+
+
+def _pk_pack(t: pa.Table, cols: list[str]) -> np.ndarray:
+    """int64 key vector for a 1- or 2-column primary key. The 2-column
+    pack asserts its bit budget loudly (linenumber < 2^16, lead key
+    < 2^47) instead of silently wrapping."""
+    k = (t[cols[0]].combine_chunks().cast(pa.int64())
+         .to_numpy(zero_copy_only=False))
+    if len(cols) == 1:
+        return k
+    lo = (t[cols[1]].combine_chunks().cast(pa.int64())
+          .to_numpy(zero_copy_only=False))
+    if k.size and (int(k.max()) >> (63 - _PK_SHIFT) or int(k.min()) < 0
+                   or int(lo.max()) >> _PK_SHIFT or int(lo.min()) < 0):
+        raise ValueError("pk pack: key outside the 47+16-bit budget")
+    return (k << _PK_SHIFT) | lo
+
+
+def _pk_audit(sf_dir: str, label: str, table: str,
+              cols: list[str]) -> pd.DataFrame:
+    ds = read_table(sf_dir, table, columns=cols)
+    tune_hash_width(ds, table_bytes(sf_dir, table))
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"k": pa.array([], pa.int64()),
+                          "n_rows": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        uk, counts = np.unique(_pk_pack(t, cols), return_counts=True)
+        return pa.table({"k": uk, "n_rows": counts.astype(np.int64)})
+
+    keys = (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("k").aggregate(Sum("n_rows", alias_name="n_rows")))
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table({"pk": pa.array([], pa.string()),
+                          "n_rows": pa.array([], pa.int64()),
+                          "n_keys": pa.array([], pa.int64()),
+                          "dup_keys": pa.array([], pa.int64()),
+                          "dup_rows": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        n = (t["n_rows"].combine_chunks()
+             .to_numpy(zero_copy_only=False).astype(np.int64))
+        dup = n > 1
+        return pa.table({"pk": pa.array([label], pa.string()),
+                         "n_rows": pa.array([int(n.sum())], pa.int64()),
+                         "n_keys": pa.array([len(n)], pa.int64()),
+                         "dup_keys": pa.array([int(dup.sum())], pa.int64()),
+                         "dup_rows": pa.array([int(n[dup].sum())],
+                                              pa.int64())})
+
+    return (keys.map_batches(fold, batch_format="pyarrow", batch_size=None)
+            .groupby("pk")
+            .aggregate(Sum("n_rows", alias_name="n_rows"),
+                       Sum("n_keys", alias_name="n_keys"),
+                       Sum("dup_keys", alias_name="dup_keys"),
+                       Sum("dup_rows", alias_name="dup_rows"))
+            .to_pandas())
+
+
+def q142_pk_uniqueness(sf_dir: str) -> pd.DataFrame:
+    """Uniqueness audit of every declared primary key in the fixture
+    schema (8 tables; lineitem's composite key is bit-packed with a
+    loud bounds check). Reports rows, distinct keys, duplicated keys
+    and the rows involved in duplicates — all exact integers, so the
+    oracle compare is hash-exact."""
+    parts = [_pk_audit(sf_dir, label, table, cols)
+             for label, table, cols in _PK_TABLES]
+    out = pd.concat(parts, ignore_index=True)
+    out = out.astype({"n_rows": "int64", "n_keys": "int64",
+                      "dup_keys": "int64", "dup_rows": "int64"})
+    return (out[["pk", "n_rows", "n_keys", "dup_keys", "dup_rows"]]
+            .sort_values("pk").reset_index(drop=True))
+
+
+def _pk_sql_block(label: str, table: str, cols: list[str]) -> str:
+    keyexpr = ", ".join(cols)
+    return f"""
+SELECT '{label}' AS pk,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(COUNT(*) FILTER (WHERE c > 1) AS BIGINT) AS dup_keys,
+       CAST(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS dup_rows
+FROM (SELECT {keyexpr}, COUNT(*) AS c FROM {table} GROUP BY {keyexpr})"""
+
+
+Q142_SQL = ("\nUNION ALL".join(_pk_sql_block(label, table, cols)
+                               for label, table, cols in _PK_TABLES)
+            + "\nORDER BY pk\n")
+
+
+# --------------------------------------------------------------------------
+# q143: order-total reconciliation — the classic cross-fact balance
+# check (does the header total equal the recomputed sum of its lines?).
+# Plan: per-block orderkey-keyed SUM partials over lineitem (np.unique
+# pre-aggregation, so the exchange carries one row per (block, key),
+# never per lineitem) -> key-keyed grouped SUM -> ONE orderkey hash
+# join against the pruned orders header -> per-status drift-bucket
+# count partials -> #statuses-row SUM.
+# --------------------------------------------------------------------------
+
+
+def q143_order_total_reconciliation(sf_dir: str) -> pd.DataFrame:
+    """Per o_orderstatus: orders with lineitems, how many reconcile
+    within 1% / within 5% / beyond 5% of the recomputed
+    SUM(extendedprice * (1-discount) * (1+tax)), plus the mean absolute
+    relative drift (rounded to 6)."""
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice",
+                             "l_discount", "l_tax"])
+    jb = table_bytes(sf_dir, "lineitem", "orders")
+    tune_hash_width(li, jb)
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"k": pa.array([], pa.int64()),
+                          "recomputed": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        k = (t["l_orderkey"].combine_chunks()
+             .to_numpy(zero_copy_only=False))
+        p = (t["l_extendedprice"].combine_chunks()
+             .to_numpy(zero_copy_only=False))
+        d = t["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        x = t["l_tax"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = p * (1.0 - d) * (1.0 + x)
+        uk, inv = np.unique(k, return_inverse=True)
+        sums = np.zeros(len(uk), np.float64)
+        np.add.at(sums, inv, v)
+        return pa.table({"k": uk.astype(np.int64), "recomputed": sums})
+
+    rec = (li.map_batches(li_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("k").aggregate(Sum("recomputed",
+                                       alias_name="recomputed")))
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderstatus",
+                                 "o_totalprice"])
+    tune_hash_width(orders, jb)
+    tune_hash_width(rec, jb)
+    j = orders.join(rec, "inner",
+                    num_partitions=default_partitions(size_bytes=jb),
+                    on=("o_orderkey",), right_on=("k",))
+
+    def bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({"o_orderstatus": pa.array([], pa.string()),
+                          "n_orders": pa.array([], pa.int64()),
+                          "n_within_1pct": pa.array([], pa.int64()),
+                          "n_within_5pct": pa.array([], pa.int64()),
+                          "n_beyond_5pct": pa.array([], pa.int64()),
+                          "sum_drift": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        tot = (t["o_totalprice"].combine_chunks()
+               .to_numpy(zero_copy_only=False))
+        rc = (t["recomputed"].combine_chunks()
+              .to_numpy(zero_copy_only=False))
+        drift = np.abs(rc - tot) / tot
+        st = t["o_orderstatus"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        g = pd.DataFrame({
+            "o_orderstatus": st,
+            "n_orders": 1,
+            "n_within_1pct": (drift <= 0.01).astype(np.int64),
+            "n_within_5pct": ((drift > 0.01) & (drift <= 0.05))
+            .astype(np.int64),
+            "n_beyond_5pct": (drift > 0.05).astype(np.int64),
+            "sum_drift": drift,
+        }).groupby("o_orderstatus", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (j.map_batches(bucket, batch_format="pyarrow",
+                         zero_copy_batch=True)
+           .groupby("o_orderstatus")
+           .aggregate(Sum("n_orders", alias_name="n_orders"),
+                      Sum("n_within_1pct", alias_name="n_within_1pct"),
+                      Sum("n_within_5pct", alias_name="n_within_5pct"),
+                      Sum("n_beyond_5pct", alias_name="n_beyond_5pct"),
+                      Sum("sum_drift", alias_name="sum_drift"))
+           .to_pandas())
+    out = out.astype({"n_orders": "int64", "n_within_1pct": "int64",
+                      "n_within_5pct": "int64", "n_beyond_5pct": "int64"})
+    out["avg_abs_rel_drift"] = (out["sum_drift"] / out["n_orders"]).round(6)
+    out = out.drop(columns=["sum_drift"])
+    return (out[["o_orderstatus", "n_orders", "n_within_1pct",
+                 "n_within_5pct", "n_beyond_5pct", "avg_abs_rel_drift"]]
+            .sort_values("o_orderstatus").reset_index(drop=True))
+
+
+Q143_SQL = """
+WITH r AS (
+  SELECT l_orderkey AS k,
+         SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))
+           AS recomputed
+  FROM lineitem GROUP BY 1),
+d AS (
+  SELECT o_orderstatus,
+         ABS(recomputed - o_totalprice) / o_totalprice AS drift
+  FROM orders JOIN r ON o_orderkey = k)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) FILTER (WHERE drift <= 0.01) AS BIGINT)
+         AS n_within_1pct,
+       CAST(COUNT(*) FILTER (WHERE drift > 0.01 AND drift <= 0.05)
+            AS BIGINT) AS n_within_5pct,
+       CAST(COUNT(*) FILTER (WHERE drift > 0.05) AS BIGINT)
+         AS n_beyond_5pct,
+       ROUND(AVG(drift), 6) AS avg_abs_rel_drift
+FROM d
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------------
+# q144: line-number sequence-contiguity audit — detects gapped or
+# wrongly-based child sequences (a classic symptom of lossy ingestion:
+# dropped lines leave max(linenumber) > count). One orderkey-keyed
+# exchange of per-block (count, min, max) partials; the fold emits
+# 3-class count partials -> a 3-row SUM.
+# --------------------------------------------------------------------------
+
+
+def q144_linenumber_contiguity(sf_dir: str) -> pd.DataFrame:
+    """Per sequence class ('contiguous' = linenumbers are exactly
+    1..count; 'bad_start' = min <> 1; 'gapped' = starts at 1 but
+    max <> count): order count and total lineitems."""
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_linenumber"])
+    tune_hash_width(li, table_bytes(sf_dir, "lineitem"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"k": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64()),
+                          "mn": pa.array([], pa.int64()),
+                          "mx": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        k = (t["l_orderkey"].combine_chunks()
+             .to_numpy(zero_copy_only=False))
+        ln = (t["l_linenumber"].combine_chunks().cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        order = np.argsort(k, kind="stable")
+        ks, lns = k[order], ln[order]
+        uk, starts = np.unique(ks, return_index=True)
+        c = np.diff(np.append(starts, len(ks)))
+        mn = np.minimum.reduceat(lns, starts)
+        mx = np.maximum.reduceat(lns, starts)
+        return pa.table({"k": uk.astype(np.int64),
+                         "c": c.astype(np.int64), "mn": mn, "mx": mx})
+
+    grouped = (li.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .groupby("k")
+               .aggregate(Sum("c", alias_name="c"),
+                          Min("mn", alias_name="mn"),
+                          Max("mx", alias_name="mx")))
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table({"seq_class": pa.array([], pa.string()),
+                          "n_orders": pa.array([], pa.int64()),
+                          "n_lineitems": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        c = (t["c"].combine_chunks()
+             .to_numpy(zero_copy_only=False).astype(np.int64))
+        mn = (t["mn"].combine_chunks()
+              .to_numpy(zero_copy_only=False).astype(np.int64))
+        mx = (t["mx"].combine_chunks()
+              .to_numpy(zero_copy_only=False).astype(np.int64))
+        cls = np.where(mn != 1, "bad_start",
+                       np.where(mx != c, "gapped", "contiguous"))
+        g = pd.DataFrame({"seq_class": cls, "n_orders": 1,
+                          "n_lineitems": c}) \
+            .groupby("seq_class", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (grouped.map_batches(fold, batch_format="pyarrow",
+                               batch_size=None)
+           .groupby("seq_class")
+           .aggregate(Sum("n_orders", alias_name="n_orders"),
+                      Sum("n_lineitems", alias_name="n_lineitems"))
+           .to_pandas())
+    out = out.astype({"n_orders": "int64", "n_lineitems": "int64"})
+    return (out[["seq_class", "n_orders", "n_lineitems"]]
+            .sort_values("seq_class").reset_index(drop=True))
+
+
+Q144_SQL = """
+WITH g AS (
+  SELECT l_orderkey, COUNT(*) AS c,
+         MIN(l_linenumber) AS mn, MAX(l_linenumber) AS mx
+  FROM lineitem GROUP BY 1)
+SELECT CASE WHEN mn <> 1 THEN 'bad_start'
+            WHEN mx <> c THEN 'gapped'
+            ELSE 'contiguous' END AS seq_class,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(c) AS BIGINT) AS n_lineitems
+FROM g
+GROUP BY 1
+ORDER BY 1
+"""
