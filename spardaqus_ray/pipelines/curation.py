@@ -1941,3 +1941,252 @@ JOIN sz sb ON b.source = sb.source
 GROUP BY a.source, b.source, sa.v, sb.v
 ORDER BY src_a, src_b
 """
+
+
+# --------------------------------------------------------------------------
+# q145: terminal-punctuation line share — C4's sentence filter signal
+# (lines not ending in terminal punctuation are usually menus, code or
+# boilerplate; prose-heavy sources score high). Stateless per-block
+# Arrow kernel (split / rtrim / ends_with — no Python over rows); the
+# only exchange is a #sources-row grouped SUM.
+# --------------------------------------------------------------------------
+
+_TERMINALS = (".", "!", "?", '"')
+
+
+def q145_terminal_punct_lines(sf_dir: str) -> pd.DataFrame:
+    """Per source: non-empty lines (after rtrim of spaces/tabs/CR),
+    lines ending in terminal punctuation (. ! ? \") and their share."""
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "n_lines": pa.array([], pa.int64()),
+                          "n_terminal": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        text = pc.fill_null(t["text"].combine_chunks(), "")
+        lines = pc.split_pattern(text, "\n")
+        lens = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+        flat = pc.utf8_rtrim(pc.list_flatten(lines), " \t\r")
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        term = np.zeros(len(flat), bool)
+        for ch in _TERMINALS:
+            term |= pc.ends_with(flat, pattern=ch).to_numpy(
+                zero_copy_only=False)
+        term &= nonempty
+        rid = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        g = pd.DataFrame({
+            "source": t["source"].to_numpy(zero_copy_only=False),
+            "n_lines": np.bincount(rid[nonempty], minlength=t.num_rows),
+            "n_terminal": np.bincount(rid[term], minlength=t.num_rows),
+        }).groupby("source", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("source")
+           .aggregate(Sum("n_lines", alias_name="n_lines"),
+                      Sum("n_terminal", alias_name="n_terminal"))
+           .to_pandas())
+    out = out.astype({"n_lines": "int64", "n_terminal": "int64"})
+    out["terminal_share"] = (out["n_terminal"]
+                             / out["n_lines"].clip(lower=1)).round(6)
+    return (out[["source", "n_lines", "n_terminal", "terminal_share"]]
+            .sort_values("source").reset_index(drop=True))
+
+
+Q145_SQL = """
+WITH ln AS (
+  SELECT source,
+         rtrim(unnest(string_split(COALESCE(text, ''), chr(10))),
+               ' ' || chr(9) || chr(13)) AS line
+  FROM documents),
+ne AS (SELECT source, line FROM ln WHERE line <> '')
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(COUNT(*) FILTER (WHERE ends_with(line, '.')
+                                OR ends_with(line, '!')
+                                OR ends_with(line, '?')
+                                OR ends_with(line, '"')) AS BIGINT)
+         AS n_terminal,
+       ROUND(COUNT(*) FILTER (WHERE ends_with(line, '.')
+                                 OR ends_with(line, '!')
+                                 OR ends_with(line, '?')
+                                 OR ends_with(line, '"'))
+             * 1.0 / GREATEST(COUNT(*), 1), 6) AS terminal_share
+FROM ne
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# q146: PII-pattern density census — the scrub stage's planning view
+# (how much email/URL/IP matter each source carries decides scrub actor
+# sizing and flags leaky feeds). Per-doc counts via RE2
+# (pc.count_substring_regex) — the same engine DuckDB's
+# regexp_extract_all uses, so non-overlapping match semantics agree
+# exactly. Stateless partials -> one #sources-row SUM.
+# --------------------------------------------------------------------------
+
+_PII_PATTERNS = {
+    "emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "urls": r"https?://[A-Za-z0-9./_%+~#?&=-]+",
+    "ipv4s": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def q146_pii_density(sf_dir: str) -> pd.DataFrame:
+    """Per source: docs, email/URL/IPv4 match counts and how many docs
+    contain at least one match of any pattern."""
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        names = list(_PII_PATTERNS)
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "n_docs": pa.array([], pa.int64()),
+                          **{f"n_{n}": pa.array([], pa.int64())
+                             for n in names},
+                          "n_docs_with_pii": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        text = pc.fill_null(t["text"].combine_chunks(), "")
+        counts = {
+            n: pc.count_substring_regex(text, pat)
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+            for n, pat in _PII_PATTERNS.items()}
+        any_pii = np.zeros(t.num_rows, bool)
+        for v in counts.values():
+            any_pii |= v > 0
+        g = pd.DataFrame({
+            "source": t["source"].to_numpy(zero_copy_only=False),
+            "n_docs": 1,
+            **{f"n_{n}": v for n, v in counts.items()},
+            "n_docs_with_pii": any_pii.astype(np.int64),
+        }).groupby("source", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    aggs = [Sum("n_docs", alias_name="n_docs")]
+    aggs += [Sum(f"n_{n}", alias_name=f"n_{n}") for n in _PII_PATTERNS]
+    aggs.append(Sum("n_docs_with_pii", alias_name="n_docs_with_pii"))
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("source").aggregate(*aggs).to_pandas())
+    cols = ["n_docs"] + [f"n_{n}" for n in _PII_PATTERNS] \
+        + ["n_docs_with_pii"]
+    out = out.astype({c: "int64" for c in cols})
+    return (out[["source"] + cols]
+            .sort_values("source").reset_index(drop=True))
+
+
+Q146_SQL = """
+WITH d AS (
+  SELECT source,
+         length(regexp_extract_all(COALESCE(text, ''),
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+           AS emails,
+         length(regexp_extract_all(COALESCE(text, ''),
+                'https?://[A-Za-z0-9./_%+~#?&=-]+')) AS urls,
+         length(regexp_extract_all(COALESCE(text, ''),
+                '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+           AS ipv4s
+  FROM documents)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(emails) AS BIGINT) AS n_emails,
+       CAST(SUM(urls) AS BIGINT) AS n_urls,
+       CAST(SUM(ipv4s) AS BIGINT) AS n_ipv4s,
+       CAST(COUNT(*) FILTER (WHERE emails + urls + ipv4s > 0) AS BIGINT)
+         AS n_docs_with_pii
+FROM d
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# q147: top-token repetition share — Gopher's "most common word covers
+# too much of the doc" rule as a per-source audit. Per-doc max/total
+# token counts need only block-local state: one composite
+# (row, token-code) bincount, segment max via maximum.reduceat.
+# Exchange is a #sources-row SUM of (n_docs, sum_share, n_flagged).
+# --------------------------------------------------------------------------
+
+TOP_TOKEN_FLAG = 0.2  # doc flagged when its top token exceeds this share
+
+
+def q147_top_token_share(sf_dir: str) -> pd.DataFrame:
+    """Per source: docs with >=1 token, mean share of each doc's single
+    most frequent token (lower + space split), and docs whose top
+    token exceeds 20% of the doc."""
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "n_docs": pa.array([], pa.int64()),
+                          "sum_share": pa.array([], pa.float64()),
+                          "n_flagged": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        text = pc.fill_null(t["text"].combine_chunks(), "")
+        split = pc.split_pattern(pc.utf8_lower(text), " ")
+        lens = pc.list_value_length(split).to_numpy(zero_copy_only=False)
+        toks = pc.list_flatten(split)
+        rid = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        keep = pc.not_equal(toks, "").to_numpy(zero_copy_only=False)
+        toks, rid = toks.filter(pa.array(keep)), rid[keep]
+        if len(rid) == 0:
+            return empty
+        enc = toks.dictionary_encode()
+        c = np.asarray(enc.indices, np.int64)
+        ntok = len(enc.dictionary)
+        ukey, ucnt = np.unique(rid * ntok + c, return_counts=True)
+        urow = ukey // ntok
+        starts = np.flatnonzero(np.r_[True, urow[1:] != urow[:-1]])
+        rows = urow[starts]
+        mx = np.maximum.reduceat(ucnt, starts).astype(np.float64)
+        tot = np.bincount(rid, minlength=t.num_rows)[rows].astype(
+            np.float64)
+        share = mx / tot
+        g = pd.DataFrame({
+            "source": t["source"].to_numpy(zero_copy_only=False)[rows],
+            "n_docs": 1,
+            "sum_share": share,
+            "n_flagged": (share > TOP_TOKEN_FLAG).astype(np.int64),
+        }).groupby("source", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("source")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("sum_share", alias_name="sum_share"),
+                      Sum("n_flagged", alias_name="n_flagged"))
+           .to_pandas())
+    out = out.astype({"n_docs": "int64", "n_flagged": "int64"})
+    out["avg_top_token_share"] = (out["sum_share"] / out["n_docs"]).round(6)
+    out = out.drop(columns=["sum_share"])
+    return (out[["source", "n_docs", "avg_top_token_share", "n_flagged"]]
+            .sort_values("source").reset_index(drop=True))
+
+
+Q147_SQL = """
+WITH tok AS (
+  SELECT doc_id, source,
+         unnest(string_split(lower(COALESCE(text, '')), ' ')) AS token
+  FROM documents),
+f AS (
+  SELECT doc_id, source, token, COUNT(*) AS n
+  FROM tok WHERE token <> '' GROUP BY doc_id, source, token),
+d AS (
+  SELECT doc_id, source, MAX(n) * 1.0 / SUM(n) AS share
+  FROM f GROUP BY doc_id, source)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(share), 6) AS avg_top_token_share,
+       CAST(COUNT(*) FILTER (WHERE share > 0.2) AS BIGINT) AS n_flagged
+FROM d
+GROUP BY source
+ORDER BY source
+"""
