@@ -234,3 +234,233 @@ FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(pos)
 GROUP BY u.pos
 ORDER BY dim
 """
+
+
+# --------------------------------------------------------------------------
+# q150: label-centroid separability — pairwise cosine between class
+# prototypes, the "are my labels even distinguishable?" audit run
+# before training a classifier on the embedding space. Same mergeable
+# moment partials as q56 (labels x d sums per block, ONE dimension-
+# sized groupby); the pairwise cosine is driver algebra over a k x d
+# matrix (k = #labels, tiny).
+# --------------------------------------------------------------------------
+
+
+def q150_centroid_separability(sf_dir: str) -> pd.DataFrame:
+    """Cosine similarity between every pair of label centroids
+    (label_a < label_b), rounded to 6."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"label": pa.array([], pa.int64()),
+                          "dim": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.float64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        m = _mat(t).astype(np.float64)
+        lab = t["label"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]))
+        np.add.at(sums, inv, m)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        d = m.shape[1]
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                    len(uniq))),
+            "s": pa.array(sums.ravel()),
+            "n": pa.array(np.repeat(cnt, d))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["label", "dim"])
+           .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+           .to_pandas())
+    agg = agg.sort_values(["label", "dim"])
+    labels = np.sort(agg["label"].unique())
+    d = agg["dim"].nunique()
+    C = (agg["s"].to_numpy() / agg["n"].to_numpy()).reshape(len(labels), d)
+    norms = np.sqrt((C * C).sum(1))
+    cos = (C @ C.T) / np.outer(norms, norms)
+    ia, ib = np.triu_indices(len(labels), k=1)
+    return pd.DataFrame({
+        "label_a": labels[ia].astype(np.int64),
+        "label_b": labels[ib].astype(np.int64),
+        "cos": np.round(cos[ia, ib], 6)})
+
+
+Q150_SQL = """
+WITH c AS (
+  SELECT CAST(label AS BIGINT) AS label, u.pos AS dim,
+         AVG(CAST(embedding[u.pos] AS DOUBLE)) AS v
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(pos)
+  GROUP BY label, u.pos)
+SELECT a.label AS label_a, b.label AS label_b,
+       ROUND(SUM(a.v * b.v)
+             / (sqrt(SUM(a.v * a.v)) * sqrt(SUM(b.v * b.v))), 6) AS cos
+FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+GROUP BY a.label, b.label
+ORDER BY label_a, label_b
+"""
+
+
+# --------------------------------------------------------------------------
+# q151: per-label centroid-distance outlier audit — vectors sitting
+# more than 3 population-sigmas from their label's mean distance to
+# the class centroid are encoder glitches or mislabeled rows (on
+# unit-normalized embeddings the L2 norm is constant, so distance to
+# the prototype is the signal with real spread). Three streaming
+# passes over the pruned (label, embedding) columns: centroids reduce
+# to k x d moment rows, distance stats reduce to k moment rows, and
+# the count pass reads blocks against the broadcast k-row stats map
+# (centroids + stats ship once per task via closure, never per batch).
+# --------------------------------------------------------------------------
+
+DIST_OUTLIER_Z = 3.0
+
+
+def _label_centroids_np(sf_dir: str):
+    """(labels ascending, k x d float64 centroid matrix) via one
+    dimension-sized moment exchange."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"label": pa.array([], pa.int64()),
+                          "dim": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.float64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        m = _mat(t).astype(np.float64)
+        lab = t["label"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]))
+        np.add.at(sums, inv, m)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        d = m.shape[1]
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                    len(uniq))),
+            "s": pa.array(sums.ravel()),
+            "n": pa.array(np.repeat(cnt, d))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["label", "dim"])
+           .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+           .to_pandas()).sort_values(["label", "dim"])
+    labels = np.sort(agg["label"].unique())
+    d = agg["dim"].nunique()
+    C = (agg["s"].to_numpy() / agg["n"].to_numpy()).reshape(len(labels), d)
+    return labels, C
+
+
+def q151_centroid_dist_outliers(sf_dir: str) -> pd.DataFrame:
+    """Per label: vectors, mean/population-std of the distance to the
+    label centroid (rounded to 6) and how many vectors sit beyond
+    3 sigma of that distance."""
+    from ray.data.aggregate import Sum
+
+    labels, C = _label_centroids_np(sf_dir)
+    lab_pos = {int(v): i for i, v in enumerate(labels)}
+    ds = read_table(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def dists_of(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        m = _mat(t).astype(np.float64)
+        lab = t["label"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pos = np.array([lab_pos[int(v)] for v in np.unique(lab)])
+        uniq, inv = np.unique(lab, return_inverse=True)
+        diff = m - C[pos][inv]
+        return lab, np.sqrt((diff * diff).sum(1))
+
+    def moment(t: pa.Table) -> pa.Table:
+        empty = pa.table({"label": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.float64()),
+                          "ss": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        lab, dist = dists_of(t)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        return pa.table({
+            "label": pa.array(uniq),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "s": pa.array(np.bincount(inv, weights=dist)),
+            "ss": pa.array(np.bincount(inv, weights=dist * dist))})
+
+    st = (ds.map_batches(moment, batch_format="pyarrow",
+                         zero_copy_batch=True)
+          .groupby("label")
+          .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                     Sum("ss", alias_name="ss"))
+          .to_pandas())
+    st["mu"] = st["s"] / st["n"]
+    st["sd"] = np.sqrt(np.maximum(st["ss"] / st["n"] - st["mu"] ** 2, 0.0))
+    stats = {int(r.label): (float(r.mu), float(r.sd))
+             for r in st.itertuples()}
+
+    def count_outliers(t: pa.Table) -> pa.Table:
+        empty = pa.table({"label": pa.array([], pa.int64()),
+                          "n_outliers": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        lab, dist = dists_of(t)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        mu = np.array([stats[int(v)][0] for v in uniq])
+        sd = np.array([stats[int(v)][1] for v in uniq])
+        out = (sd[inv] > 0) & (np.abs(dist - mu[inv])
+                               > DIST_OUTLIER_Z * sd[inv])
+        return pa.table({
+            "label": pa.array(uniq),
+            "n_outliers": pa.array(
+                np.bincount(inv, weights=out).astype(np.int64))})
+
+    oc = (ds.map_batches(count_outliers, batch_format="pyarrow",
+                         zero_copy_batch=True)
+          .groupby("label")
+          .aggregate(Sum("n_outliers", alias_name="n_outliers"))
+          .to_pandas())
+    out = st.merge(oc, on="label")
+    out = out.astype({"label": "int64", "n": "int64",
+                      "n_outliers": "int64"})
+    out["mean_dist"] = out["mu"].round(6)
+    out["std_dist"] = out["sd"].round(6)
+    out = out.rename(columns={"n": "n_vecs"})
+    return (out[["label", "n_vecs", "mean_dist", "std_dist", "n_outliers"]]
+            .sort_values("label").reset_index(drop=True))
+
+
+Q151_SQL = """
+WITH x AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label, u.pos AS dim,
+         CAST(embedding[u.pos] AS DOUBLE) AS val
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(pos)),
+c AS (SELECT label, dim, AVG(val) AS v FROM x GROUP BY label, dim),
+d AS (
+  SELECT x.vec_id, x.label,
+         sqrt(SUM((x.val - c.v) * (x.val - c.v))) AS dist
+  FROM x JOIN c ON c.label = x.label AND c.dim = x.dim
+  GROUP BY x.vec_id, x.label),
+s AS (
+  SELECT label, COUNT(*) AS n_vecs, AVG(dist) AS mu,
+         COALESCE(stddev_pop(dist), 0) AS sd
+  FROM d GROUP BY label)
+SELECT s.label,
+       CAST(s.n_vecs AS BIGINT) AS n_vecs,
+       ROUND(s.mu, 6) AS mean_dist,
+       ROUND(s.sd, 6) AS std_dist,
+       CAST(COUNT(*) FILTER (WHERE s.sd > 0
+            AND ABS(d.dist - s.mu) > 3.0 * s.sd) AS BIGINT) AS n_outliers
+FROM d JOIN s USING (label)
+GROUP BY s.label, s.n_vecs, s.mu, s.sd
+ORDER BY s.label
+"""

@@ -1237,3 +1237,181 @@ FROM d
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# --------------------------------------------------------------------------
+# q148: session path trigrams — the classic user-journey mining view
+# (which 3-step event sequences dominate?). ONE user-keyed exchange
+# (sessions are block-local after it, as in q112/q119); the block
+# kernel lexsorts once, cuts 30-min sessions, and bincounts trigram
+# codes (<= |types|^3 partial rows per block — dimension-sized). Ties
+# in ts are broken by event_id on BOTH sides so paths are
+# deterministic.
+# --------------------------------------------------------------------------
+
+
+def q148_session_path_trigrams(sf_dir: str) -> pd.DataFrame:
+    """Counts of consecutive event-type trigrams inside 30-min-gap
+    sessions, across all users."""
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "ts", "event_type"])
+    tune_hash_width(ds, table_bytes(sf_dir, "events"))
+    ds = _keyed(ds, "user_id",
+                default_partitions(size_bytes=table_bytes(sf_dir, "events")))
+
+    def block(t: pa.Table) -> pa.Table:
+        empty = pa.table({"e1": pa.array([], pa.string()),
+                          "e2": pa.array([], pa.string()),
+                          "e3": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows < 3:
+            return empty
+        u = _np(t["user_id"]).astype(np.int64)
+        eid = _np(t["event_id"]).astype(np.int64)
+        tt = _ts_us(t["ts"])
+        typ = t["event_type"].combine_chunks().dictionary_encode()
+        raw_code = np.asarray(typ.indices, dtype=np.int64)
+        names = typ.dictionary.to_numpy(zero_copy_only=False)
+        ntypes = len(names)
+        order = np.lexsort((eid, tt, u))
+        u, tt, code = u[order], tt[order], raw_code[order]
+        new_user = np.zeros(len(u), bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        brk = np.zeros(len(u), bool)
+        brk[1:] = (tt[1:] - tt[:-1]) > SESSION_GAP_US
+        sess = np.cumsum(new_user | brk) - 1
+        ok = sess[:-2] == sess[2:]
+        if not ok.any():
+            return empty
+        key = (code[:-2][ok] * ntypes + code[1:-1][ok]) * ntypes \
+            + code[2:][ok]
+        cnt = np.bincount(key, minlength=ntypes ** 3)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({
+            "e1": pa.array(names[nz // (ntypes * ntypes)]),
+            "e2": pa.array(names[(nz // ntypes) % ntypes]),
+            "e3": pa.array(names[nz % ntypes]),
+            "n": pa.array(cnt[nz].astype(np.int64))})
+
+    out = (ds.map_batches(block, batch_format="pyarrow", batch_size=None,
+                          zero_copy_batch=True)
+           .groupby(["e1", "e2", "e3"])
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    out = out.astype({"n": "int64"})
+    return (out[["e1", "e2", "e3", "n"]]
+            .sort_values(["e1", "e2", "e3"]).reset_index(drop=True))
+
+
+Q148_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t, event_type FROM events),
+s AS (
+  SELECT user_id, event_id, t, event_type,
+         CASE WHEN t - LAG(t) OVER (PARTITION BY user_id
+                                    ORDER BY t, event_id)
+                   > 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM e),
+s2 AS (
+  SELECT user_id, event_id, t, event_type,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM s),
+tr AS (
+  SELECT sess,
+         LEAD(sess, 2) OVER w AS sess3,
+         event_type AS e1,
+         LEAD(event_type, 1) OVER w AS e2,
+         LEAD(event_type, 2) OVER w AS e3
+  FROM s2
+  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n
+FROM tr
+WHERE sess3 = sess
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
+# q149: first-touch attribution — credit each user's lifetime activity
+# to their very first event type (the acquisition-channel question).
+# ONE user-keyed exchange; the first event and the per-user totals are
+# both block-local after it, so the output exchange is #types rows.
+# --------------------------------------------------------------------------
+
+
+def q149_first_touch_attribution(sf_dir: str) -> pd.DataFrame:
+    """Per first event type (ts then event_id order): users acquired,
+    their total event count and mean lifetime value per user."""
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "ts",
+                             "event_type", "value"])
+    tune_hash_width(ds, table_bytes(sf_dir, "events"))
+    ds = _keyed(ds, "user_id",
+                default_partitions(size_bytes=table_bytes(sf_dir, "events")))
+
+    def block(t: pa.Table) -> pa.Table:
+        empty = pa.table({"first_event_type": pa.array([], pa.string()),
+                          "n_users": pa.array([], pa.int64()),
+                          "n_events": pa.array([], pa.int64()),
+                          "sum_value": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        u = _np(t["user_id"]).astype(np.int64)
+        eid = _np(t["event_id"]).astype(np.int64)
+        tt = _ts_us(t["ts"])
+        val = _np(t["value"]).astype(np.float64)
+        typ = t["event_type"].combine_chunks().dictionary_encode()
+        code = np.asarray(typ.indices, dtype=np.int64)
+        names = typ.dictionary.to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, tt, u))
+        us, codes, vals = u[order], code[order], val[order]
+        starts = np.flatnonzero(np.r_[True, us[1:] != us[:-1]])
+        seg_len = np.diff(np.append(starts, len(us)))
+        first_code = codes[starts]
+        user_val = np.add.reduceat(vals, starts)
+        g = pd.DataFrame({
+            "first_event_type": names[first_code],
+            "n_users": 1,
+            "n_events": seg_len.astype(np.int64),
+            "sum_value": user_val,
+        }).groupby("first_event_type", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(block, batch_format="pyarrow", batch_size=None,
+                          zero_copy_batch=True)
+           .groupby("first_event_type")
+           .aggregate(Sum("n_users", alias_name="n_users"),
+                      Sum("n_events", alias_name="n_events"),
+                      Sum("sum_value", alias_name="sum_value"))
+           .to_pandas())
+    out = out.astype({"n_users": "int64", "n_events": "int64"})
+    out["avg_ltv"] = (out["sum_value"] / out["n_users"]).round(6)
+    out = out.drop(columns=["sum_value"])
+    return (out[["first_event_type", "n_users", "n_events", "avg_ltv"]]
+            .sort_values("first_event_type").reset_index(drop=True))
+
+
+Q149_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t, event_type, value
+  FROM events),
+r AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY t, event_id) AS rn
+  FROM e),
+ft AS (SELECT user_id, event_type AS first_event_type FROM r WHERE rn = 1),
+v AS (
+  SELECT user_id, COUNT(*) AS n_events, SUM(value) AS total_v
+  FROM events GROUP BY 1)
+SELECT first_event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       ROUND(AVG(total_v), 6) AS avg_ltv
+FROM ft JOIN v USING (user_id)
+GROUP BY first_event_type
+ORDER BY first_event_type
+"""
