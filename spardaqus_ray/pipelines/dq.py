@@ -1118,3 +1118,76 @@ FROM g
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# q155: event-id / timestamp monotonicity audit — in a healthy
+# append-only feed, ids assigned at ingest increase with event time
+# per user; inversions (a later-timestamped event carrying a smaller
+# id) expose clock skew or replayed batches. ONE user-keyed exchange
+# (all of a user's rows co-locate), block kernel lexsorts by
+# (ts, event_id) and counts adjacent id drops; the exchange after is
+# a single-row SUM. Ties in ts sort by id on both sides, so they are
+# never counted as inversions.
+# --------------------------------------------------------------------------
+
+
+def q155_event_id_monotonicity(sf_dir: str) -> pd.DataFrame:
+    """One row: users audited, adjacent in-user event pairs (ts order,
+    id tie-break), pairs where the id goes backwards, and that share."""
+    from spardaqus_ray.pipelines.windows import _keyed, _np, _ts_us
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "ts"])
+    tune_hash_width(ds, table_bytes(sf_dir, "events"))
+    ds = _keyed(ds, "user_id",
+                default_partitions(size_bytes=table_bytes(sf_dir,
+                                                          "events")))
+
+    def block(t: pa.Table) -> pa.Table:
+        empty = pa.table({"n_users": pa.array([], pa.int64()),
+                          "n_pairs": pa.array([], pa.int64()),
+                          "n_inversions": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = _np(t["user_id"]).astype(np.int64)
+        eid = _np(t["event_id"]).astype(np.int64)
+        tt = _ts_us(t["ts"])
+        order = np.lexsort((eid, tt, u))
+        us, es = u[order], eid[order]
+        same_user = us[1:] == us[:-1]
+        inv = same_user & (es[1:] < es[:-1])
+        return pa.table({
+            "n_users": pa.array([int(len(np.unique(us)))], pa.int64()),
+            "n_pairs": pa.array([int(same_user.sum())], pa.int64()),
+            "n_inversions": pa.array([int(inv.sum())], pa.int64())})
+
+    parts = (ds.map_batches(block, batch_format="pyarrow",
+                            batch_size=None, zero_copy_batch=True)
+             .to_pandas())
+    out = pd.DataFrame({
+        "n_users": [int(parts["n_users"].sum())],
+        "n_pairs": [int(parts["n_pairs"].sum())],
+        "n_inversions": [int(parts["n_inversions"].sum())]})
+    out["inversion_share"] = (out["n_inversions"]
+                              / out["n_pairs"].clip(lower=1)).round(6)
+    return out
+
+
+Q155_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+p AS (
+  SELECT event_id,
+         LAG(event_id) OVER (PARTITION BY user_id
+                             ORDER BY t, event_id) AS prev_id
+  FROM e)
+SELECT CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS BIGINT)
+         AS n_users,
+       CAST(COUNT(prev_id) AS BIGINT) AS n_pairs,
+       CAST(COUNT(*) FILTER (WHERE event_id < prev_id) AS BIGINT)
+         AS n_inversions,
+       ROUND(COUNT(*) FILTER (WHERE event_id < prev_id) * 1.0
+             / GREATEST(COUNT(prev_id), 1), 6) AS inversion_share
+FROM p
+"""

@@ -2992,3 +2992,124 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
 ORDER BY p_brand
 """
+
+
+# --------------------------------------------------------------------------
+# q153: RFM customer segmentation with FIXED rule bands (no quantile
+# boundaries, so the oracle compare is exact-integer): recency of the
+# last order vs the corpus watermark, order frequency, lifetime spend.
+# Plan: per-block custkey partials (count / float sum / max-date) ->
+# ONE custkey-keyed grouped SUM/MAX (output bounded by the customer
+# domain) -> band classification folded per block against the
+# broadcast watermark -> a <=27-row grouped SUM.
+# --------------------------------------------------------------------------
+
+RFM_R_DAYS = (90, 365)          # hot <= 90 < warm <= 365 < cold
+RFM_F_ORDERS = (15, 5)          # high >= 15 > mid >= 5 > low
+RFM_M_SPEND = (2_000_000.0, 500_000.0)  # big >= 2M > mid >= 500k > small
+
+
+def q153_rfm_segments(sf_dir: str) -> pd.DataFrame:
+    """Customer counts and order totals per (recency, frequency,
+    monetary) rule band."""
+    from ray.data.aggregate import Max as AMax
+
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    tune_hash_width(ds, table_bytes(sf_dir, "orders"))
+    watermark = int(pd.Timestamp(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderdate"])
+        .max("o_orderdate")).value // 1000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"k": pa.array([], pa.int64()),
+                          "f": pa.array([], pa.int64()),
+                          "m": pa.array([], pa.float64()),
+                          "last_us": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        k = (t["o_custkey"].combine_chunks()
+             .to_numpy(zero_copy_only=False))
+        us = (t["o_orderdate"].combine_chunks().cast(pa.timestamp("us"))
+              .to_numpy(zero_copy_only=False).astype("datetime64[us]")
+              .astype(np.int64))
+        p = (t["o_totalprice"].combine_chunks()
+             .to_numpy(zero_copy_only=False))
+        uk, inv = np.unique(k, return_inverse=True)
+        mx = np.full(len(uk), np.iinfo(np.int64).min)
+        np.maximum.at(mx, inv, us)
+        return pa.table({
+            "k": uk.astype(np.int64),
+            "f": pa.array(np.bincount(inv).astype(np.int64)),
+            "m": pa.array(np.bincount(inv, weights=p)),
+            "last_us": pa.array(mx)})
+
+    grouped = (ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .groupby("k")
+               .aggregate(Sum("f", alias_name="f"),
+                          Sum("m", alias_name="m"),
+                          AMax("last_us", alias_name="last_us")))
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table({"r_band": pa.array([], pa.string()),
+                          "f_band": pa.array([], pa.string()),
+                          "m_band": pa.array([], pa.string()),
+                          "n_customers": pa.array([], pa.int64()),
+                          "n_orders": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        f = (t["f"].combine_chunks()
+             .to_numpy(zero_copy_only=False).astype(np.int64))
+        m = t["m"].combine_chunks().to_numpy(zero_copy_only=False)
+        last = (t["last_us"].combine_chunks()
+                .to_numpy(zero_copy_only=False).astype(np.int64))
+        rdays = (watermark - last) // 86_400_000_000
+        r_band = np.where(rdays <= RFM_R_DAYS[0], "hot",
+                          np.where(rdays <= RFM_R_DAYS[1], "warm", "cold"))
+        f_band = np.where(f >= RFM_F_ORDERS[0], "high",
+                          np.where(f >= RFM_F_ORDERS[1], "mid", "low"))
+        m_band = np.where(m >= RFM_M_SPEND[0], "big",
+                          np.where(m >= RFM_M_SPEND[1], "mid", "small"))
+        g = pd.DataFrame({"r_band": r_band, "f_band": f_band,
+                          "m_band": m_band, "n_customers": 1,
+                          "n_orders": f}) \
+            .groupby(["r_band", "f_band", "m_band"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (grouped.map_batches(fold, batch_format="pyarrow",
+                               batch_size=None)
+           .groupby(["r_band", "f_band", "m_band"])
+           .aggregate(Sum("n_customers", alias_name="n_customers"),
+                      Sum("n_orders", alias_name="n_orders"))
+           .to_pandas())
+    out = out.astype({"n_customers": "int64", "n_orders": "int64"})
+    return (out[["r_band", "f_band", "m_band", "n_customers", "n_orders"]]
+            .sort_values(["r_band", "f_band", "m_band"])
+            .reset_index(drop=True))
+
+
+Q153_SQL = """
+WITH w AS (SELECT MAX(epoch_us(o_orderdate)) AS wm FROM orders),
+c AS (
+  SELECT o_custkey, COUNT(*) AS f, SUM(o_totalprice) AS m,
+         MAX(epoch_us(o_orderdate)) AS last_us
+  FROM orders GROUP BY 1),
+b AS (
+  SELECT CASE WHEN (wm - last_us) // 86400000000 <= 90 THEN 'hot'
+              WHEN (wm - last_us) // 86400000000 <= 365 THEN 'warm'
+              ELSE 'cold' END AS r_band,
+         CASE WHEN f >= 15 THEN 'high'
+              WHEN f >= 5 THEN 'mid' ELSE 'low' END AS f_band,
+         CASE WHEN m >= 2000000 THEN 'big'
+              WHEN m >= 500000 THEN 'mid' ELSE 'small' END AS m_band,
+         f
+  FROM c, w)
+SELECT r_band, f_band, m_band,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(f) AS BIGINT) AS n_orders
+FROM b
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""

@@ -1011,3 +1011,125 @@ FROM d
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# --------------------------------------------------------------------------
+# q152: feed-freshness audit — per event type, how stale is the latest
+# event vs the corpus watermark (a silent feed outage shows up here
+# first). Per-block (type, n, max_ts) partials -> one #types-row
+# grouped SUM/MAX; the watermark and lag are driver algebra over that
+# tiny aggregate. orderdate-style midnight alignment is NOT assumed:
+# lag_days is whole 24h periods (floor), identical integer math in
+# the SQL mirror.
+# --------------------------------------------------------------------------
+
+
+def q152_event_freshness(sf_dir: str) -> pd.DataFrame:
+    """Per event_type: event count, last-seen timestamp and its lag
+    behind the global latest event in whole days."""
+    from ray.data.aggregate import Max
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"event_type": pa.array([], pa.string()),
+                          "n_events": pa.array([], pa.int64()),
+                          "last_us": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        us = (t["ts"].combine_chunks().cast(pa.timestamp("us"))
+              .to_numpy(zero_copy_only=False).astype("datetime64[us]")
+              .astype(np.int64))
+        typ = t["event_type"].combine_chunks().dictionary_encode()
+        code = np.asarray(typ.indices, dtype=np.int64)
+        names = typ.dictionary.to_numpy(zero_copy_only=False)
+        n = np.bincount(code, minlength=len(names))
+        mx = np.full(len(names), np.iinfo(np.int64).min)
+        np.maximum.at(mx, code, us)
+        return pa.table({"event_type": pa.array(names),
+                         "n_events": pa.array(n.astype(np.int64)),
+                         "last_us": pa.array(mx)})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("event_type")
+           .aggregate(Sum("n_events", alias_name="n_events"),
+                      Max("last_us", alias_name="last_us"))
+           .to_pandas())
+    out = out.astype({"n_events": "int64", "last_us": "int64"})
+    watermark = int(out["last_us"].max())
+    out["lag_days"] = ((watermark - out["last_us"])
+                       // 86_400_000_000).astype("int64")
+    out["last_ts"] = pd.to_datetime(out["last_us"], unit="us")
+    out = out.drop(columns=["last_us"])
+    return (out[["event_type", "n_events", "last_ts", "lag_days"]]
+            .sort_values("event_type").reset_index(drop=True))
+
+
+Q152_SQL = """
+WITH t AS (
+  SELECT event_type, COUNT(*) AS n_events,
+         MAX(epoch_us(ts)) AS last_us
+  FROM events GROUP BY event_type),
+w AS (SELECT MAX(last_us) AS wm FROM t)
+SELECT event_type,
+       CAST(n_events AS BIGINT) AS n_events,
+       make_timestamp(last_us) AS last_ts,
+       CAST((wm - last_us) // 86400000000 AS BIGINT) AS lag_days
+FROM t, w
+ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q154: weekday x hour activity census — the ops-monitoring heatmap
+# behind "is traffic shaped like last week's?". Stateless per-block
+# 7x24 bincount partials -> one 168-row grouped SUM; shares are
+# driver algebra. Weekday convention: 0 = Sunday (DuckDB dayofweek).
+# --------------------------------------------------------------------------
+
+
+def q154_weekday_hour_census(sf_dir: str) -> pd.DataFrame:
+    """Per (day-of-week, hour-of-day): event count and its share of all
+    events (rounded to 6)."""
+    ds = read_table(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"dow": pa.array([], pa.int64()),
+                          "hour": pa.array([], pa.int64()),
+                          "n_events": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        us = (t["ts"].combine_chunks().cast(pa.timestamp("us"))
+              .to_numpy(zero_copy_only=False).astype("datetime64[us]")
+              .astype(np.int64))
+        day = us // 86_400_000_000
+        dow = (day + 4) % 7          # epoch day 0 = Thursday; 0 = Sunday
+        hour = (us // 3_600_000_000) % 24
+        cnt = np.bincount(dow * 24 + hour, minlength=168)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"dow": pa.array((nz // 24).astype(np.int64)),
+                         "hour": pa.array((nz % 24).astype(np.int64)),
+                         "n_events": pa.array(cnt[nz].astype(np.int64))})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["dow", "hour"])
+           .aggregate(Sum("n_events", alias_name="n_events"))
+           .to_pandas())
+    out = out.astype({"dow": "int64", "hour": "int64",
+                      "n_events": "int64"})
+    out["share"] = (out["n_events"] / out["n_events"].sum()).round(6)
+    return (out[["dow", "hour", "n_events", "share"]]
+            .sort_values(["dow", "hour"]).reset_index(drop=True))
+
+
+Q154_SQL = """
+SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 6) AS share
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
