@@ -2190,3 +2190,248 @@ FROM d
 GROUP BY source
 ORDER BY source
 """
+
+
+# --------------------------------------------------------------------------
+# q156: structural-markup census — how much of each source is markdown
+# / HTML scaffolding rather than prose or code (scraped-page detector;
+# heavy markup changes tokenizer budgets and quality thresholds).
+# Counts are RE2 on both sides (pyarrow count_substring_regex vs
+# DuckDB regexp_extract_all — identical non-overlapping semantics,
+# including the (?m) line anchors). Stateless partials -> one
+# #sources-row SUM.
+# --------------------------------------------------------------------------
+
+_MARKUP_PATTERNS = {
+    "md_headers": r"(?m)^#{1,6} ",
+    "code_fences": r"```",
+    "html_tags": r"</?[A-Za-z][A-Za-z0-9]*[^<>]*>",
+    "md_links": r"\[[^\]\n]+\]\([^()\n]+\)",
+}
+
+
+def q156_markup_census(sf_dir: str) -> pd.DataFrame:
+    """Per source: docs, markdown-header / code-fence / HTML-tag /
+    markdown-link match counts, and docs containing any markup."""
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        names = list(_MARKUP_PATTERNS)
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "n_docs": pa.array([], pa.int64()),
+                          **{f"n_{n}": pa.array([], pa.int64())
+                             for n in names},
+                          "n_docs_with_markup": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        text = pc.fill_null(t["text"].combine_chunks(), "")
+        counts = {
+            n: pc.count_substring_regex(text, pat)
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+            for n, pat in _MARKUP_PATTERNS.items()}
+        any_m = np.zeros(t.num_rows, bool)
+        for v in counts.values():
+            any_m |= v > 0
+        g = pd.DataFrame({
+            "source": t["source"].to_numpy(zero_copy_only=False),
+            "n_docs": 1,
+            **{f"n_{n}": v for n, v in counts.items()},
+            "n_docs_with_markup": any_m.astype(np.int64),
+        }).groupby("source", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    aggs = [Sum("n_docs", alias_name="n_docs")]
+    aggs += [Sum(f"n_{n}", alias_name=f"n_{n}") for n in _MARKUP_PATTERNS]
+    aggs.append(Sum("n_docs_with_markup", alias_name="n_docs_with_markup"))
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("source").aggregate(*aggs).to_pandas())
+    cols = ["n_docs"] + [f"n_{n}" for n in _MARKUP_PATTERNS] \
+        + ["n_docs_with_markup"]
+    out = out.astype({c: "int64" for c in cols})
+    return (out[["source"] + cols]
+            .sort_values("source").reset_index(drop=True))
+
+
+Q156_SQL = """
+WITH d AS (
+  SELECT source,
+         length(regexp_extract_all(COALESCE(text, ''),
+                '(?m)^#{1,6} ')) AS md_headers,
+         length(regexp_extract_all(COALESCE(text, ''), '```'))
+           AS code_fences,
+         length(regexp_extract_all(COALESCE(text, ''),
+                '</?[A-Za-z][A-Za-z0-9]*[^<>]*>')) AS html_tags,
+         length(regexp_extract_all(COALESCE(text, ''),
+                '\\[[^\\]\\n]+\\]\\([^()\\n]+\\)')) AS md_links
+  FROM documents)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(md_headers) AS BIGINT) AS n_md_headers,
+       CAST(SUM(code_fences) AS BIGINT) AS n_code_fences,
+       CAST(SUM(html_tags) AS BIGINT) AS n_html_tags,
+       CAST(SUM(md_links) AS BIGINT) AS n_md_links,
+       CAST(COUNT(*) FILTER (WHERE md_headers + code_fences + html_tags
+                                   + md_links > 0) AS BIGINT)
+         AS n_docs_with_markup
+FROM d
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# q157: words-per-sentence profile — the readability / prose-vs-code
+# discriminator (code has almost no terminal-punctuation runs; legal
+# boilerplate has enormous sentences). Words = space tokens, sentence
+# marks = RE2 runs of [.!?]; both exact counts, the ratio is driver
+# algebra over a #langs-row SUM.
+# --------------------------------------------------------------------------
+
+
+def q157_words_per_sentence(sf_dir: str) -> pd.DataFrame:
+    """Per lang: docs, space-token words, terminal-punctuation runs and
+    words per sentence mark (rounded to 6)."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"lang": pa.array([], pa.string()),
+                          "n_docs": pa.array([], pa.int64()),
+                          "n_words": pa.array([], pa.int64()),
+                          "n_sentence_marks": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        text = pc.fill_null(t["text"].combine_chunks(), "")
+        words = pc.count_substring_regex(text, r"\S+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        marks = pc.count_substring_regex(text, r"[.!?]+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pd.DataFrame({
+            "lang": t["lang"].to_numpy(zero_copy_only=False),
+            "n_docs": 1, "n_words": words, "n_sentence_marks": marks,
+        }).groupby("lang", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("lang")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_words", alias_name="n_words"),
+                      Sum("n_sentence_marks",
+                          alias_name="n_sentence_marks"))
+           .to_pandas())
+    out = out.astype({"n_docs": "int64", "n_words": "int64",
+                      "n_sentence_marks": "int64"})
+    out["words_per_sentence"] = (
+        out["n_words"] / out["n_sentence_marks"].clip(lower=1)).round(6)
+    return (out[["lang", "n_docs", "n_words", "n_sentence_marks",
+                 "words_per_sentence"]]
+            .sort_values("lang").reset_index(drop=True))
+
+
+Q157_SQL = """
+WITH d AS (
+  SELECT lang,
+         length(regexp_extract_all(COALESCE(text, ''), '\\S+'))
+           AS words,
+         length(regexp_extract_all(COALESCE(text, ''), '[.!?]+'))
+           AS marks
+  FROM documents)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(words) AS BIGINT) AS n_words,
+       CAST(SUM(marks) AS BIGINT) AS n_sentence_marks,
+       ROUND(SUM(words) * 1.0 / GREATEST(SUM(marks), 1), 6)
+         AS words_per_sentence
+FROM d
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# q158: comment-line share — per (source, lang) of the code corpus,
+# how many lines are comments (//, #, /*, *, --, ;) after ltrim. A
+# comment-starved source is usually minified/generated; a comment-
+# saturated one is license boilerplate. Pure Arrow kernels; the
+# exchange is one #(source x lang)-row SUM.
+# --------------------------------------------------------------------------
+
+_COMMENT_PREFIXES = ("//", "#", "/*", "*", "--", ";")
+
+
+def q158_comment_line_share(sf_dir: str) -> pd.DataFrame:
+    """Per (source, lang): non-empty lines, comment-prefixed lines and
+    their share (rounded to 6)."""
+    ds = read_table(sf_dir, "documents",
+                    columns=["source", "lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "lang": pa.array([], pa.string()),
+                          "n_lines": pa.array([], pa.int64()),
+                          "n_comment_lines": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        text = pc.fill_null(t["text"].combine_chunks(), "")
+        lines = pc.split_pattern(text, "\n")
+        lens = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+        flat = pc.utf8_ltrim(pc.list_flatten(lines), " \t")
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        com = np.zeros(len(flat), bool)
+        for p in _COMMENT_PREFIXES:
+            com |= pc.starts_with(flat, pattern=p).to_numpy(
+                zero_copy_only=False)
+        com &= nonempty
+        rid = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        g = pd.DataFrame({
+            "source": t["source"].to_numpy(zero_copy_only=False),
+            "lang": t["lang"].to_numpy(zero_copy_only=False),
+            "n_lines": np.bincount(rid[nonempty], minlength=t.num_rows),
+            "n_comment_lines": np.bincount(rid[com],
+                                           minlength=t.num_rows),
+        }).groupby(["source", "lang"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["source", "lang"])
+           .aggregate(Sum("n_lines", alias_name="n_lines"),
+                      Sum("n_comment_lines",
+                          alias_name="n_comment_lines"))
+           .to_pandas())
+    out = out.astype({"n_lines": "int64", "n_comment_lines": "int64"})
+    out["comment_share"] = (out["n_comment_lines"]
+                            / out["n_lines"].clip(lower=1)).round(6)
+    return (out[["source", "lang", "n_lines", "n_comment_lines",
+                 "comment_share"]]
+            .sort_values(["source", "lang"]).reset_index(drop=True))
+
+
+Q158_SQL = """
+WITH ln AS (
+  SELECT source, lang,
+         ltrim(unnest(string_split(COALESCE(text, ''), chr(10))),
+               ' ' || chr(9)) AS line
+  FROM documents),
+ne AS (SELECT source, lang, line FROM ln WHERE line <> '')
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(COUNT(*) FILTER (WHERE starts_with(line, '//')
+                                OR starts_with(line, '#')
+                                OR starts_with(line, '/*')
+                                OR starts_with(line, '*')
+                                OR starts_with(line, '--')
+                                OR starts_with(line, ';')) AS BIGINT)
+         AS n_comment_lines,
+       ROUND(COUNT(*) FILTER (WHERE starts_with(line, '//')
+                                 OR starts_with(line, '#')
+                                 OR starts_with(line, '/*')
+                                 OR starts_with(line, '*')
+                                 OR starts_with(line, '--')
+                                 OR starts_with(line, ';'))
+             * 1.0 / GREATEST(COUNT(*), 1), 6) AS comment_share
+FROM ne
+GROUP BY source, lang
+ORDER BY source, lang
+"""
