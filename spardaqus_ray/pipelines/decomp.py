@@ -464,3 +464,103 @@ FROM d JOIN s USING (label)
 GROUP BY s.label, s.n_vecs, s.mu, s.sd
 ORDER BY s.label
 """
+
+
+# --------------------------------------------------------------------------
+# q160: label cosine-margin audit — per label, the mean cosine of its
+# members to their OWN centroid vs the closest OTHER centroid (a
+# silhouette-lite separability score; a negative margin means the
+# class is absorbed by a neighbor). One pass for centroids (k x d
+# moments), one pass emitting k x k (vlabel, clabel, sum_cos, n)
+# partials against the broadcast normalized-centroid matrix; the
+# margin/argmax is driver algebra over k^2 rows. Nearest-other ties
+# break toward the smaller label on both sides.
+# --------------------------------------------------------------------------
+
+
+def q160_label_cosine_margin(sf_dir: str) -> pd.DataFrame:
+    """Per label: members, mean cosine to own centroid, the nearest
+    other label with its mean cosine, and the margin (all rounded 6)."""
+    from ray.data.aggregate import Sum
+
+    labels, C = _label_centroids_np(sf_dir)
+    Cn = C / np.sqrt((C * C).sum(1, keepdims=True))
+    lab_pos = {int(v): i for i, v in enumerate(labels)}
+    k = len(labels)
+    ds = read_table(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"vlabel": pa.array([], pa.int64()),
+                          "clabel": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.float64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        m = _mat(t).astype(np.float64)
+        m /= np.sqrt((m * m).sum(1, keepdims=True))
+        lab = t["label"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cos = m @ Cn.T                       # n x k
+        uniq, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(uniq), k))
+        np.add.at(sums, inv, cos)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "vlabel": pa.array(np.repeat(uniq, k)),
+            "clabel": pa.array(np.tile(labels, len(uniq))),
+            "s": pa.array(sums.ravel()),
+            "n": pa.array(np.repeat(cnt, k))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["vlabel", "clabel"])
+           .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+           .to_pandas()).sort_values(["vlabel", "clabel"])
+    M = (agg["s"].to_numpy() / agg["n"].to_numpy()).reshape(k, k)
+    n_vecs = agg["n"].to_numpy().reshape(k, k)[:, 0]
+    intra = M[np.arange(k), np.arange(k)]
+    off = M.copy()
+    off[np.arange(k), np.arange(k)] = -np.inf
+    nearest = off.argmax(1)                  # ties: first (smaller label)
+    return pd.DataFrame({
+        "label": labels.astype(np.int64),
+        "n_vecs": n_vecs.astype(np.int64),
+        "mean_intra_cos": np.round(intra, 6),
+        "nearest_label": labels[nearest].astype(np.int64),
+        "mean_nearest_cos": np.round(off[np.arange(k), nearest], 6),
+        "margin": np.round(intra - off[np.arange(k), nearest], 6)})
+
+
+Q160_SQL = """
+WITH x AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label, u.pos AS dim,
+         CAST(embedding[u.pos] AS DOUBLE) AS val
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(pos)),
+c AS (SELECT label, dim, AVG(val) AS v FROM x GROUP BY label, dim),
+cn AS (SELECT label, sqrt(SUM(v * v)) AS nrm FROM c GROUP BY label),
+vn AS (SELECT vec_id, sqrt(SUM(val * val)) AS nrm FROM x GROUP BY vec_id),
+dots AS (
+  SELECT x.vec_id, x.label AS vlabel, c.label AS clabel,
+         SUM(x.val * c.v) AS d
+  FROM x JOIN c ON c.dim = x.dim
+  GROUP BY x.vec_id, x.label, c.label),
+cos AS (
+  SELECT vlabel, clabel,
+         AVG(d / (vn.nrm * cn.nrm)) AS meancos, COUNT(*) AS n
+  FROM dots JOIN vn USING (vec_id) JOIN cn ON cn.label = dots.clabel
+  GROUP BY vlabel, clabel),
+best AS (
+  SELECT vlabel, clabel, meancos,
+         ROW_NUMBER() OVER (PARTITION BY vlabel
+                            ORDER BY meancos DESC, clabel) AS rn
+  FROM cos WHERE vlabel <> clabel)
+SELECT a.vlabel AS label,
+       CAST(a.n AS BIGINT) AS n_vecs,
+       ROUND(a.meancos, 6) AS mean_intra_cos,
+       b.clabel AS nearest_label,
+       ROUND(b.meancos, 6) AS mean_nearest_cos,
+       ROUND(a.meancos - b.meancos, 6) AS margin
+FROM cos a JOIN best b ON b.vlabel = a.vlabel AND b.rn = 1
+WHERE a.clabel = a.vlabel
+ORDER BY label
+"""

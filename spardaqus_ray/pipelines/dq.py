@@ -1191,3 +1191,82 @@ SELECT CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS BIGINT)
              / GREATEST(COUNT(prev_id), 1), 6) AS inversion_share
 FROM p
 """
+
+
+# --------------------------------------------------------------------------
+# q159: part -> supplier sourcing-fanout histogram — single-sourced
+# parts are supply-chain risk; parts with implausibly many suppliers
+# are key-collision smells. Three shrinking exchanges: per-block
+# DISTINCT packed (part, supplier) pairs -> pair-keyed SUM (bounded by
+# the pair domain) -> per-block supplier counts per part -> part-keyed
+# SUM -> histogram partials -> dimension-sized SUM.
+# --------------------------------------------------------------------------
+
+_PS_SHIFT = 20  # pack: partkey << 20 | suppkey
+
+
+def q159_part_supplier_fanout(sf_dir: str) -> pd.DataFrame:
+    """Histogram of distinct suppliers per part seen in lineitem."""
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    tune_hash_width(li, table_bytes(sf_dir, "lineitem"))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"pair": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        p = (t["l_partkey"].combine_chunks().cast(pa.int64())
+             .to_numpy(zero_copy_only=False))
+        s = (t["l_suppkey"].combine_chunks().cast(pa.int64())
+             .to_numpy(zero_copy_only=False))
+        if p.size and (int(p.max()) >> (63 - _PS_SHIFT) or int(p.min()) < 0
+                       or int(s.max()) >> _PS_SHIFT or int(s.min()) < 0):
+            raise ValueError("part/supplier key outside the pack budget")
+        return pa.table({"pair": np.unique((p << _PS_SHIFT) | s)})
+
+    dpairs = (li.map_batches(pairs, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .add_column("one", lambda df: 1, batch_format="pandas")
+              .groupby("pair").aggregate(Sum("one", alias_name="one")))
+
+    def per_part(t: pa.Table) -> pa.Table:
+        empty = pa.table({"p": pa.array([], pa.int64()),
+                          "ns": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        pair = (t["pair"].combine_chunks()
+                .to_numpy(zero_copy_only=False).astype(np.int64))
+        up, cnt = np.unique(pair >> _PS_SHIFT, return_counts=True)
+        return pa.table({"p": up, "ns": cnt.astype(np.int64)})
+
+    per = (dpairs.map_batches(per_part, batch_format="pyarrow",
+                              batch_size=None)
+           .groupby("p").aggregate(Sum("ns", alias_name="ns")))
+
+    def hist(t: pa.Table) -> pa.Table:
+        empty = pa.table({"n_suppliers": pa.array([], pa.int64()),
+                          "n_parts": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        ns = (t["ns"].combine_chunks()
+              .to_numpy(zero_copy_only=False).astype(np.int64))
+        u, c = np.unique(ns, return_counts=True)
+        return pa.table({"n_suppliers": u, "n_parts": c.astype(np.int64)})
+
+    out = (per.map_batches(hist, batch_format="pyarrow", batch_size=None)
+           .groupby("n_suppliers")
+           .aggregate(Sum("n_parts", alias_name="n_parts"))
+           .to_pandas())
+    out = out.astype({"n_suppliers": "int64", "n_parts": "int64"})
+    return (out[["n_suppliers", "n_parts"]]
+            .sort_values("n_suppliers").reset_index(drop=True))
+
+
+Q159_SQL = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+c AS (SELECT l_partkey, COUNT(*) AS ns FROM ps GROUP BY 1)
+SELECT CAST(ns AS BIGINT) AS n_suppliers,
+       CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM c
+GROUP BY 1
+ORDER BY 1
+"""
