@@ -1,0 +1,96 @@
+"""Edge-case pins for the round-5 DQ audits (q142-q160): planted
+fixtures exercise exactly the branch the oracle data never hits —
+pack-bound overflows, gapped/bad-start sequences, reconciliation
+drift buckets, ts-tie inversion semantics."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from spardaqus_ray.pipelines import dq
+
+
+def test_pk_pack_roundtrip_and_bounds():
+    t = pa.table({"a": pa.array([5, 7], pa.int64()),
+                  "b": pa.array([3, 65535], pa.int64())})
+    packed = dq._pk_pack(t, ["a", "b"])
+    assert list(packed >> dq._PK_SHIFT) == [5, 7]
+    assert list(packed & ((1 << dq._PK_SHIFT) - 1)) == [3, 65535]
+    # linenumber over the 16-bit budget must fail loudly, not wrap
+    t2 = pa.table({"a": pa.array([1], pa.int64()),
+                   "b": pa.array([1 << 16], pa.int64())})
+    with pytest.raises(ValueError, match="bit budget"):
+        dq._pk_pack(t2, ["a", "b"])
+    # negative lead key must fail too
+    t3 = pa.table({"a": pa.array([-1], pa.int64()),
+                   "b": pa.array([0], pa.int64())})
+    with pytest.raises(ValueError, match="bit budget"):
+        dq._pk_pack(t3, ["a", "b"])
+
+
+def _write(tmpdir, name, table):
+    pq.write_table(table, f"{tmpdir}/{name}.parquet")
+
+
+def test_q144_classes_planted(ray_session, tmp_path):
+    # order 1: contiguous 1..3; order 2: gapped (1,3); order 3: bad
+    # start (2,3); order 4: bad start AND gapped -> bad_start wins
+    li = pa.table({
+        "l_orderkey": pa.array([1, 1, 1, 2, 2, 3, 3, 4], pa.int64()),
+        "l_linenumber": pa.array([1, 2, 3, 1, 3, 2, 3, 5], pa.int32())})
+    _write(tmp_path, "lineitem", li)
+    out = dq.q144_linenumber_contiguity(str(tmp_path))
+    got = dict(zip(out["seq_class"], zip(out["n_orders"],
+                                         out["n_lineitems"])))
+    assert got == {"bad_start": (2, 3), "contiguous": (1, 3),
+                   "gapped": (1, 2)}
+
+
+def test_q143_drift_buckets_planted(ray_session, tmp_path):
+    # order 1 reconciles exactly; order 2 drifts ~2.3%; order 3 ~50%
+    li = pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 3], pa.int64()),
+        "l_extendedprice": pa.array([100.0, 200.0, 1000.0, 100.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0, 0.0]),
+        "l_tax": pa.array([0.0, 0.0, 0.0, 0.0])})
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_orderstatus": pa.array(["F", "F", "O"], pa.string()),
+        "o_totalprice": pa.array([300.0, 1023.0, 200.0])})
+    _write(tmp_path, "lineitem", li)
+    _write(tmp_path, "orders", orders)
+    out = dq.q143_order_total_reconciliation(str(tmp_path))
+    f = out[out["o_orderstatus"] == "F"].iloc[0]
+    assert (f["n_orders"], f["n_within_1pct"], f["n_within_5pct"],
+            f["n_beyond_5pct"]) == (2, 1, 1, 0)
+    o = out[out["o_orderstatus"] == "O"].iloc[0]
+    assert (o["n_orders"], o["n_beyond_5pct"]) == (1, 1)
+
+
+def test_q155_ties_not_inversions(ray_session, tmp_path):
+    # user 1: ids 10,11 share one ts (tie -> sorted by id, no
+    # inversion), then id 5 later (one true inversion). user 2 clean.
+    ts = pa.array([1_000_000, 1_000_000, 2_000_000, 1_000_000,
+                   3_000_000], pa.timestamp("us"))
+    ev = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "event_id": pa.array([11, 10, 5, 1, 2], pa.int64()),
+        "ts": ts})
+    _write(tmp_path, "events", ev)
+    out = dq.q155_event_id_monotonicity(str(tmp_path))
+    assert out.iloc[0]["n_users"] == 2
+    assert out.iloc[0]["n_pairs"] == 3
+    assert out.iloc[0]["n_inversions"] == 1
+
+
+def test_q142_detects_planted_dup(ray_session, tmp_path):
+    # duplicate doc_id 7 (x3) among otherwise-unique keys
+    docs = pa.table({"doc_id": pa.array([1, 2, 7, 7, 7, 9], pa.int64())})
+    _write(tmp_path, "documents", docs)
+    out = dq._pk_audit(str(tmp_path), "documents.doc_id",
+                       "documents", ["doc_id"])
+    r = out.iloc[0]
+    assert (int(r["n_rows"]), int(r["n_keys"]), int(r["dup_keys"]),
+            int(r["dup_rows"])) == (6, 4, 1, 3)
