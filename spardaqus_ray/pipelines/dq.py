@@ -1270,3 +1270,99 @@ FROM c
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# q162: cross-lang duplicate-text audit — identical raw text carrying
+# DIFFERENT lang labels is label noise (it poisons langid training and
+# per-lang thresholds). Text identity ships as its sha256 digest, never
+# the text; three shrinking exchanges: per-block (sha, lang, n) partial
+# counts -> (sha, lang)-keyed SUM -> per-sha lang-count fold ->
+# sha-keyed SUM -> #distinct-lang-count-row histogram.
+# --------------------------------------------------------------------------
+
+
+def q162_cross_lang_dups(sf_dir: str) -> pd.DataFrame:
+    """Histogram over distinct texts: how many carry 1, 2, ... distinct
+    lang labels, and the docs involved."""
+    from spardaqus_ray.functions.hashing import sha256_column
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+    tune_hash_width(ds, table_bytes(sf_dir, "documents"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"sha": pa.array([], pa.string()),
+                          "lang": pa.array([], pa.string()),
+                          "nd": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        sha = sha256_column(
+            pc.fill_null(t["text"].combine_chunks(), ""))
+        g = (pd.DataFrame({
+            "sha": sha.to_numpy(zero_copy_only=False),
+            "lang": t["lang"].to_numpy(zero_copy_only=False)})
+            .groupby(["sha", "lang"], sort=False)
+            .size().reset_index(name="nd"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    by_sha_lang = (ds.map_batches(partial, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+                   .groupby(["sha", "lang"])
+                   .aggregate(Sum("nd", alias_name="nd")))
+
+    def per_sha(t: pa.Table) -> pa.Table:
+        empty = pa.table({"sha": pa.array([], pa.string()),
+                          "nl": pa.array([], pa.int64()),
+                          "nd": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        g = (t.to_pandas().groupby("sha", sort=False)
+             .agg(nl=("lang", "size"), nd=("nd", "sum")).reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (by_sha_lang.map_batches(per_sha, batch_format="pyarrow",
+                                   batch_size=None)
+           .groupby("sha")
+           .aggregate(Sum("nl", alias_name="nl"),
+                      Sum("nd", alias_name="nd")))
+
+    def hist(t: pa.Table) -> pa.Table:
+        empty = pa.table({"n_langs": pa.array([], pa.int64()),
+                          "n_texts": pa.array([], pa.int64()),
+                          "n_docs": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        nl = (t["nl"].combine_chunks()
+              .to_numpy(zero_copy_only=False).astype(np.int64))
+        nd = (t["nd"].combine_chunks()
+              .to_numpy(zero_copy_only=False).astype(np.int64))
+        u, inv = np.unique(nl, return_inverse=True)
+        return pa.table({
+            "n_langs": u,
+            "n_texts": pa.array(np.bincount(inv).astype(np.int64)),
+            "n_docs": pa.array(
+                np.bincount(inv, weights=nd).astype(np.int64))})
+
+    out = (agg.map_batches(hist, batch_format="pyarrow", batch_size=None)
+           .groupby("n_langs")
+           .aggregate(Sum("n_texts", alias_name="n_texts"),
+                      Sum("n_docs", alias_name="n_docs"))
+           .to_pandas())
+    out = out.astype({"n_langs": "int64", "n_texts": "int64",
+                      "n_docs": "int64"})
+    return (out[["n_langs", "n_texts", "n_docs"]]
+            .sort_values("n_langs").reset_index(drop=True))
+
+
+Q162_SQL = """
+WITH g AS (
+  SELECT COALESCE(text, '') AS t,
+         COUNT(DISTINCT lang) AS nl, COUNT(*) AS nd
+  FROM documents GROUP BY 1)
+SELECT CAST(nl AS BIGINT) AS n_langs,
+       CAST(COUNT(*) AS BIGINT) AS n_texts,
+       CAST(SUM(nd) AS BIGINT) AS n_docs
+FROM g
+GROUP BY nl
+ORDER BY n_langs
+"""

@@ -1022,3 +1022,87 @@ ORDER BY n.split
 
 
 Q110_SQL = _q110_sql()
+
+
+# --------------------------------------------------------------------------
+# q161: shingle-bucket volume forecaster — the planning audit run
+# BEFORE a MinHash/LSH dedup: the histogram of docs-per-shingle tells
+# you the candidate-pair volume ( sum s*(s-1)/2 ) and whether a hot
+# shingle needs a bucket cap. The exchange is shingle-keyed (the same
+# exchange the dedup itself would pay — this op IS its cost estimate);
+# per-block partials pre-dedupe (gram, doc) so each doc contributes a
+# gram once, and the output folds to a bucket-size histogram.
+# --------------------------------------------------------------------------
+
+
+def q161_shingle_bucket_histogram(sf_dir: str,
+                                  k: int = DUPSPAN_K) -> pd.DataFrame:
+    """Per bucket size s (docs sharing a word k-gram): distinct grams
+    with that support and the candidate pairs s*(s-1)/2 they induce.
+    Gram identity ships as the same 8-byte polynomial hash q53 uses
+    (collision odds documented at _DUPSPAN_P); exactness vs the
+    string-keyed SQL oracle is pinned at fixture scale."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    tune_hash_width(ds, table_bytes(sf_dir, "documents"))
+
+    def grams(t: pa.Table) -> pa.Table:
+        empty = pa.table({"gram": pa.array([], pa.int64()),
+                          "nd": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        h, rid = _gram_hashes(t, k)
+        if len(h) == 0:
+            return empty
+        # distinct (gram, doc) within the block IS globally distinct
+        # (a document never splits across blocks)
+        dfg = (pd.DataFrame({"gram": h.view(np.int64), "rid": rid})
+               .drop_duplicates())
+        nd = dfg.groupby("gram", sort=False).size().reset_index(name="nd")
+        return pa.Table.from_pandas(nd, preserve_index=False)
+
+    support = (ds.map_batches(grams, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .groupby("gram").aggregate(Sum("nd", alias_name="nd")))
+
+    def hist(t: pa.Table) -> pa.Table:
+        empty = pa.table({"bucket_docs": pa.array([], pa.int64()),
+                          "n_grams": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        nd = (t["nd"].combine_chunks()
+              .to_numpy(zero_copy_only=False).astype(np.int64))
+        u, c = np.unique(nd, return_counts=True)
+        return pa.table({"bucket_docs": u,
+                         "n_grams": c.astype(np.int64)})
+
+    out = (support.map_batches(hist, batch_format="pyarrow",
+                               batch_size=None)
+           .groupby("bucket_docs")
+           .aggregate(Sum("n_grams", alias_name="n_grams"))
+           .to_pandas())
+    out = out.astype({"bucket_docs": "int64", "n_grams": "int64"})
+    out["candidate_pairs"] = (out["n_grams"] * out["bucket_docs"]
+                              * (out["bucket_docs"] - 1) // 2)
+    return (out[["bucket_docs", "n_grams", "candidate_pairs"]]
+            .sort_values("bucket_docs").reset_index(drop=True))
+
+
+Q161_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(COALESCE(text, '')), ' '),
+                     x -> x <> '') AS toks
+  FROM documents),
+g AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(toks[u.pos : u.pos + {DUPSPAN_K - 1}], ' ')
+             AS gram
+  FROM d, unnest(range(1, len(toks) - {DUPSPAN_K - 2})) AS u(pos)),
+c AS (SELECT gram, COUNT(*) AS s FROM g GROUP BY gram)
+SELECT CAST(s AS BIGINT) AS bucket_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(*) * s * (s - 1) // 2 AS BIGINT) AS candidate_pairs
+FROM c
+GROUP BY s
+ORDER BY bucket_docs
+"""

@@ -94,3 +94,15 @@ def test_q142_detects_planted_dup(ray_session, tmp_path):
     r = out.iloc[0]
     assert (int(r["n_rows"]), int(r["n_keys"]), int(r["dup_keys"]),
             int(r["dup_rows"])) == (6, 4, 1, 3)
+
+
+def test_q162_planted_cross_lang_dup(ray_session, tmp_path):
+    # "xx" appears under 2 langs (3 docs); "yy" under 1 lang twice
+    docs = pa.table({
+        "lang": pa.array(["py", "js", "py", "go", "go"], pa.string()),
+        "text": pa.array(["xx", "xx", "xx", "yy", "yy"], pa.string())})
+    _write(tmp_path, "documents", docs)
+    out = dq.q162_cross_lang_dups(str(tmp_path))
+    got = {int(r.n_langs): (int(r.n_texts), int(r.n_docs))
+           for r in out.itertuples()}
+    assert got == {1: (1, 2), 2: (1, 3)}
