@@ -1366,3 +1366,135 @@ FROM g
 GROUP BY nl
 ORDER BY n_langs
 """
+
+
+# --------------------------------------------------------------------------
+# q163: dedup-savings forecast — per source, how many docs/bytes would
+# an exact-dedup pass reclaim (the budget number that justifies running
+# the dedup at all). Text identity ships as sha256 + its length; the
+# exchange is (source, sha)-keyed partial counts (bounded by distinct
+# texts per source), folding to a #sources-row SUM.
+# --------------------------------------------------------------------------
+
+
+def q163_dedup_savings_by_source(sf_dir: str) -> pd.DataFrame:
+    """Per source: docs, distinct texts, total chars, chars kept after
+    exact within-source dedup, and the reclaimable share (rounded 6)."""
+    from spardaqus_ray.functions.hashing import sha256_column
+
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+    tune_hash_width(ds, table_bytes(sf_dir, "documents"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "sha": pa.array([], pa.string()),
+                          "nd": pa.array([], pa.int64()),
+                          "chars": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        text = pc.fill_null(t["text"].combine_chunks(), "")
+        sha = sha256_column(text)
+        ln = pc.utf8_length(text).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        g = (pd.DataFrame({
+            "source": t["source"].to_numpy(zero_copy_only=False),
+            "sha": sha.to_numpy(zero_copy_only=False),
+            "chars": ln})
+            .groupby(["source", "sha"], sort=False)
+            .agg(nd=("chars", "size"), chars=("chars", "first"))
+            .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    by_text = (ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .groupby(["source", "sha"])
+               .aggregate(Sum("nd", alias_name="nd"),
+                          Min("chars", alias_name="chars")))
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "n_docs": pa.array([], pa.int64()),
+                          "n_texts": pa.array([], pa.int64()),
+                          "total_chars": pa.array([], pa.int64()),
+                          "kept_chars": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        nd = (t["nd"].combine_chunks()
+              .to_numpy(zero_copy_only=False).astype(np.int64))
+        ch = (t["chars"].combine_chunks()
+              .to_numpy(zero_copy_only=False).astype(np.int64))
+        g = pd.DataFrame({
+            "source": t["source"].to_numpy(zero_copy_only=False),
+            "n_docs": nd, "n_texts": 1,
+            "total_chars": nd * ch, "kept_chars": ch,
+        }).groupby("source", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (by_text.map_batches(fold, batch_format="pyarrow",
+                               batch_size=None)
+           .groupby("source")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_texts", alias_name="n_texts"),
+                      Sum("total_chars", alias_name="total_chars"),
+                      Sum("kept_chars", alias_name="kept_chars"))
+           .to_pandas())
+    out = out.astype({"n_docs": "int64", "n_texts": "int64",
+                      "total_chars": "int64", "kept_chars": "int64"})
+    out["savings_share"] = (
+        (out["total_chars"] - out["kept_chars"])
+        / out["total_chars"].clip(lower=1)).round(6)
+    return (out[["source", "n_docs", "n_texts", "total_chars",
+                 "kept_chars", "savings_share"]]
+            .sort_values("source").reset_index(drop=True))
+
+
+Q163_SQL = """
+WITH g AS (
+  SELECT source, COALESCE(text, '') AS t, COUNT(*) AS nd,
+         LENGTH(COALESCE(text, '')) AS chars
+  FROM documents GROUP BY source, t)
+SELECT source,
+       CAST(SUM(nd) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_texts,
+       CAST(SUM(nd * chars) AS BIGINT) AS total_chars,
+       CAST(SUM(chars) AS BIGINT) AS kept_chars,
+       ROUND((SUM(nd * chars) - SUM(chars)) * 1.0
+             / GREATEST(SUM(nd * chars), 1), 6) AS savings_share
+FROM g
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# q164: cross-dataset entity coverage — are the event stream's users
+# known customers? The classic "two feeds, one entity" reconciliation
+# (orphan event users break any events-x-orders join downstream).
+# Reuses q131's distinct-key exchange verbatim: child keys pre-counted
+# per block, parent keys deduped, one key-keyed SUM bounded by the
+# user domain, one-row fold.
+# --------------------------------------------------------------------------
+
+
+def q164_event_user_coverage(sf_dir: str) -> pd.DataFrame:
+    """One edge row (events.user_id -> customer.c_custkey): event rows,
+    distinct event users, events/users without a matching customer."""
+    out = _edge_audit(sf_dir, "events.user_id->customer.c_custkey",
+                      "events", "user_id", "customer", "c_custkey")
+    out = out.astype({"n_rows": "int64", "n_keys": "int64",
+                      "orphan_rows": "int64", "orphan_keys": "int64"})
+    return (out[["edge", "n_rows", "n_keys", "orphan_rows",
+                 "orphan_keys"]]
+            .sort_values("edge").reset_index(drop=True))
+
+
+Q164_SQL = """
+SELECT 'events.user_id->customer.c_custkey' AS edge,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS n_keys,
+       CAST(COUNT(*) FILTER (WHERE p.c_custkey IS NULL) AS BIGINT)
+         AS orphan_rows,
+       CAST(COUNT(DISTINCT c.user_id)
+            FILTER (WHERE p.c_custkey IS NULL) AS BIGINT) AS orphan_keys
+FROM events c LEFT JOIN customer p ON c.user_id = p.c_custkey
+"""
